@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` writer (full computation,
+no driver collect) — the closest local analogue of "write to the lake".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "agg_groupby",        # TPC-H Q1: scan + 2-key agg
+    "join_inner_multi",   # Q3-ish: broadcast dim + fact-fact shuffle join
+    "orderby_topk",       # TakeOrderedAndProject
+    "migration_pipeline", # flagship ETL DAG (lookup join + transforms + backfill)
+    "join_semi",
+    "filter_expr",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from mriya_spark.session import get_spark
+
+    spark = get_spark(app_name="mriya_spark_bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Mapping DSL: the reference's JSON mapping document -> DataFrame plans.
+
+The mapping document is the reference engine's "program"
+(`/root/reference/mapping_parser.py:8-25`): a list of 6-tuples
+``(table_src, column_src, table_dst, column_dst, operation,
+column_type)`` under ``{source_object, destination_object,
+where_condition, mapping}``. The reference compiles it to SOQL strings
+(`mapping_parser.py:31-41`) and applies it with driver-side dict loops
+(`/root/reference/migration_engine.py:19-68`).
+
+Here the same document compiles to a lazy DataFrame DAG:
+
+- ``extract``   — scan + lookup-joins + WHERE + column pruning
+                  (replaces ``get_src_soql``, `mapping_parser.py:31-41`)
+- ``transform`` — rename-projection + constant injection
+                  (replaces ``dst_update`` rows loop,
+                  `migration_engine.py:25-41`)
+- ``backfill``  — join created dst rows back onto src keys
+                  (replaces ``src_update``, `migration_engine.py:50-68`)
+
+Known reference bugs NOT replicated (SURVEY.md §7 "What's hard"):
+``get_dst_old_id_column`` returning the src column
+(`mapping_parser.py:144-147`) and ``get_dst_soql_cond`` querying the
+source object (`mapping_parser.py:77`) — we implement the documented
+intent.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mriya_spark.ops.relational import backfill_join, filter_expr
+
+if TYPE_CHECKING:
+    from mriya_spark.catalog import Catalog
+
+VALID_COLUMN_TYPES = {"regular", "src_id", "dst_id"}
+
+
+@dataclass(frozen=True)
+class MappingRule:
+    """One mapping element (`mapping_parser.py:8-10` ``MappingElement``)."""
+
+    table_src: str
+    column_src: str
+    table_dst: str
+    column_dst: str
+    operation: str = "insert"
+    column_type: str = "regular"
+
+    def __post_init__(self) -> None:
+        if self.column_type not in VALID_COLUMN_TYPES:
+            raise ValueError(f"invalid column_type: {self.column_type!r}")
+
+
+@dataclass
+class LookupSpec:
+    """How a foreign table referenced by a rule joins to the source.
+
+    The reference expresses this as a dotted SOQL parent-relationship
+    field (`mapping_parser.py:34-36`) and lets Salesforce join; we need
+    the FK spelled out: ``src_fk`` on the source == ``parent_key`` on
+    the parent table.
+    """
+
+    table: str
+    src_fk: str
+    parent_key: str
+
+
+class MappingSpec:
+    """Parsed mapping document + plan builders."""
+
+    def __init__(
+        self,
+        source_object: str,
+        destination_object: str,
+        where_condition: str,
+        rules: list[MappingRule],
+        lookups: dict[str, LookupSpec] | None = None,
+    ):
+        if not rules:
+            # same contract as the reference (`mapping_parser.py:15-17`)
+            raise ValueError("mapping must be non-empty")
+        self.source_object = source_object
+        self.destination_object = destination_object
+        self.where_condition = where_condition
+        self.rules = rules
+        self.lookups = lookups or {}
+
+    # -- parsing ---------------------------------------------------------
+    @classmethod
+    def from_obj(cls, obj: dict) -> "MappingSpec":
+        rules = [
+            MappingRule(
+                table_src=m["table_src"],
+                column_src=m["column_src"],
+                table_dst=m["table_dst"],
+                column_dst=m["column_dst"],
+                operation=m.get("operation", "insert"),
+                column_type=m.get("column_type", "regular"),
+            )
+            for m in obj.get("mapping", [])
+        ]
+        lookups = {
+            name: LookupSpec(
+                table=lk["table"],
+                src_fk=lk["src_fk"],
+                parent_key=lk["parent_key"],
+            )
+            for name, lk in obj.get("lookups", {}).items()
+        }
+        return cls(
+            source_object=obj["source_object"],
+            destination_object=obj["destination_object"],
+            where_condition=obj.get("where_condition", ""),
+            rules=rules,
+            lookups=lookups,
+        )
+
+    @classmethod
+    def load(cls, path_or_json: str, index: int = 0) -> "MappingSpec":
+        """Load from a JSON file (array of specs; v0 used ``[0]``,
+        `/root/reference/mriya.py:20`)."""
+        if path_or_json.lstrip().startswith("["):
+            arr = json.loads(path_or_json)
+        else:
+            with open(path_or_json) as f:
+                arr = json.load(f)
+        return cls.from_obj(arr[index])
+
+    # -- rule views (replaces P6 metadata filters,
+    #    `mapping_parser.py:59,66,92,98,127-132`) -------------------------
+    @property
+    def regular_rules(self) -> list[MappingRule]:
+        return [r for r in self.rules if r.column_type == "regular"]
+
+    @property
+    def src_id_rule(self) -> MappingRule:
+        """The rule carrying the src primary key into the destination
+        (``column_type == 'src_id'``, `mapping_parser.py:98,130`)."""
+        for r in self.rules:
+            if r.column_type == "src_id":
+                return r
+        raise ValueError("mapping has no src_id rule")
+
+    @property
+    def backfill_rules(self) -> list[MappingRule]:
+        """Rules written back to the source after load
+        (``operation == 'upd_src'``, `mapping_parser.py:127,141`)."""
+        return [r for r in self.rules if r.operation == "upd_src"]
+
+    # -- plan builders ---------------------------------------------------
+    def extract(self, catalog: "Catalog") -> DataFrame:
+        """Replaces ``get_src_soql`` (`mapping_parser.py:31-41`):
+        scan the source, resolve lookup (parent-relationship) columns
+        via broadcast joins, apply the WHERE pass-through, and prune to
+        exactly the mapped columns.
+        """
+        src = catalog.table(self.source_object)
+        if self.where_condition:
+            src = filter_expr(src, self.where_condition)
+
+        # Resolve foreign-table rules (reference: dotted Parent.Field,
+        # `mapping_parser.py:34-36`) as broadcast lookup joins.
+        out_cols = []
+        foreign_tables = {}
+        for r in self.rules:
+            if r.table_src == self.source_object:
+                out_cols.append(F.col(r.column_src))
+            else:
+                foreign_tables.setdefault(r.table_src, []).append(r)
+
+        df = src
+        for tname, t_rules in foreign_tables.items():
+            lk = self.lookups.get(tname)
+            if lk is None:
+                raise ValueError(
+                    f"rule references foreign table {tname!r} but no lookup "
+                    "spec (FK relationship) was provided"
+                )
+            parent = catalog.table(lk.table)
+            needed = {lk.parent_key} | {r.column_src for r in t_rules}
+            parent = parent.select(
+                *[F.col(c).alias(f"__{tname}__{c}") for c in needed]
+            )
+            df = df.join(
+                F.broadcast(parent),
+                df[lk.src_fk] == parent[f"__{tname}__{lk.parent_key}"],
+                "left",
+            )
+            out_cols += [
+                F.col(f"__{tname}__{r.column_src}").alias(r.column_src)
+                for r in t_rules
+            ]
+        return df.select(*out_cols)
+
+    def transform(
+        self, extracted: DataFrame, constants: dict[str, object] | None = None
+    ) -> DataFrame:
+        """Replaces the ``dst_update`` row loop (`migration_engine.py:25-41`):
+        one rename-projection + literal injection select."""
+        cols = [
+            F.col(r.column_src).alias(r.column_dst)
+            for r in self.rules
+            if r.column_type != "dst_id"
+        ]
+        cols += [F.lit(v).alias(k) for k, v in (constants or {}).items()]
+        return extracted.select(*cols)
+
+    def backfill(self, src: DataFrame, created: DataFrame) -> DataFrame:
+        """Replaces ``src_update`` (`migration_engine.py:50-68`): join the
+        created destination rows back to the source on the src-id
+        column and emit the update rows ``(src key, backfilled ids)``.
+
+        ``created`` must contain the dst id column named ``dst_id`` plus
+        the src-id carrier column (``src_id_rule.column_dst``).
+        """
+        sid = self.src_id_rule
+        src_key = self._src_key()
+        # Output column per upd_src rule: the src column that receives
+        # the new dst id. When the rule reuses the src key itself (the
+        # reference's conflated shape, FIXTURES.md A2), suffix it so the
+        # update row keeps (key, backfilled id) distinct.
+        backfill_cols = {
+            (r.column_src if r.column_src != src_key else f"{r.column_src}_dst_id"):
+                "dst_id"
+            for r in self.backfill_rules
+        } or {f"{sid.column_src}_dst_id": "dst_id"}
+        return backfill_join(
+            src,
+            created,
+            src_key=self._src_key(),
+            created_src_key=sid.column_dst,
+            backfill=backfill_cols,
+        )
+
+    def _src_key(self) -> str:
+        """Source primary-key column (the reference uses SF ``Id``;
+        here: whatever column the src_id rule reads)."""
+        return self.src_id_rule.column_src

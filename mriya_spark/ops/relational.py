@@ -1,0 +1,181 @@
+"""Relational core: scans, projections, filters, joins, limits, set ops.
+
+Spark-first restatements of the reference's hand-rolled query layer
+(SURVEY.md §2.1-§2.3). The reference compiles every capability into a
+SOQL string executed remotely (`/root/reference/mapping_parser.py:5`
+``SELECT {columns} FROM {table} {where} LIMIT 10000``) and hand-rolls
+joins as fetch + Python dict loops (`/root/reference/migration_engine.py:50-68`,
+`/root/reference/mriya.py:62-77`). Here each capability is a declarative
+DataFrame op so Catalyst does pushdown/pruning/join-strategy selection.
+
+Scale notes (100 TB posture):
+
+- ``filter_isin`` auto-switches from an IN-list literal to a broadcast
+  semi-join above a threshold — the Spark analogue of the reference's
+  20 000-char SOQL guard (`mapping_parser.py:78-80`) which forced
+  callers to chunk big id lists (`mriya.py:63-68`).
+- Lookup joins broadcast the dimension side explicitly; fact-fact
+  joins are left to AQE (sort-merge w/ skew splitting).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Above this many ids, an IN-list becomes a broadcast semi-join.
+#: Mirrors the intent of the reference's query-length guard
+#: (`mapping_parser.py:78-80`: >20k chars -> caller must chunk).
+ISIN_TO_SEMIJOIN_THRESHOLD = 10_000
+
+
+def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """P1 — column projection (`mapping_parser.py:31-41` SELECT list).
+
+    Catalyst pushes the pruned schema into the parquet scan (check
+    ``ReadSchema`` in ``explain``), so at 100 TB only these columns
+    are ever read off disk.
+    """
+    return df.select(*columns)
+
+
+def filter_expr(df: DataFrame, predicate: str | Column) -> DataFrame:
+    """P3 — pass-through WHERE predicate (`mapping_parser.py:21,39-40`).
+
+    The reference splices a raw SOQL ``where_condition`` string into its
+    SELECT; we accept an ANSI SQL expression string (``F.expr``) or a
+    Column. Catalyst pushes it into the scan (``PushedFilters``).
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return df.filter(pred)
+
+
+def filter_isin(
+    df: DataFrame,
+    key: str,
+    values: Sequence | DataFrame,
+    *,
+    values_col: str | None = None,
+) -> DataFrame:
+    """P4 — IN-list equality filter (`mapping_parser.py:56-82` OR-chain).
+
+    The reference builds ``WHERE k='id1' or k='id2' ...`` (bounded at
+    20k chars, chunked 200 ids at a time by callers, `mriya.py:63-68`).
+    Spark has no query-length limit, but a million-element literal list
+    still bloats the plan — so above ``ISIN_TO_SEMIJOIN_THRESHOLD``, or
+    when the values already live in a DataFrame, this becomes a
+    broadcast left-semi join (no shuffle of the big side).
+    """
+    if isinstance(values, DataFrame):
+        vcol = values_col or values.columns[0]
+        keys = values.select(F.col(vcol).alias(key)).distinct()
+        return df.join(F.broadcast(keys), on=key, how="left_semi")
+    values = list(values)
+    if len(values) > ISIN_TO_SEMIJOIN_THRESHOLD:
+        keys = df.sparkSession.createDataFrame(
+            [(v,) for v in values], [key]
+        ).distinct()
+        return df.join(F.broadcast(keys), on=key, how="left_semi")
+    return df.filter(F.col(key).isin(values))
+
+
+def limit_rows(df: DataFrame, n: int = 10_000) -> DataFrame:
+    """L1 — hard LIMIT (`mapping_parser.py:5` ``LIMIT 10000``).
+
+    Spark pushes the limit into the scan (``GlobalLimit``/``LocalLimit``,
+    DSv2 ``SupportsPushDownLimit``). Note: which rows survive is
+    engine-dependent; callers needing determinism sort first
+    (see ``top_k``).
+    """
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, order: Sequence[Column | str], k: int) -> DataFrame:
+    """Deterministic ORDER BY + LIMIT (absent in the reference, §2.5).
+
+    Spark executes this as ``TakeOrderedAndProject`` — each partition
+    keeps only its top k, then the driver merges k*partitions rows; no
+    global sort. That is the 100 TB-safe shape for a top-k.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def lookup_join(
+    child: DataFrame,
+    parent: DataFrame,
+    on: Column,
+    fields: dict[str, Column],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """J3 — FK "parent relationship" lookup join.
+
+    The reference requests dotted ``Parent.Field`` columns in SOQL and
+    lets Salesforce do the join (`mapping_parser.py:34-36,60-63,93-96`).
+    Spark restatement: broadcast the (dimension-sized) parent and take
+    the requested fields. ``fields`` maps output name -> parent column.
+    """
+    joined = child.join(F.broadcast(parent), on=on, how=how)
+    keep = [child[c] for c in child.columns]
+    keep += [expr.alias(name) for name, expr in fields.items()]
+    return joined.select(*keep)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str) -> DataFrame:
+    """J2 — semi-join (reference: chunked IN-list probe, `mriya.py:62-77`).
+
+    dst rows that match a src id set. The reference did this 200 ids per
+    HTTP query; one ``left_semi`` join covers any cardinality, and AQE
+    broadcasts the small side at runtime.
+    """
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str) -> DataFrame:
+    """J4 — anti-join complement of J2 (`mriya.py:71-76` "skip deletion")."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def backfill_join(
+    src: DataFrame,
+    created: DataFrame,
+    *,
+    src_key: str,
+    created_src_key: str,
+    backfill: dict[str, str],
+) -> DataFrame:
+    """J1 — key-backfill equi-join (`migration_engine.py:50-68`).
+
+    After loading rows into the destination, the reference fetches the
+    created dst rows and, per src row, writes the new dst ids back into
+    the source (`src_update`). Spark restatement: inner-join src to the
+    created set on (src.src_key == created.created_src_key) and emit the
+    src key plus the backfilled columns. ``backfill`` maps output column
+    -> created-side column. The created set is one migration batch —
+    dimension-sized — so broadcast it.
+    """
+    joined = src.join(
+        F.broadcast(created), src[src_key] == created[created_src_key], "inner"
+    )
+    cols = [src[src_key].alias(src_key)]
+    cols += [created[c].alias(out) for out, c in backfill.items()]
+    return joined.select(*cols)
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set op — UNION ALL by column name (absent in reference, §2.3 note)."""
+    return a.unionByName(b)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

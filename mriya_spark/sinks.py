@@ -1,0 +1,118 @@
+"""Sinks: CSV staging, insert/update/upsert/delete ("merge") semantics.
+
+The reference's write path is the Salesforce Bulk/SOAP DML surface:
+``bulk_insert`` / ``bulk_update`` / ``bulk_upsert`` / ``bulk_delete``
+(`/root/reference/data_connector.py:246-310`) staged through CSV files
+(`data_connector.py:72-83,257-263`) and chunked 200 rows per call
+(`data_connector.py:23,119-161`).
+
+Spark restatement on plain parquet (no transactional table format in
+this image): merge semantics are expressed as anti-join + union — a
+deterministic DataFrame result that a DuckDB oracle can check — and
+the chunked-transport concern disappears into partition-level writes
+(``df.write`` emits one file per partition; a real Salesforce connector
+would batch inside ``foreachPartition``, see
+``mriya_spark.connector``).
+
+All functions return the post-operation table state as a DataFrame;
+callers persist with ``write_parquet``/``write_csv`` when they want the
+side effect. That keeps the data plane lazy and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# -- CSV staging (S4/S5/S3) -----------------------------------------------
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """S4 — CSV export sink (`data_connector.py:86-111`).
+
+    The reference buffers 1000 rows per flush (`data_connector.py:38,96`)
+    in one process; Spark writes one CSV file per partition in parallel.
+    Timestamps are ISO-formatted so a schema-aware read round-trips.
+    """
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S3/S6 — CSV scan with explicit schema (never inferSchema in the
+    data plane; the reference's CSV is stringly-typed,
+    `data_connector.py:364-366`, and we refuse to replicate that)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    )
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+# -- DML semantics on DataFrames (S7-S10) ---------------------------------
+
+def insert_rows(target: DataFrame, rows: DataFrame) -> DataFrame:
+    """S7 — bulk insert (`data_connector.py:272-279`): append semantics."""
+    return target.unionByName(rows, allowMissingColumns=True)
+
+
+def update_merge(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """S8 — bulk update keyed by id (`data_connector.py:281-291`).
+
+    ``MERGE ... WHEN MATCHED THEN UPDATE``: rows in ``updates`` replace
+    the matching ``target`` rows' updated columns; unmatched update rows
+    are dropped (Salesforce update semantics — no insert). Columns not
+    present in ``updates`` pass through from target.
+
+    Implementation: a left join + coalesce per updated column. One
+    shuffle on ``key``; at scale AQE broadcasts ``updates`` when it is
+    a small batch (the reference's case — 200-row chunks).
+    """
+    upd_cols = [c for c in updates.columns if c != key]
+    renamed = updates.select(
+        F.col(key), *[F.col(c).alias(f"__upd_{c}") for c in upd_cols]
+    )
+    joined = target.join(renamed, on=key, how="left")
+    out = [F.col(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in upd_cols:
+            out.append(F.coalesce(F.col(f"__upd_{c}"), F.col(c)).alias(c))
+        else:
+            out.append(F.col(c))
+    return joined.select(*out)
+
+
+def upsert_merge(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """S9 — upsert keyed by an external id (`data_connector.py:301-310`).
+
+    ``MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` emulated as
+    (target anti-join source) union source — deterministic, and the
+    exact shape a Delta backend would replace with a real MERGE INTO.
+    """
+    survivors = target.join(source.select(key), on=key, how="left_anti")
+    return survivors.unionByName(source, allowMissingColumns=True)
+
+
+def delete_where(target: DataFrame, predicate: str | Column) -> DataFrame:
+    """S10 — delete by predicate (`data_connector.py:294-298`):
+    keep the anti-complement."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return target.filter(~pred | pred.isNull())
+
+
+def delete_matching(target: DataFrame, ids: DataFrame, key: str) -> DataFrame:
+    """The reference's reset loop (`/root/reference/mriya.py:62-77`):
+    delete dst rows whose key appears in a src id set — 200-id OR-chain
+    chunks there, one anti-join here (J4)."""
+    return target.join(ids, on=key, how="left_anti")

@@ -1,0 +1,105 @@
+from pyspark.sql import functions as F
+
+from mriya_spark.ops import relational as R
+
+
+def test_project_prunes_scan(catalog):
+    df = R.project(catalog.table("customer"), ["c_custkey", "c_name"])
+    assert df.columns == ["c_custkey", "c_name"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "c_acctbal" not in plan  # pruned out of the scan
+
+
+def test_filter_expr_pushdown(catalog):
+    df = R.filter_expr(
+        catalog.table("lineitem").select("l_orderkey", "l_quantity"),
+        "l_quantity > 45",
+    )
+    assert df.count() > 0
+    opt = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in opt and "l_quantity" in opt
+
+
+def test_filter_isin_small_list(catalog):
+    df = R.filter_isin(catalog.table("customer"), "c_custkey", [1, 2, 3])
+    keys = {r.c_custkey for r in df.collect()}
+    assert keys == {1, 2, 3}
+
+
+def test_filter_isin_large_list_becomes_semijoin(catalog):
+    big = list(range(R.ISIN_TO_SEMIJOIN_THRESHOLD + 5))
+    df = R.filter_isin(catalog.table("customer"), "c_custkey", big)
+    assert "Join LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    assert df.count() == catalog.table("customer").filter(
+        F.col("c_custkey") <= big[-1]
+    ).count()
+
+
+def test_filter_isin_dataframe_values(catalog):
+    ids = catalog.table("customer").filter("c_acctbal > 5000").select("c_custkey")
+    df = R.filter_isin(catalog.table("orders"), "o_custkey", ids)
+    assert df.count() > 0
+
+
+def test_semi_anti_partition_orders(catalog):
+    orders = catalog.table("orders")
+    rich = (
+        catalog.table("customer")
+        .filter("c_acctbal > 5000")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    semi = R.semi_join(orders, rich, "o_custkey").count()
+    anti = R.anti_join(orders, rich, "o_custkey").count()
+    assert semi + anti == orders.count()
+    assert semi > 0 and anti > 0
+
+
+def test_lookup_join_broadcasts(catalog):
+    child = catalog.table("customer")
+    parent = catalog.table("nation")
+    out = R.lookup_join(
+        child,
+        parent,
+        on=child["c_nationkey"] == parent["n_nationkey"],
+        fields={"nation_name": parent["n_name"]},
+    )
+    assert "nation_name" in out.columns
+    assert out.count() == child.count()  # left join keeps all children
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_backfill_join(catalog):
+    src = catalog.table("customer")
+    created = src.select(
+        F.col("c_custkey").alias("old_record_id"),
+        F.concat(F.lit("DST-"), F.col("c_custkey")).alias("dst_id"),
+    )
+    out = R.backfill_join(
+        src,
+        created,
+        src_key="c_custkey",
+        created_src_key="old_record_id",
+        backfill={"new_id": "dst_id"},
+    )
+    row = out.filter("c_custkey = 1").collect()[0]
+    assert row.new_id == "DST-1"
+
+
+def test_top_k_uses_take_ordered(catalog):
+    df = R.top_k(
+        catalog.table("orders"), [F.col("o_totalprice").desc(), "o_orderkey"], 10
+    )
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    assert len(rows) == 10
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_set_ops(catalog):
+    a = catalog.table("nation").filter("n_nationkey < 10")
+    b = catalog.table("nation").filter("n_nationkey >= 5")
+    assert R.union_all(a, b).count() == a.count() + b.count()
+    assert R.union_distinct(a, b).count() == 25
+    assert R.intersect(a, b).count() == 5
+    assert R.except_(a, b).count() == 5

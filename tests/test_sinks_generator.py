@@ -1,0 +1,79 @@
+from pyspark.sql import functions as F
+
+from mriya_spark import generator, sinks
+
+
+def test_insert_rows(catalog):
+    nation = catalog.table("nation")
+    extra = nation.limit(2).withColumn("n_nationkey", F.col("n_nationkey") + 100)
+    out = sinks.insert_rows(nation, extra)
+    assert out.count() == 27
+
+
+def test_update_merge_updates_matches_only(catalog):
+    nation = catalog.table("nation")
+    upd = nation.sparkSession.createDataFrame(
+        [(0, "RENAMED"), (999, "GHOST")], ["n_nationkey", "n_name"]
+    )
+    out = sinks.update_merge(nation, upd, key="n_nationkey")
+    assert out.count() == 25  # no inserts on plain update
+    assert out.filter("n_nationkey = 0").collect()[0].n_name == "RENAMED"
+    assert out.filter("n_name = 'GHOST'").count() == 0
+    # untouched rows pass through
+    assert out.filter("n_nationkey = 5").collect()[0].n_name == \
+        nation.filter("n_nationkey = 5").collect()[0].n_name
+
+
+def test_upsert_merge(catalog):
+    nation = catalog.table("nation")
+    src = nation.sparkSession.createDataFrame(
+        [(0, "UPDATED", 0), (999, "NEW", 1)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    out = sinks.upsert_merge(nation, src, key="n_nationkey")
+    assert out.count() == 26
+    assert out.filter("n_nationkey = 0").collect()[0].n_name == "UPDATED"
+    assert out.filter("n_nationkey = 999").collect()[0].n_name == "NEW"
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, 99.0)], ["id", "v"])
+    out = sinks.delete_where(df, "v > 50")
+    assert {r.id for r in out.collect()} == {1, 2}
+
+
+def test_delete_matching(catalog):
+    nation = catalog.table("nation")
+    ids = nation.filter("n_nationkey < 5").select("n_nationkey")
+    assert sinks.delete_matching(nation, ids, "n_nationkey").count() == 20
+
+
+def test_csv_roundtrip(tmp_path, catalog):
+    df = catalog.table("orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    path = str(tmp_path / "orders_csv")
+    sinks.write_csv(df, path)
+    back = sinks.read_csv(df.sparkSession, path, df.schema)
+    assert back.count() == df.count()
+    a = df.orderBy("o_orderkey").limit(5).collect()
+    b = back.orderBy("o_orderkey").limit(5).collect()
+    assert a == b
+
+
+def test_generator_deterministic_and_distributed(spark):
+    df1 = generator.gen_data(spark, 100, "Account", seed=7)
+    df2 = generator.gen_data(spark, 100, "Account", seed=7)
+    assert df1.count() == 100
+    assert df1.exceptAll(df2).count() == 0  # seeded → identical
+    row = df1.filter("row_id = 0").collect()[0]
+    assert row.type == "Account"
+    assert row.Billing_City__c == "San Antonio"
+    assert row.Name.startswith("Account name_")
+    assert 10_000 <= row.Billing_Zip_Code__c <= 100_000
+
+
+def test_generator_custom_struct(spark):
+    df = generator.gen_data(
+        spark, 10, "T", data_struct={"a": "int", "b": "text"},
+        defaults={}, prefixes={}, seed=1,
+    )
+    assert set(df.columns) == {"row_id", "a", "b"}
