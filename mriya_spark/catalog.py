@@ -65,8 +65,11 @@ class Catalog:
                 from pyspark.sql import types as T
 
                 if isinstance(df.schema["ts"].dataType, T.LongType):
+                    # integer division: ns values exceed 2^53, so float
+                    # division would lose precision; truncation (not
+                    # rounding) matches DuckDB's ns->us behavior
                     df = df.withColumn(
-                        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
             self._cache[name] = df
         return self._cache[name]

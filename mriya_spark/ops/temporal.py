@@ -1,0 +1,122 @@
+"""Temporal joins & sessionization: as-of join, band join, session ids.
+
+Absent in the reference (SURVEY.md §2.3 note — its only temporal logic
+is a poll loop, `/root/reference/data_connector.py:313-325`); declared
+as part of the engine's general surface because event-time joins are
+core to any 100 TB event pipeline.
+
+Scale notes:
+- ``asof_join`` is the union+window formulation: ONE shuffle on
+  (key, ts) instead of the naive inequality-join + groupBy-max
+  (which explodes to |L|x|R| per key before aggregating).
+- ``band_join`` is a genuine theta join; Spark executes it as
+  BroadcastNestedLoopJoin when one side is small — keep the small
+  side explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: dict[str, str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same ``key``.
+
+    Implementation: tag and union both sides, then carry the last
+    non-null right value forward with an ordered window
+    (``last(..., ignorenulls=True)``) — a single shuffle on
+    (key, ts). Right rows sort before left rows at equal timestamps,
+    so an exactly-simultaneous right row IS matched (ASOF >=
+    semantics, same as DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[rc].dataType).alias(f"__rv_{out}")
+          for out, rc in right_values.items()],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(rc).alias(f"__rv_{out}") for out, rc in right_values.items()],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__rv_{out}"), ignorenulls=True).over(w).alias(out)
+            for out in right_values
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(out) for out in right_values]
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    *,
+    broadcast_right: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta/band join on an arbitrary inequality condition.
+
+    Spark plans this as BroadcastNestedLoopJoin when the right side is
+    broadcast — correct for dimension-sized right sides. For fact-fact
+    range joins, pre-bucketize the range key and equi-join on the
+    bucket (see ``bucketed_range_join``).
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=condition, how=how)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    gap_minutes: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_minutes``.
+
+    Classic lag + conditional cumsum over one (key, ts) shuffle —
+    the batch twin of streaming ``session_window`` (see
+    mriya_spark.streaming).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_s = int(gap_minutes * 60)
+    new_session = (
+        F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w) > gap_s
+    )
+    return df.withColumn(
+        session_col,
+        F.sum(F.when(new_session, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -538,3 +538,613 @@ def run_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_migration(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sinks: CSV staging + DML merge semantics (S3-S10)
+# ---------------------------------------------------------------------------
+
+_STAGE_DIR = "/tmp/mriya_spark_stage"
+
+
+@register(
+    "sink_csv_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S3 — CSV export sink then schema-aware scan
+    (`data_connector.py:86-111` export; `:364-366` DictReader scan).
+    Values must survive the round trip bit-exactly (incl. timestamps)."""
+    from mriya_spark import sinks
+
+    df = _cat(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = f"{_STAGE_DIR}/orders_csv"
+    sinks.write_csv(df, path)
+    return sinks.read_csv(spark, path, df.schema)
+
+
+@register(
+    "scan_csv",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+    WHERE l_returnflag = 'A'
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — Bulk-API CSV query scan (`data_connector.py:246-268`):
+    stage a filtered extract as CSV, scan it back with explicit schema
+    (pushdown still applies to the parquet side of the stage)."""
+    from mriya_spark import sinks
+
+    df = (
+        _cat(spark, sf_dir)
+        .table("lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    path = f"{_STAGE_DIR}/lineitem_csv"
+    sinks.write_csv(df, path)
+    return sinks.read_csv(spark, path, df.schema)
+
+
+@register(
+    "sink_insert",
+    """
+    SELECT * FROM nation
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(100 AS INTEGER), 'NEW_NATION_A', CAST(0 AS INTEGER)),
+                          (CAST(101 AS INTEGER), 'NEW_NATION_B', CAST(1 AS INTEGER)))
+           AS t(n_nationkey, n_name, n_regionkey)
+    """,
+)
+def sink_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — bulk insert (`data_connector.py:272-279`): append semantics."""
+    from pyspark.sql import types as T
+
+    from mriya_spark import sinks
+
+    nation = _cat(spark, sf_dir).table("nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    new_rows = spark.createDataFrame(
+        [(100, "NEW_NATION_A", 0), (101, "NEW_NATION_B", 1)], schema
+    )
+    return sinks.insert_rows(nation, new_rows)
+
+
+@register(
+    "sink_update_merge",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 5 THEN 'UPDATED_' || n_name ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def sink_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — bulk update keyed by id (`data_connector.py:281-291`):
+    MERGE WHEN MATCHED UPDATE; unmatched update rows dropped."""
+    from mriya_spark import sinks
+
+    nation = _cat(spark, sf_dir).table("nation")
+    updates = (
+        nation.filter(F.col("n_nationkey") < 5)
+        .select(
+            "n_nationkey",
+            F.concat(F.lit("UPDATED_"), F.col("n_name")).alias("n_name"),
+        )
+    )
+    return sinks.update_merge(nation, updates, key="n_nationkey")
+
+
+@register(
+    "sink_upsert_merge",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 3
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(0 AS INTEGER), 'UPSERTED_0', CAST(0 AS INTEGER)),
+                          (CAST(1 AS INTEGER), 'UPSERTED_1', CAST(1 AS INTEGER)),
+                          (CAST(2 AS INTEGER), 'UPSERTED_2', CAST(1 AS INTEGER)),
+                          (CAST(200 AS INTEGER), 'INSERTED_200', CAST(2 AS INTEGER)))
+           AS t(n_nationkey, n_name, n_regionkey)
+    """,
+)
+def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — upsert keyed by external id (`data_connector.py:301-310`):
+    MERGE matched-update + not-matched-insert via anti-join + union."""
+    from pyspark.sql import types as T
+
+    from mriya_spark import sinks
+
+    nation = _cat(spark, sf_dir).table("nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    source = spark.createDataFrame(
+        [
+            (0, "UPSERTED_0", 0),
+            (1, "UPSERTED_1", 1),
+            (2, "UPSERTED_2", 1),
+            (200, "INSERTED_200", 2),
+        ],
+        schema,
+    )
+    return sinks.upsert_merge(nation, source, key="n_nationkey")
+
+
+@register(
+    "delete_by_predicate",
+    """
+    SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')
+    """,
+)
+def delete_by_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — delete by predicate (`data_connector.py:294-298`): the
+    engine-side anti-complement rewrite."""
+    from mriya_spark import sinks
+
+    return sinks.delete_where(
+        _cat(spark, sf_dir).table("orders"), "o_orderstatus = 'F'"
+    )
+
+
+@register("generate_rows", None)  # random output -> rows-only check
+def generate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — schema-driven generator (`test_data_generator.py:46-80`),
+    seeded. Rows-only check: content is pseudorandom by design."""
+    from mriya_spark.generator import gen_data
+
+    return gen_data(spark, 1000, "Account", seed=42)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extended aggregation surface: windows, rollup/cube, pivot, having
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def window_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — ranked window, one shuffle on the
+    group key (no global sort)."""
+    from mriya_spark.ops.aggregate import window_rank
+
+    df = _cat(spark, sf_dir).table("orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    ranked = window_rank(
+        df, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )
+    return ranked.filter(F.col("rn") <= 3)
+
+
+@register(
+    "window_running",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(SUM(l_quantity) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-key sum over an ordered frame (ordered prefix →
+    bit-identical summation order in any engine)."""
+    from mriya_spark.ops.aggregate import running_agg
+
+    df = _cat(spark, sf_dir).table("lineitem")
+    out = running_agg(
+        df,
+        ["l_suppkey"],
+        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        F.col("l_quantity"),
+        col_name="__run",
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("__run"), 4).alias("running_qty"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mriya_spark.ops.aggregate import rollup_agg
+
+    return rollup_agg(
+        _cat(spark, sf_dir).table("lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mriya_spark.ops.aggregate import cube_agg
+
+    return cube_agg(
+        _cat(spark, sf_dir).table("lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "distinct_values",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — partial-aggregate shuffle (§2.4 declared surface)."""
+    return _cat(spark, sf_dir).table("customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4) AS "O",
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (unlisted values would make the
+    schema data-dependent — never acceptable at scale)."""
+    return (
+        _cat(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+
+
+@register(
+    "having_filter",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cat(spark, sf_dir)
+        .table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@register(
+    "count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cat(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-function surface (§2.7): string / date / json / conditional
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           regexp_replace(c_name, '[0-9]+', '#') AS name_masked,
+           trim(concat('  ', c_mktsegment, ' ')) AS segment_trimmed
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4/F5-adjacent string surface (`test_data_generator.py:85-86`,
+    `mapping_parser.py:73` — the reference's only string ops are random
+    generation and template interpolation; this is the declared
+    general-purpose set)."""
+    c = _cat(spark, sf_dir).table("customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "segment_trimmed"
+        ),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS month_total
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F6-adjacent date surface (`test_data_generator.py:88-92`)."""
+    return (
+        _cat(spark, sf_dir)
+        .table("orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("month_total"),
+        )
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props JSON extraction (declared surface; SURVEY §1.4
+    MapType note)."""
+    ev = _cat(spark, sf_dir).table("events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "case_when",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier
+    FROM customer
+    """,
+)
+def case_when_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cat(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (§2.3 note: declared surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_union",
+    """
+    SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_acctbal > 8000
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mriya_spark.ops.relational import union_distinct
+
+    c = _cat(spark, sf_dir).table("customer")
+    a = c.filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    b = c.filter("c_acctbal > 8000").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    return union_distinct(a, b)
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mriya_spark.ops.relational import intersect
+
+    c = _cat(spark, sf_dir).table("customer")
+    a = c.filter("c_mktsegment = 'BUILDING'").select(F.col("c_custkey").alias("key"))
+    b = c.filter("c_acctbal > 5000").select(F.col("c_custkey").alias("key"))
+    return intersect(a, b)
+
+
+@register(
+    "setop_except",
+    """
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mriya_spark.ops.relational import except_
+
+    c = _cat(spark, sf_dir).table("customer")
+    a = c.filter("c_mktsegment = 'BUILDING'").select(F.col("c_custkey").alias("key"))
+    b = c.filter("c_acctbal > 5000").select(F.col("c_custkey").alias("key"))
+    return except_(a, b)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (§2.3 "absent in reference" surface + events pipeline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    """
+    SELECT p.event_id, p.user_id, p.ts, l.last_login_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts AS last_login_ts FROM events WHERE event_type = 'login') l
+    ON p.user_id = l.user_id AND p.ts >= l.last_login_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior login per purchase (union+window, ONE
+    shuffle — see ops.temporal.asof_join docstring for why not the
+    naive inequality join)."""
+    from mriya_spark.ops.temporal import asof_join
+
+    ev = _cat(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    logins = ev.filter(F.col("event_type") == "login").select(
+        "user_id", F.col("ts").alias("login_ts")
+    )
+    return asof_join(
+        purchases,
+        logins,
+        key="user_id",
+        left_ts="ts",
+        right_ts="login_ts",
+        right_values={"last_login_ts": "login_ts"},
+    )
+
+
+@register(
+    "join_band",
+    """
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    """,
+)
+def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join (BroadcastNestedLoopJoin with the dimension side
+    broadcast)."""
+    from mriya_spark.ops.temporal import band_join
+
+    cat = _cat(spark, sf_dir)
+    c = cat.table("customer").select("c_custkey", "c_acctbal")
+    s = cat.table("supplier").select("s_suppkey", "s_acctbal")
+    out = band_join(
+        c,
+        s,
+        (c["c_acctbal"] >= s["s_acctbal"] - 100)
+        & (c["c_acctbal"] <= s["s_acctbal"] + 100),
+    )
+    return out.select("c_custkey", "s_suppkey")
+
+
+@register(
+    "sessionize",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM tagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — lag + conditional cumsum;
+    the batch twin of streaming session_window."""
+    from mriya_spark.ops.temporal import sessionize
+
+    ev = _cat(spark, sf_dir).table("events").select("user_id", "ts")
+    s = sessionize(ev, key="user_id", ts="ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
