@@ -26,6 +26,10 @@ HEADLINE = [
     "migration_pipeline", # flagship ETL DAG (lookup join + transforms + backfill)
     "join_semi",
     "filter_expr",
+    "dedup_exact",        # fingerprint shuffle over documents corpus
+    "dedup_minhash_lsh",  # shingle -> signature -> banded bucket join
+    "similarity_topk",    # broadcast queries x corpus cosine + window
+    "text_stats",         # scan-speed regex/token stats
 ]
 
 

@@ -1,0 +1,312 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Beyond-reference surface (SURVEY.md north star): the dedup toolbox a
+training-data pipeline needs. Design per op:
+
+- ``exact``      — md5-normalized group-by: one shuffle on the
+                   fingerprint. The 100 TB workhorse.
+- ``ngram_pairs``— exact pairwise Jaccard via a shingle-inverted-index
+                   join. Quadratic in the worst case; used as the
+                   *oracle-checkable* ground truth for the LSH path at
+                   test scale.
+- ``minhash_lsh``— shingle -> MinHash signature -> banded bucket join.
+                   The scale path: cost is O(candidates), not O(n²);
+                   everything is built-in array expressions (xxhash64,
+                   transform, array_min) — no Python in the row path.
+- ``simhash``    — 64-bit SimHash + pigeonhole chunk blocking for
+                   hamming-distance candidates.
+
+All hashing is seeded/deterministic (xxhash64 + fixed affine
+constants) so results are reproducible run to run and node to node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mriya_spark.ops.text import tokens
+
+#: Mersenne prime 2^61 - 1 for the affine MinHash permutations.
+_P = (1 << 61) - 1
+
+
+def normalized(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per normalized-text hash.
+
+    One hash-shuffle on the md5 fingerprint; skew-safe (a pathological
+    mega-duplicate group still aggregates via partial min).
+    """
+    fp = F.md5(normalized(text_col))
+    return (
+        df.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (pure JVM)."""
+    w = tokens(F.col(text_col))
+    few = F.array(F.concat_ws(" ", w))  # degenerate: fewer than n words
+    many = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return F.array_distinct(F.when(F.size(w) < n, few).otherwise(many))
+
+
+def _with_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    return df.select("doc_id", word_shingles(text_col, n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    explode(shingles) -> self-join on shingle -> count shared shingles
+    per pair -> Jaccard = shared / (|A| + |B| - shared). The join is the
+    classic quadratic blowup if a shingle is hot; at scale the LSH
+    variant replaces this — here it is the exact ground truth.
+    """
+    sh = _with_shingles(df, text_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "size_a"}),
+                    on="doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "size_b"}),
+              on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signature(
+    shingles: Column, *, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature as an array<long> of length ``num_perm``.
+
+    h_i(x) = xxhash64(seed + i, x), minimized over shingles — the
+    multi-seed-hash formulation (one independent hash family member
+    per permutation) instead of affine (a*h+b mod P) permutations:
+    identical statistical behavior, no 64-bit multiply (which ANSI
+    mode would reject on overflow). All vectorized JVM expressions,
+    no UDF.
+    """
+
+    def _perm_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s))
+        )
+
+    return F.array(*[_perm_min(i) for i in range(num_perm)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle -> signature (narrow) -> explode ``bands`` band
+    hashes -> bucket self-join (the only shuffle that matters; cost
+    O(sum of bucket²) ≪ O(n²)) -> distinct candidate pairs -> exact
+    Jaccard verification on the shingle arrays.
+
+    With 16 bands x 4 rows, P(candidate) ≈ 1-(1-j⁴)¹⁶: ~0.04 at j=0.3,
+    ~0.93 at j=0.6, ~0.9998 at j=0.8 — tuned for ``threshold=0.6``.
+    """
+    rows_per_band = num_perm // bands
+    sh = _with_shingles(df, text_col, n)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_perm=num_perm, seed=seed).alias(
+            "sig"
+        ),
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("sig", bidx * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bidx in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "shingles", F.explode(band_cols).alias("bb")
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def with_simhash64(
+    df: DataFrame, text_col: str = "text", *, ngram: int = 2,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Add a 64-bit SimHash column over word ``ngram`` shingles — pure
+    expressions in two projection stages (votes, then bit-pack) so the
+    64-element vote aggregate appears once in the plan, not 64 times.
+    """
+    votes = _simhash_votes(text_col, ngram)
+    staged = df.withColumn("__votes", votes)
+    v = F.col("__votes")
+    bits = [
+        F.when(
+            F.element_at(v, j + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    packed = bits[0]
+    for b in bits[1:]:
+        packed = packed.bitwiseOR(b)
+    return staged.withColumn(out_col, packed).drop("__votes")
+
+
+def _simhash_votes(text_col: str = "text", ngram: int = 2) -> Column:
+    sh = word_shingles(text_col, ngram)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # votes[j] = sum over shingles of +-1 depending on bit j of the
+    # hash. Bit positions are unrolled as Python-side literals (Spark's
+    # shift functions take int literals, not Columns).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return votes
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
+
+    Blocking: split the 64-bit hash into 4 16-bit chunks; any pair
+    within hamming 3 shares at least one exact chunk (pigeonhole), and
+    wider budgets still prune drastically. Candidates equi-join on
+    (chunk_idx, chunk_value) — the LSH trick again, zero Python.
+    """
+    with_h = with_simhash64(df.select("doc_id", text_col), text_col).select(
+        "doc_id", "simhash"
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("simhash", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = with_h.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

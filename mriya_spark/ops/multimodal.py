@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference surface (SURVEY.md north star). The pattern for
+image/audio/video at 100 TB: the payload is an opaque ``binary``
+column (or a pointer into object storage), metadata is typed columns,
+and decode/feature-extraction runs as Arrow-batched ``mapInPandas``
+stages so bytes never round-trip through Python row objects.
+
+The container has no image/audio libraries, so the DECODE step is a
+clearly-marked stub (deterministic fake features keyed on the payload
+hash — ``decode_stub``); everything Spark-side — schema, batch
+iteration, partitioning, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Feature vector length produced by the (stub) decoder.
+FEATURE_DIM = 8
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, payload_sha string, "
+    "width int, height int, features array<float>"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the multimodal shape from the documents fixture:
+    payload = utf-8 bytes of the text (stand-in for image bytes),
+    plus typed metadata columns."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB — stands in for PIL/ffmpeg decode, which this container
+    lacks. Deterministic pseudo-features from the payload hash so the
+    pipeline shape (schema, batching, partitioning) is fully testable.
+    A real deployment replaces ONLY this function."""
+    h = hashlib.sha256(payload).digest()
+    width = 1 + h[0] % 64
+    height = 1 + h[1] % 64
+    feats = [round(b / 255.0, 6) for b in h[2 : 2 + FEATURE_DIM]]
+    return width, height, feats
+
+
+def decode_stub(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage over ``mapInPandas``.
+
+    Real shape: iterator of pandas batches in/out, one task per
+    partition, no driver involvement. Swap ``_fake_decode`` for a real
+    decoder (PIL, torchaudio, pyav) and nothing else changes.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "payload_sha": pdf["payload_sha"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-frame-sampling plumbing: given payloads, emit one row per
+    sampled "frame" index (0..n_bytes/1000 step every_n) — the posexplode
+    pattern a real frame sampler uses, with byte offsets instead of
+    decoded frames (decode itself is the stub above)."""
+    n_frames = F.greatest((F.col("n_bytes") / 1000).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.select(
+        "doc_id",
+        "payload_sha",
+        F.explode(idx).alias("frame_idx"),
+    )

@@ -1,0 +1,147 @@
+"""Text analysis operators over the ``documents`` table.
+
+Beyond-reference surface (the reference never touches free text; its
+only string work is random generation, `/root/reference/test_data_generator.py:85-86`).
+These are the standard components of a large-scale training-data
+pipeline: token statistics, quality scoring, language identification,
+and document fingerprinting.
+
+Everything here is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero Python in the row path — so each op is a
+single narrow projection over the corpus: at 100 TB it runs at scan
+speed with no shuffle at all (group-bys excepted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer (applied to trimmed, lowercased text)
+_WS = r"\s+"
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single symbols
+#: (the GPT-2-style pre-split shape, minus unicode categories).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword anchors for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "la", "los", "que", "una"],
+    "fr": ["le", "les", "des", "une", "est"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: chars, tokens, avg token length,
+    punctuation / digit / whitespace ratios."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).cast("long")
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("long")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round((n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+    )
+
+
+def _stopword_hits(t: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(t), F.lit(pat), 0)).cast("long")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: token-count band, mean token
+    length band, stopword presence, low symbol noise. The standard
+    cheap pre-filter in front of expensive pipeline stages."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    n_chars = F.length(t).cast("long")
+    mean_tok = n_chars / F.greatest(n_tokens, F.lit(1))
+    stop_ratio = _stopword_hits(t, LANG_STOPWORDS["en"]) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).cast("long")
+    sym_ratio = n_sym / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100_000), 0.25).otherwise(0.0)
+        + F.when((mean_tok >= 3) & (mean_tok <= 12), 0.25).otherwise(0.0)
+        + F.least(stop_ratio * F.lit(2.5), F.lit(0.25))
+        + F.when(sym_ratio <= 0.1, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-anchor language ID: count per-language anchor hits,
+    take the argmax (ties broken by language code). Cheap, determinate,
+    SQL-expressible — the scale path would swap in a fastText-style
+    model behind the same signature (pandas_udf)."""
+    t = F.col(text_col)
+    hits = {lang: _stopword_hits(t, words) for lang, words in LANG_STOPWORDS.items()}
+    # argmax with deterministic tie-break on language code
+    struct = F.greatest(
+        *[
+            F.struct(hits[lang].alias("n"), F.lit(chr(255 - i)).alias("tb"),
+                     F.lit(lang).alias("lang"))
+            for i, lang in enumerate(sorted(hits))
+        ]
+    )
+    pred = F.when(
+        sum(hits.values(), F.lit(0)) == 0, F.lit("und")
+    ).otherwise(struct["lang"])
+    return df.select("doc_id", F.col("lang").alias("lang_label"),
+                     pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text, plus a 2-hex-char shard key (256-way partition prefix — at
+    100 TB the natural bucketing/partition column for dedup joins)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    fp = F.md5(norm)
+    return df.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("shard_key"),
+    )
+
+
+def lang_group_stats(df: DataFrame) -> DataFrame:
+    """Corpus composition by language label."""
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+    )

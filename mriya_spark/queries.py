@@ -1148,3 +1148,355 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# north-star: text analysis (ops.text)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1)
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_token_len,
+           round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 4) AS digit_ratio
+    FROM documents
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (whitespace + BPE-ish regex
+    tokenizers) — scan-speed, no shuffle."""
+    from mriya_spark.ops.text import text_stats
+
+    return text_stats(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_sym
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           round( (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN n_chars / greatest(n_tokens,1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                + least(stop_hits / greatest(n_tokens,1) * 2.5, 0.25)
+                + (CASE WHEN n_sym / greatest(n_chars,1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+             AS quality_score
+    FROM t
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score — the cheap pre-filter stage of a
+    training-data pipeline."""
+    from mriya_spark.ops.text import quality_score
+
+    return quality_score(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
+    "text_lang_id",
+    r"""
+    WITH h AS (
+      SELECT doc_id, lang AS lang_label,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))    AS n_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
+      FROM documents)
+    SELECT doc_id, lang_label,
+           CASE WHEN n_en + n_de + n_es + n_fr = 0 THEN 'und'
+                WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                WHEN n_es >= n_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language ID (argmax, ties -> alphabetical)."""
+    from mriya_spark.ops.text import lang_id
+
+    return lang_id(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) AS shard_key
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint + 256-way shard key (the dedup
+    partition column at scale)."""
+    from mriya_spark.ops.text import fingerprint
+
+    return fingerprint(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
+    "lang_group_stats",
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mriya_spark.ops.text import lang_group_stats
+
+    return lang_group_stats(_cat(spark, sf_dir).table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# north-star: dedup family (ops.dedup)
+# ---------------------------------------------------------------------------
+# Fixture corpora are dup-free at small SF, so dedup queries operate on
+# documents UNION a deterministically re-keyed/perturbed sample — real
+# duplicates with known structure, identical construction on both sides.
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cat(spark, sf_dir).table("documents")
+    copies = docs.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return docs.unionByName(copies)
+
+
+_DUP_CORPUS_SQL = """
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id < 100
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS kept_doc_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a corpus with 100 planted duplicates: one
+    fingerprint shuffle, keep min doc_id."""
+    from mriya_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (id<300) + near-dup copies of id<100 docs with the
+    first word dropped — known high-Jaccard pairs."""
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 300)
+    perturbed = (
+        _cat(spark, sf_dir)
+        .table("documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.ltrim(F.regexp_replace(F.col("text"), r"^\S+\s*", "")).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(perturbed)
+
+
+_NEARDUP_CORPUS_SQL = r"""
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
+      FROM documents WHERE doc_id < 100
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM words),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join) — the
+    oracle-checkable ground truth for the MinHash-LSH path."""
+    from mriya_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), text_col="text", n=3, threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh", None)  # LSH recall < 1 by design -> rows-only
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16x4 banded LSH near-dup pairs, Jaccard-verified.
+    Deterministic (seeded) but probabilistic recall -> rows-only check;
+    recall vs the exact ngram query is asserted in tests."""
+    from mriya_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _neardup_corpus(spark, sf_dir), text_col="text", n=3, threshold=0.5
+    )
+
+
+@register("dedup_simhash", None)  # same: blocking recall -> rows-only
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming <= 8, 4-chunk pigeonhole
+    blocking)."""
+    from mriya_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_neardup_corpus(spark, sf_dir), text_col="text")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+      FROM embeddings WHERE vec_id < 20)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a corpus with 20 planted
+    scaled copies (cosine == 1.0)."""
+    from mriya_spark.ops.vector import cosine_near_dup_pairs
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(copies)
+    return cosine_near_dup_pairs(corpus, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# north-star: similarity search (ops.vector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    """
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors (broadcast
+    queries x corpus, JVM-side math, ranked window)."""
+    from mriya_spark.ops.vector import brute_force_topk
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("similarity_ann_lsh", None)  # approximate recall -> rows-only
+def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10 (6 planes -> ~64x candidate
+    reduction). Recall vs brute force asserted in tests."""
+    from mriya_spark.ops.vector import lsh_topk
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# north-star: multimodal column plumbing (ops.multimodal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'application/octet-stream' AS mime,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata (size, mime, sha) — the typed-metadata
+    half of the multimodal column pattern."""
+    from mriya_spark.ops.multimodal import attach_payload
+
+    return attach_payload(_cat(spark, sf_dir).table("documents")).drop("payload")
+
+
+@register("multimodal_decode", None)  # stubbed decoder -> rows-only
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage (decoder STUBBED — no
+    image libs in container; plumbing real)."""
+    from mriya_spark.ops.multimodal import attach_payload, decode_stub
+
+    return decode_stub(attach_payload(_cat(spark, sf_dir).table("documents")))
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id, sha256(text) AS payload_sha,
+           unnest(range(0, greatest(octet_length(encode(text)) // 1000, 1), 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (posexplode of sampled indices)."""
+    from mriya_spark.ops.multimodal import attach_payload, frame_sample_plan
+
+    return frame_sample_plan(attach_payload(_cat(spark, sf_dir).table("documents")))

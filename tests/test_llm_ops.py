@@ -1,0 +1,180 @@
+import pytest
+from pyspark.sql import functions as F
+
+from mriya_spark.ops import dedup, multimodal, text, vector
+
+
+# ---------------------------------------------------------------- text --
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "  hello   world  "), (2, ""), (3, "a b c")], ["doc_id", "text"]
+    )
+    out = df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got == {1: 2, 2: 0, 3: 3}
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "ab12,cd ef")], ["doc_id", "text"])
+    n = df.select(text.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
+    # ab | 12 | , | cd | ef
+    assert n == 5
+
+
+def test_lang_id_anchors(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house", "en"),
+            (2, "der hund und die katze das ein", "de"),
+            (3, "el perro la casa los que una", "es"),
+            (4, "xyzzy qwerty", "zz"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# --------------------------------------------------------------- dedup --
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (3, "Same   TEXT"), (7, "other")], ["doc_id", "text"]
+    )
+    out = {r.kept_doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {3: 2, 7: 1}
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    sh = df.select(dedup.word_shingles("text", 3).alias("s")).collect()[0].s
+    assert sh == ["one two"]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "totally unrelated words here")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_recall_vs_exact(catalog, spark):
+    docs = catalog.table("documents").select("doc_id", "text")
+    perturbed = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_simhash_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "extra token"), (3, "completely different content words")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=8).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+# -------------------------------------------------------------- vector --
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 2.0], [2.0, 4.0])],
+        ["id", "a", "b"],
+    )
+    out = {r.id: r.c for r in df.select("id", F.round(vector.cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()}
+    assert out[1] == 0.0
+    assert out[2] == 1.0
+
+
+def test_brute_force_topk_self_excluded(catalog):
+    emb = catalog.table("embeddings")
+    out = vector.brute_force_topk(emb, emb.filter("vec_id < 3"), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+    # ranks are 1..5 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_lsh_topk_recall(catalog):
+    emb = catalog.table("embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = vector.brute_force_topk(emb, queries, k=10).collect()
+    approx = vector.lsh_topk(
+        emb, queries, k=10, n_planes=4, probe_hamming=1
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # multi-probe LSH on near-uniform random vectors (worst case for
+    # angular LSH): scans 5/16 of the corpus, expect moderate recall
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall {recall}"
+    # approx results are a subset of the bucket -> all true cosines correct
+    assert len(approx_set) > 0
+
+
+def test_cosine_near_dup_planted(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [2.0, 4.0, 6.0]),     # scaled copy of 1 -> cos 1.0
+        (3, [-3.0, 1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = vector.cosine_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+# ----------------------------------------------------------- multimodal --
+
+def test_multimodal_payload_and_decode(catalog):
+    docs = catalog.table("documents").limit(20)
+    with_payload = multimodal.attach_payload(docs)
+    decoded = multimodal.decode_stub(with_payload)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert len(r.payload_sha) == 64
+    # deterministic: same payload -> same features
+    again = {r.doc_id: r.features for r in multimodal.decode_stub(with_payload).collect()}
+    for r in rows:
+        assert again[r.doc_id] == r.features
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, "x" * 25_000)], ["doc_id", "text"])
+    frames = multimodal.frame_sample_plan(multimodal.attach_payload(df), every_n=10)
+    idx = sorted(r.frame_idx for r in frames.collect())
+    assert idx == [0, 10, 20]
