@@ -1500,3 +1500,140 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mriya_spark.ops.multimodal import attach_payload, frame_sample_plan
 
     return frame_sample_plan(attach_payload(_cat(spark, sf_dir).table("documents")))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming (mriya_spark.streaming): bounded streams driven to
+# completion; oracles are the batch-SQL twins over the same events.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-min window counts over a multi-batch file stream
+    (incremental extract ≙ `data_connector.py:62-66` queryMore loop).
+    Complete output mode -> final state equals the batch twin."""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory_sink(S.tumbling_window_counts(ev, minutes=10))
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH panes AS (
+      SELECT e.ts, gs.pane AS window_start
+      FROM events e
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+          time_bucket(INTERVAL '5 minutes', CAST(e.ts AS TIMESTAMP)) - INTERVAL '5 minutes',
+          time_bucket(INTERVAL '5 minutes', CAST(e.ts AS TIMESTAMP)),
+          INTERVAL '5 minutes')) AS pane) gs
+      WHERE e.ts >= gs.pane AND e.ts < gs.pane + INTERVAL '10 minutes')
+    SELECT window_start, count(*) AS n FROM panes GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min/5-min windows (each event lands in 2 panes)."""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory_sink(
+        S.sliding_window_counts(ev, minutes=10, slide_minutes=5)
+    )
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap). Spark session_window
+    starts a NEW session when the gap is >= the gap duration; the
+    batch twin mirrors that boundary exactly."""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory_sink(S.session_window_stats(ev, gap_minutes=30))
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup across an idempotent re-run: the same source
+    streamed twice, dropDuplicates on event_id across micro-batches ->
+    counts equal the single-copy batch counts."""
+    from mriya_spark import streaming as S
+
+    a = S.read_events_stream(spark, sf_dir)
+    b = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory_sink(S.dedup_counts(a, b))
+
+
+@register(
+    "stream_upsert_foreachbatch",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chunked bulk-upsert loop restated as
+    writeStream.foreachBatch (`data_connector.py:301-310` per-chunk
+    upsert): multi-batch stream merges into a parquet target keyed on
+    user_id, latest event time wins. Final target state is checked."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    target = f"/tmp/mriya_spark_stream/upsert_target_{_uuid.uuid4().hex[:8]}"
+    S.foreach_batch_upsert(ev, target, key="user_id")
+    out = spark.read.parquet(target)
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "stream_stateful_counter",
+    """
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState running
+    counter); the max emission per user across batches is the total ->
+    equals the batch GROUP BY."""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    emissions = S.run_to_memory_sink(
+        S.stateful_user_counts(ev), output_mode="update"
+    )
+    return emissions.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

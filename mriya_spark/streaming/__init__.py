@@ -1,0 +1,267 @@
+"""Structured Streaming restatement of the reference's incremental loop.
+
+The reference's closest-to-streaming shapes (SURVEY.md §2.9): the
+``queryMore`` pagination loop (`/root/reference/data_connector.py:62-66`),
+the async bulk job + poll (`data_connector.py:313-325`), and the
+chunked DML loop (`data_connector.py:119-161`). Spark restatement:
+
+- incremental extract  -> file-source ``readStream`` with
+  ``maxFilesPerTrigger`` (each micro-batch ≙ one ``queryMore`` page)
+- chunked bulk upsert  -> ``writeStream.foreachBatch(merge)`` (each
+  batch ≙ one bulk job)
+- progress bookkeeping (`project_utils.py:8-35`) -> StreamingQuery
+  progress + per-key state
+
+Plus the standard event-time surface the reference lacks: tumbling /
+sliding / session windows, watermarks, streaming dedup.
+
+All helpers take/return DataFrames; ``run_to_memory_sink`` drives a
+bounded stream to completion synchronously (availableNow) for tests
+and oracle checks. At scale the same plans run unbounded — watermarks
+bound state, checkpoints bound recovery.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: explicit schema for the events parquet (streaming requires one);
+#: ts is read as long nanos (see catalog.py) and converted after.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_STAGE_ROOT = "/tmp/mriya_spark_stream"
+
+
+def stage_events_files(
+    spark: SparkSession, sf_dir: str, *, n_files: int = 8
+) -> str:
+    """Split the events table into ``n_files`` parquet files so the
+    file source produces real multi-batch increments (≙ queryMore
+    pages). Staged once per (sf, n_files); deterministic content."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"{_STAGE_ROOT}/events_{tag}_{n_files}"
+    marker = f"{out}/_STAGED"
+    if not os.path.exists(marker):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(n_files, "event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = 2,
+    n_files: int = 8,
+) -> DataFrame:
+    """Incremental extract: file-source readStream over the staged
+    events files; each trigger consumes ``max_files_per_trigger`` files
+    (the pagination knob)."""
+    path = stage_events_files(spark, sf_dir, n_files=n_files)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink and
+    return the final result as a batch DataFrame."""
+    name = f"out_{uuid.uuid4().hex[:12]}"
+    ckpt = f"{_STAGE_ROOT}/ckpt_{name}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = stream_df.sparkSession.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def tumbling_window_counts(events: DataFrame, *, minutes: int = 10) -> DataFrame:
+    """Tumbling event-time window aggregate with watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, *, minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Sliding window variant (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def session_window_stats(
+    events: DataFrame, *, gap_minutes: int = 30, watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows (gap-merged).
+
+    ``watermark=None`` (complete-mode, bounded replay): no late-event
+    dropping — required when the replayed files are not time-ordered
+    (session merging would otherwise silently drop cross-batch late
+    events). An unbounded deployment passes a watermark to bound state.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_counts(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """Streaming dedup: union two streams of the same source (≙ an
+    idempotent re-run of the migration, `/root/reference/mriya.py`
+    re-executing the same extract) and drop duplicate event_ids across
+    micro-batches, then count per type."""
+    unioned = events_a.unionByName(events_b)
+    return (
+        unioned.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def foreach_batch_upsert(
+    events: DataFrame, target_path: str, *, key: str = "user_id"
+) -> str:
+    """Micro-batch upsert loop (≙ the reference's per-chunk
+    ``bulk_upsert``, `data_connector.py:301-310`): every micro-batch
+    reduces to latest-event-per-key, then merges into a parquet target
+    keyed on ``key`` (anti-join + union, rewritten per batch).
+
+    At scale the target would be Delta/Iceberg MERGE; the per-batch
+    reduce-before-merge keeps the merge input dimension-sized.
+    """
+    from pyspark.sql import Window
+
+    spark = events.sparkSession
+    ckpt = f"{_STAGE_ROOT}/ckpt_upsert_{uuid.uuid4().hex[:12]}"
+
+    def keep_latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # version-aware merge: between target and batch rows for the
+        # same key, the greater event time wins — the final state is
+        # "latest event per key" regardless of file/batch arrival order
+        latest = keep_latest(batch)
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = keep_latest(target.unionByName(latest))
+        else:
+            merged = latest
+        # rewrite target atomically-enough for local tests
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return target_path
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running event counter carried across micro-batches (≙ the
+    reference's migration-progress bookkeeping,
+    `/root/reference/project_utils.py:8-35`, made distributed and
+    fault-tolerant by the state store).
+
+    Emits (user_id, n_events) after every batch; the latest emission
+    per user is the total. State is one long per key — O(distinct
+    users) memory, partitioned by the grouping key across executors.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def update(key, pdf_iter, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

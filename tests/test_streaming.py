@@ -1,0 +1,64 @@
+import uuid
+
+from pyspark.sql import functions as F
+
+from mriya_spark import streaming as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multi_batch_incremental_extract(spark):
+    ev = S.read_events_stream(spark, SF, max_files_per_trigger=2, n_files=8)
+    assert ev.isStreaming
+    out = S.run_to_memory_sink(
+        ev.groupBy().agg(F.count(F.lit(1)).alias("n")), output_mode="complete"
+    )
+    batch_n = spark.read.parquet(S.stage_events_files(spark, SF)).count()
+    assert out.collect()[0].n == batch_n
+
+
+def test_tumbling_window_matches_batch(spark, catalog):
+    ev = S.read_events_stream(spark, SF)
+    got = S.run_to_memory_sink(S.tumbling_window_counts(ev, minutes=10))
+    batch = (
+        catalog.table("events")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_foreach_batch_upsert_latest_wins(spark, catalog):
+    ev = S.read_events_stream(spark, SF, max_files_per_trigger=2, n_files=8)
+    target = f"/tmp/mriya_spark_stream/test_upsert_{uuid.uuid4().hex[:8]}"
+    S.foreach_batch_upsert(ev, target, key="user_id")
+    got = spark.read.parquet(target)
+    # exactly one row per user, and it is the globally-latest event
+    users = catalog.table("events").select("user_id").distinct().count()
+    assert got.count() == users
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        catalog.table("events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id")
+    )
+    joined = got.select("user_id", "event_id").exceptAll(expected)
+    assert joined.count() == 0
+
+
+def test_stateful_counter_totals(spark, catalog):
+    ev = S.read_events_stream(spark, SF, max_files_per_trigger=2, n_files=8)
+    emissions = S.run_to_memory_sink(S.stateful_user_counts(ev), output_mode="update")
+    final = emissions.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    expected = catalog.table("events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+    # multiple batches -> at least some users emitted more than once
+    assert emissions.count() > final.count()
