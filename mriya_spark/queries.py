@@ -1637,3 +1637,93 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.stateful_user_counts(ev), output_mode="update"
     )
     return emissions.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§4 Salesforce-shaped connector (Python DSv2 + mock transport)
+# ---------------------------------------------------------------------------
+
+def _seeded_org(spark: SparkSession, sf_dir: str) -> str:
+    """Mock org seeded once per sf from the customer fixture."""
+    import os
+
+    from mriya_spark.connector.salesforce import seed_org_from_parquet
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    org = f"/tmp/mriya_spark_org/{tag}"
+    if not os.path.exists(f"{org}/Account.jsonl"):
+        seed_org_from_parquet(spark, org, "Account", f"{sf_dir}/customer.parquet")
+    return org
+
+
+@register(
+    "connector_scan_pushdown",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def connector_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3 via the DSv2 connector: paginated partitioned scan of a
+    mock org with the predicate pushed to the transport
+    (`data_connector.py:55-69` + manual SOQL pushdown,
+    `mapping_parser.py:39-40`, now done by Catalyst -> pushFilters)."""
+    from mriya_spark.connector.salesforce import (
+        CUSTOMER_DDL,
+        SalesforceMockDataSource,
+        read_object,
+    )
+
+    spark.dataSource.register(SalesforceMockDataSource)
+    org = _seeded_org(spark, sf_dir)
+    df = read_object(spark, org, "Account", CUSTOMER_DDL)
+    return df.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "connector_write_roundtrip",
+    """
+    SELECT c_custkey AS old_record_id, c_name AS name, c_acctbal AS acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 via the DSv2 writer: extract -> transform -> chunked bulk
+    insert (≤200 rows/call, `data_connector.py:23,119-161`) into a dst
+    object, then scan the dst back. Proves write fidelity end-to-end
+    through the connector."""
+    import shutil
+    import uuid as _uuid
+
+    from mriya_spark.connector.salesforce import (
+        CUSTOMER_DDL,
+        SalesforceMockDataSource,
+        read_object,
+    )
+
+    spark.dataSource.register(SalesforceMockDataSource)
+    org = _seeded_org(spark, sf_dir)
+    dst_org = f"/tmp/mriya_spark_org/dst_{_uuid.uuid4().hex[:8]}"
+    src = read_object(spark, org, "Account", CUSTOMER_DDL)
+    transformed = src.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("old_record_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    (
+        transformed.write.format("salesforce_mock")
+        .mode("append")
+        .option("org_dir", dst_org)
+        .option("object", "Account_dst")
+        .save()
+    )
+    out = read_object(
+        spark,
+        dst_org,
+        "Account_dst",
+        "old_record_id long, name string, acctbal double",
+    )
+    result = out.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(dst_org, ignore_errors=True)
+    return result

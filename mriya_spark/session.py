@@ -55,6 +55,8 @@ def get_spark(
         # fixtures' events.ts is parquet TIMESTAMP(NANOS), which Spark
         # refuses natively; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (salesforce_mock connector)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -1,0 +1,99 @@
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mriya_spark.connector.salesforce import (
+    CUSTOMER_DDL,
+    DML_CHUNK_SIZE,
+    MockTransport,
+    SalesforceMockDataSource,
+    read_object,
+    seed_org_from_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def org(spark, tmp_path):
+    spark.dataSource.register(SalesforceMockDataSource)
+    org_dir = str(tmp_path / "org")
+    seed_org_from_parquet(spark, org_dir, "Account", f"{SF}/customer.parquet")
+    return org_dir
+
+
+def test_scan_values_match_parquet(spark, org, catalog):
+    got = read_object(spark, org, "Account", CUSTOMER_DDL)
+    expected = catalog.table("customer")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected.select(*got.columns)).count() == 0
+
+
+def test_filter_pushdown_reaches_transport(spark, org):
+    df = read_object(spark, org, "Account", CUSTOMER_DDL, page_size=40)
+    n = df.filter((F.col("c_acctbal") > 5000) & (F.col("c_nationkey") < 10)).count()
+    assert n > 0
+    pages = [c for c in MockTransport(org).calls() if c["op"] == "query_page"]
+    pushed_cols = {f["col"] for f in pages[-1]["filters"]}
+    assert {"c_acctbal", "c_nationkey"} <= pushed_cols
+    # pagination: each page bounded by page_size
+    assert all(p["limit"] == 40 for p in pages)
+
+
+def test_unsupported_filter_handed_back(spark, org):
+    df = read_object(spark, org, "Account", CUSTOMER_DDL)
+    # endswith is not translated -> Spark must evaluate it post-scan
+    n = df.filter(F.col("c_name").endswith("1")).count()
+    expected = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        F.col("c_name").endswith("1")
+    ).count()
+    assert n == expected
+
+
+def test_isin_pushdown(spark, org):
+    df = read_object(spark, org, "Account", CUSTOMER_DDL)
+    assert df.filter(F.col("c_custkey").isin([1, 2, 3])).count() == 3
+    pages = [c for c in MockTransport(org).calls() if c["op"] == "query_page"]
+    ops = {f["op"] for f in pages[-1]["filters"]}
+    assert "in" in ops
+
+
+def test_write_chunks_bounded(spark, org):
+    src = read_object(spark, org, "Account", CUSTOMER_DDL)
+    dst = org + f"/../dst_{uuid.uuid4().hex[:6]}"
+    (
+        src.write.format("salesforce_mock")
+        .mode("append")
+        .option("org_dir", dst)
+        .option("object", "Out")
+        .save()
+    )
+    calls = MockTransport(dst).calls()
+    inserts = [c for c in calls if c["op"] == "insert"]
+    assert inserts and all(c["n_rows"] <= DML_CHUNK_SIZE for c in inserts)
+    commit = [c for c in calls if c["op"] == "commit"][-1]
+    assert commit["n_rows"] == src.count()
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_overwrite_mode_rejected(spark, org):
+    src = read_object(spark, org, "Account", CUSTOMER_DDL)
+    with pytest.raises(Exception, match="append-only"):
+        (
+            src.write.format("salesforce_mock")
+            .mode("overwrite")
+            .option("org_dir", org)
+            .option("object", "Account")
+            .save()
+        )
+
+
+def test_fresh_load_isolates_pushdown(spark, org):
+    # upstream gotcha: pushed filters stick to a reused DataFrame's plan
+    n_filtered = read_object(spark, org, "Account", CUSTOMER_DDL).filter(
+        "c_acctbal > 5000"
+    ).count()
+    n_full = read_object(spark, org, "Account", CUSTOMER_DDL).count()
+    assert n_full > n_filtered
