@@ -108,21 +108,23 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    shingles: Column, *, num_perm: int = 64, seed: int = 42
+    base_hashes: Column, *, num_perm: int = 64, seed: int = 42
 ) -> Column:
     """MinHash signature as an array<long> of length ``num_perm``.
 
-    h_i(x) = xxhash64(seed + i, x), minimized over shingles — the
-    multi-seed-hash formulation (one independent hash family member
-    per permutation) instead of affine (a*h+b mod P) permutations:
-    identical statistical behavior, no 64-bit multiply (which ANSI
-    mode would reject on overflow). All vectorized JVM expressions,
-    no UDF.
+    ``base_hashes`` is an array<long> of per-shingle xxhash64 values —
+    computed ONCE in a prior projection (callers stage it; inlining the
+    string hash here would re-hash every shingle string once per
+    permutation). h_i = min over shingles of xxhash64(seed+i, base) —
+    the multi-seed-hash family instead of affine (a*h+b mod P)
+    permutations: same statistical behavior, no 64-bit multiply (which
+    ANSI mode rejects on overflow). All vectorized JVM expressions, no
+    UDF.
     """
 
     def _perm_min(i: int) -> Column:
         return F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s))
+            F.transform(base_hashes, lambda h: F.xxhash64(F.lit(seed + i), h))
         )
 
     return F.array(*[_perm_min(i) for i in range(num_perm)])
@@ -149,13 +151,13 @@ def minhash_lsh_pairs(
     ~0.93 at j=0.6, ~0.9998 at j=0.8 — tuned for ``threshold=0.6``.
     """
     rows_per_band = num_perm // bands
-    sh = _with_shingles(df, text_col, n)
+    sh = _with_shingles(df, text_col, n).withColumn(
+        "__h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
     sig = sh.select(
         "doc_id",
         "shingles",
-        minhash_signature(F.col("shingles"), num_perm=num_perm, seed=seed).alias(
-            "sig"
-        ),
+        minhash_signature(F.col("__h"), num_perm=num_perm, seed=seed).alias("sig"),
     )
     band_cols = F.array(
         *[

@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1727,3 +1729,344 @@ def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)  # materialize before cleanup
     shutil.rmtree(dst_org, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# general SQL surface: subqueries, CTEs, explode, arrays, math, nulls
+# ---------------------------------------------------------------------------
+
+@register(
+    "subquery_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (decorrelated by Catalyst to a
+    semi-join)."""
+    cat = _cat(spark, sf_dir)
+    cat.table("customer").createOrReplaceTempView("customer")
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS diff_from_avg
+    FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (planned as a broadcast single-row join)."""
+    cat = _cat(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS diff_from_avg
+        FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "cte_query",
+    """
+    WITH seg AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0),
+    seg_orders AS (
+      SELECT s.c_mktsegment, o.o_totalprice
+      FROM seg s JOIN orders o ON o.o_custkey = s.c_custkey)
+    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM seg_orders GROUP BY c_mktsegment
+    """,
+)
+def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat(spark, sf_dir)
+    cat.table("customer").createOrReplaceTempView("customer")
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0),
+        seg_orders AS (
+          SELECT s.c_mktsegment, o.o_totalprice
+          FROM seg s JOIN orders o ON o.o_custkey = s.c_custkey)
+        SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM seg_orders GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "explode_words",
+    r"""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() — the row-generating operator (UDTF-shaped)."""
+    from mriya_spark.ops.text import tokens
+
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_val,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           list_contains(CAST(embedding AS DOUBLE[]), 0.0) AS has_zero
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order / array function surface over embeddings."""
+    emb = _cat(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            6,
+        ).alias("sum_val"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.array_contains(F.col("embedding").cast("array<double>"), 0.0).alias(
+            "has_zero"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_diff,
+           ceil(l_quantity) AS qty_ceil,
+           floor(l_extendedprice / 1000) AS price_k,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 4) AS price_ln,
+           round(power(l_discount, 2), 4) AS disc_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "null_funcs",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE c_acctbal END AS bal_filled,
+           (c_acctbal IS NOT NULL) AS has_bal
+    FROM customer
+    """,
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir).table("customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.when(F.col("c_acctbal").isNull(), -1.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_filled"),
+        F.col("c_acctbal").isNotNull().alias("has_bal"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           dayofweek(o_orderdate) + 1 AS order_dow,  -- duckdb 0=Sun, spark 1=Sun
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _cat(spark, sf_dir).table("orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("long").alias("order_dow"),
+        F.datediff(
+            F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")
+        ).cast("long").alias("days_to_eoy"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    """
+    SELECT s_suppkey, metric, value FROM (
+      SELECT s_suppkey,
+             CAST(s_nationkey AS DOUBLE) AS nationkey,
+             s_acctbal AS acctbal
+      FROM supplier)
+    UNPIVOT (value FOR metric IN (nationkey, acctbal))
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack()."""
+    s = _cat(spark, sf_dir).table("supplier")
+    return s.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'nationkey', CAST(s_nationkey AS DOUBLE), "
+            "'acctbal', s_acctbal) AS (metric, value)"
+        ),
+    ).select("s_suppkey", "metric", "value")
+
+
+@register(
+    "percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register("approx_aggs", None)  # sketch outputs differ across engines
+def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + quantile sketch) — the
+    100 TB substitutes for exact distinct/percentile. Engine-specific
+    sketches -> rows-only; accuracy asserted in tests."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+    )
+
+
+@register(
+    "sample_rows",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+          IN ('0', '1')
+    """,
+)
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling (~2/16 of rows keyed on the
+    primary key). Preferred over seeded RNG sampling at scale: stable
+    across plan instances, engines, and re-runs (Spark's
+    ``df.sample(seed=...)`` is only stable within one plan instance —
+    a fresh read of the same data samples differently)."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(
+        F.substring(F.md5(key), 1, 1).isin("0", "1")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 Python UDF surface: Arrow-vectorized pandas_udf + python UDTF
+# ---------------------------------------------------------------------------
+
+@register(
+    "udf_pandas_score",
+    """
+    SELECT o_orderkey,
+           round(1.0 / (1.0 + exp(-o_totalprice / 200000.0)), 6) AS urgency_score
+    FROM orders
+    """,
+)
+def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas_udf (the sanctioned slow path,
+    SURVEY §2.10 — the reference's per-row dict loops map to either
+    pure Column exprs or THIS, never row-at-a-time Python).
+
+    numpy and libm exp agree to the last ulp on this range; rounded
+    to 6 anyway.
+    """
+    @F.pandas_udf("double")
+    def urgency(total: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-total / 200_000.0))
+
+    o = _cat(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey", F.round(urgency("o_totalprice"), 6).alias("urgency_score")
+    )
+
+
+@register(
+    "udtf_char_ngrams",
+    """
+    SELECT doc_id, unnest([substring(text, i, 4) FOR i IN range(1, length(text) - 2)]) AS ngram
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF emitting character 4-grams per document (the
+    row-generating UDF shape; a real pipeline's chunker/splitter)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, ngram string")
+    class CharNgrams:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i in range(len(text) - 3):
+                yield doc_id, text[i : i + 4]
+
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    spark.udtf.register("char_ngrams", CharNgrams)
+    return spark.sql(
+        "SELECT t.doc_id, t.ngram FROM docs_for_udtf, "
+        "LATERAL char_ngrams(doc_id, text) t"
+    )
