@@ -151,12 +151,11 @@ def minhash_lsh_pairs(
     ~0.93 at j=0.6, ~0.9998 at j=0.8 — tuned for ``threshold=0.6``.
     """
     rows_per_band = num_perm // bands
-    sh = _with_shingles(df, text_col, n).withColumn(
+    sh = _with_shingles(df, text_col, n)
+    sig = sh.withColumn(
         "__h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    )
-    sig = sh.select(
+    ).select(
         "doc_id",
-        "shingles",
         minhash_signature(F.col("__h"), num_perm=num_perm, seed=seed).alias("sig"),
     )
     band_cols = F.array(
@@ -178,9 +177,12 @@ def minhash_lsh_pairs(
             for bidx in range(bands)
         ]
     )
-    banded = sig.select(
-        "doc_id", "shingles", F.explode(band_cols).alias("bb")
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    # band rows are (doc_id, band, bucket) ONLY — the shingle arrays do
+    # not ride the 16x explode or the bucket shuffle; they re-join just
+    # for the (few) surviving candidate pairs
+    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -194,15 +196,23 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            on="doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            on="doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
