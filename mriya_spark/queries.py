@@ -2070,3 +2070,24 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.ngram FROM docs_for_udtf, "
         "LATERAL char_ngrams(doc_id, text) t"
     )
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark)
+    over time-ordered replay of two copies of the source: duplicate
+    ids arrive within the watermark window -> dropped -> counts equal
+    the single-copy batch counts, with dedup state bounded by the
+    watermark instead of growing forever."""
+    from mriya_spark import streaming as S
+
+    a = S.read_events_stream(spark, sf_dir, time_ordered=True)
+    b = S.read_events_stream(spark, sf_dir, time_ordered=True)
+    return S.run_to_memory_sink(
+        S.dedup_within_watermark(a, b), output_mode="complete"
+    )

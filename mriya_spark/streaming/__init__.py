@@ -48,22 +48,40 @@ _STAGE_ROOT = "/tmp/mriya_spark_stream"
 
 
 def stage_events_files(
-    spark: SparkSession, sf_dir: str, *, n_files: int = 8
+    spark: SparkSession, sf_dir: str, *, n_files: int = 8,
+    time_ordered: bool = False,
 ) -> str:
     """Split the events table into ``n_files`` parquet files so the
     file source produces real multi-batch increments (≙ queryMore
-    pages). Staged once per (sf, n_files); deterministic content."""
+    pages). Staged once per (sf, n_files, ordering); deterministic.
+
+    ``time_ordered=True`` range-partitions by ``ts`` and stamps file
+    mtimes in ts order — the FileStreamSource processes files by
+    mtime, so micro-batches then arrive in event-time order (the
+    realistic log-replay shape watermarks assume).
+    """
     tag = sf_dir.rstrip("/").replace("/", "_")
-    out = f"{_STAGE_ROOT}/events_{tag}_{n_files}"
+    suffix = "_ord" if time_ordered else ""
+    out = f"{_STAGE_ROOT}/events_{tag}_{n_files}{suffix}"
     marker = f"{out}/_STAGED"
     if not os.path.exists(marker):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .repartition(n_files, "event_id")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if time_ordered:
+            df = df.repartitionByRange(n_files, "ts")
+        else:
+            df = df.repartition(n_files, "event_id")
+        df.write.mode("overwrite").parquet(out)
+        if time_ordered:
+            # part-file index == ts-range order; make mtimes monotone
+            import time as _time
+
+            parts = sorted(
+                f for f in os.listdir(out) if f.startswith("part-")
+            )
+            base = _time.time() - len(parts) * 10
+            for i, fname in enumerate(parts):
+                os.utime(os.path.join(out, fname), (base + i * 10, base + i * 10))
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -75,11 +93,14 @@ def read_events_stream(
     *,
     max_files_per_trigger: int | None = 2,
     n_files: int = 8,
+    time_ordered: bool = False,
 ) -> DataFrame:
     """Incremental extract: file-source readStream over the staged
     events files; each trigger consumes ``max_files_per_trigger`` files
     (the pagination knob)."""
-    path = stage_events_files(spark, sf_dir, n_files=n_files)
+    path = stage_events_files(
+        spark, sf_dir, n_files=n_files, time_ordered=time_ordered
+    )
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -264,4 +285,21 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_within_watermark(
+    events_a: DataFrame, events_b: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps dedup state only ``watermark`` past the max seen event time —
+    the unbounded-stream-safe variant of ``dedup_counts`` (which keeps
+    all ids forever). Requires roughly event-time-ordered arrival
+    (``stage_events_files(time_ordered=True)``); duplicates of an id
+    arriving within the watermark window are dropped."""
+    unioned = events_a.unionByName(events_b).withWatermark("ts", watermark)
+    return (
+        unioned.dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

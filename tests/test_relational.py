@@ -103,3 +103,45 @@ def test_set_ops(catalog):
     assert R.union_distinct(a, b).count() == 25
     assert R.intersect(a, b).count() == 5
     assert R.except_(a, b).count() == 5
+
+
+def test_salted_join_matches_plain_join(catalog):
+    orders = catalog.table("orders").select("o_orderkey", "o_custkey")
+    customers = catalog.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(customers, on="o_custkey").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+    salted = R.salted_join(orders, customers, "o_custkey", salt_buckets=4).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, catalog, tmp_path):
+    # bucketing: persist both sides bucketed by the join key -> the
+    # later join plans without an Exchange on either side
+    import uuid
+    ta, tb = f"orders_b_{uuid.uuid4().hex[:6]}", f"lineitem_b_{uuid.uuid4().hex[:6]}"
+    orders = catalog.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = catalog.table("lineitem").select("l_orderkey", "l_quantity")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").format("parquet").saveAsTable(ta))
+    (lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+     .write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").format("parquet").saveAsTable(tb))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the bucketed sort-merge path is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), on="o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle
+        assert "SortMergeJoin" in plan
+        assert joined.count() == catalog.table("lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
