@@ -125,8 +125,20 @@ class MockTransport:
         self._log({"op": "insert", "object": obj, "n_rows": len(rows)})
         with open(self._path(obj), "a") as f:
             for r in rows:
-                f.write(json.dumps(r) + "\n")
+                # wire format is JSON: timestamps travel as ISO strings
+                # (the reference's CSV staging is likewise stringly,
+                # `data_connector.py:72-83`; unlike it, our reader
+                # restores types from the declared schema)
+                f.write(json.dumps(r, default=_json_default) + "\n")
         return len(rows)
+
+
+def _json_default(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    raise TypeError(f"not JSON-serializable: {type(v)}")
 
 
 def _matches(row: dict, filters: Sequence[dict]) -> bool:
@@ -221,12 +233,26 @@ class SalesforceMockReader(DataSourceReader):
         ]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
+        import datetime
+
+        from pyspark.sql.types import DateType, TimestampType
+
         transport = MockTransport(self.org_dir)
         cols = [f.name for f in self.schema.fields]  # pruned by Spark
+        convs = {}
+        for f in self.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                convs[f.name] = lambda v: datetime.datetime.fromisoformat(v)
+            elif isinstance(f.dataType, DateType):
+                convs[f.name] = lambda v: datetime.date.fromisoformat(v)
         for row in transport.query_page(
             self.object, cols, self.pushed, partition.offset, partition.limit
         ):
-            yield tuple(row.get(c) for c in cols)
+            yield tuple(
+                convs[c](row[c]) if c in convs and row.get(c) is not None
+                else row.get(c)
+                for c in cols
+            )
 
 
 # ---------------------------------------------------------------- writer

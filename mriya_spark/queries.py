@@ -2091,3 +2091,170 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_to_memory_sink(
         S.dedup_within_watermark(a, b), output_mode="complete"
     )
+
+
+@register("mriya_e2e_pipeline", None)  # random generated src -> rows-only
+def mriya_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete reference pipeline (`/root/reference/mriya.py`
+    top-to-bottom): reset -> generate -> chunked bulk insert -> extract
+    w/ pushdown -> mapping transform -> load -> backfill join, all
+    through the mock-org connector. Generated content is pseudorandom
+    -> rows-only; invariants asserted in tests/test_pipeline.py."""
+    import uuid as _uuid
+
+    from mriya_spark.pipeline import run_mriya_pipeline
+
+    org = f"/tmp/mriya_spark_org/e2e_{_uuid.uuid4().hex[:8]}"
+    out = run_mriya_pipeline(spark, org, n_rows=500).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(org, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates, arg-extrema, range frames, full sort
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "agg_arg_extrema",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           round(max(o_totalprice), 4) AS best_price,
+           arg_min(o_orderkey, o_totalprice) AS worst_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates). o_totalprice values are
+    distinct per customer in practice; ties would be engine-dependent."""
+    o = _cat(spark, sf_dir).table("orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.round(F.max("o_totalprice"), 4).alias("best_price"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 4) AS near_total
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window (value-based bounds, vs the ROWS frames in
+    window_running)."""
+    from pyspark.sql import Window
+
+    o = _cat(spark, sf_dir).table("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("near_total"),
+    )
+
+
+@register(
+    "window_lead_lag",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           lag(l_quantity) OVER w AS prev_qty,
+           lead(l_quantity) OVER w AS next_qty,
+           first_value(l_quantity) OVER w AS first_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _cat(spark, sf_dir).table("lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.first("l_quantity").over(w).alias("first_qty"),
+    )
+
+
+@register(
+    "orderby_full_sort",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC
+    """,
+)
+def orderby_full_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (range-partition exchange + per-partition sort).
+    Hash compare is order-insensitive; the point is exercising the
+    range-exchange path."""
+    return (
+        _cat(spark, sf_dir)
+        .table("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc())
+    )
+
+
+@register(
+    "map_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           ['k'] = json_keys(props) AS has_only_k
+    FROM events WHERE event_id < 100
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse events.props into map<string,long>,
+    extract values/keys (SURVEY §1.4 MapType note)."""
+    ev = _cat(spark, sf_dir).table("events").filter(F.col("event_id") < 100)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        (F.map_keys(m) == F.array(F.lit("k"))).alias("has_only_k"),
+    )
