@@ -1458,6 +1458,19 @@ def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register("similarity_ann_ivf", None)  # approximate recall -> rows-only
+def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: deterministic spherical k-means coarse quantizer
+    (16 cells), queries probe their 4 nearest cells (~1/4 of the
+    corpus). Recall vs brute force asserted in tests."""
+    from mriya_spark.ops.vector import ivf_topk
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # north-star: multimodal column plumbing (ops.multimodal)
 # ---------------------------------------------------------------------------

@@ -144,6 +144,35 @@ def test_lsh_topk_recall(catalog):
     assert len(approx_set) > 0
 
 
+def test_ivf_topk_recall_and_determinism(catalog):
+    emb = catalog.table("embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = vector.brute_force_topk(emb, queries, k=10).collect()
+    approx = vector.ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=3, iters=3
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # nprobe=3 of 8 cells scans ~3/8 of a near-uniform corpus (worst
+    # case for any coarse quantizer); recall should beat that fraction
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.35, f"IVF recall {recall}"
+    # deterministic training: a re-run returns the identical result set
+    again = vector.ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=3, iters=3
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in again} == approx_set
+
+
+def test_ivf_train_deterministic_unit_centroids(catalog):
+    emb = catalog.table("embeddings")
+    c1 = vector.ivf_train(emb, n_centroids=4, iters=2)
+    c2 = vector.ivf_train(emb, n_centroids=4, iters=2, sample_fraction=0.5)
+    assert len(c1) == 4 and len(c2) == 4
+    for c in c1 + c2:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9  # unit length
+
+
 def test_cosine_near_dup_planted(spark):
     rows = [
         (1, [1.0, 2.0, 3.0]),
