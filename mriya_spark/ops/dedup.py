@@ -108,26 +108,30 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    base_hashes: Column, *, num_perm: int = 64, seed: int = 42
+    base_hashes_col: str, *, num_perm: int = 64, seed: int = 42
 ) -> Column:
     """MinHash signature as an array<long> of length ``num_perm``.
 
-    ``base_hashes`` is an array<long> of per-shingle xxhash64 values —
-    computed ONCE in a prior projection (callers stage it; inlining the
-    string hash here would re-hash every shingle string once per
-    permutation). h_i = min over shingles of xxhash64(seed+i, base) —
-    the multi-seed-hash family instead of affine (a*h+b mod P)
-    permutations: same statistical behavior, no 64-bit multiply (which
-    ANSI mode rejects on overflow). All vectorized JVM expressions, no
-    UDF.
+    ``base_hashes_col`` names an array<long> column of per-shingle
+    xxhash64 values — computed ONCE in a prior projection (callers
+    stage it; inlining the string hash here would re-hash every shingle
+    string once per permutation). h_i = min over shingles of
+    xxhash64(seed+i, base) — the multi-seed-hash family instead of
+    affine (a*h+b mod P) permutations: same statistical behavior, no
+    64-bit multiply (which ANSI mode rejects on overflow). All
+    vectorized JVM expressions, no UDF.
+
+    Built as ONE ``F.expr`` string: ``num_perm`` Python-side
+    ``F.transform(...)`` lambda Columns cost a py4j round trip each
+    (~2s of driver time per call site); one SQL string is parsed
+    JVM-side in ~ms. Same analyzed plan either way.
     """
-
-    def _perm_min(i: int) -> Column:
-        return F.array_min(
-            F.transform(base_hashes, lambda h: F.xxhash64(F.lit(seed + i), h))
-        )
-
-    return F.array(*[_perm_min(i) for i in range(num_perm)])
+    c = base_hashes_col
+    perms = ", ".join(
+        f"array_min(transform({c}, h -> xxhash64({seed + i}, h)))"
+        for i in range(num_perm)
+    )
+    return F.expr(f"array({perms})")
 
 
 def minhash_lsh_pairs(
@@ -151,37 +155,32 @@ def minhash_lsh_pairs(
     ~0.93 at j=0.6, ~0.9998 at j=0.8 — tuned for ``threshold=0.6``.
     """
     rows_per_band = num_perm // bands
-    sh = _with_shingles(df, text_col, n)
-    sig = sh.withColumn(
-        "__h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    ).select(
+    sh = _with_shingles(df, text_col, n).persist()
+    sig = sh.withColumn("__h", F.expr("transform(shingles, s -> xxhash64(s))")).select(
         "doc_id",
-        minhash_signature(F.col("__h"), num_perm=num_perm, seed=seed).alias("sig"),
+        minhash_signature("__h", num_perm=num_perm, seed=seed).alias("sig"),
     )
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.element_at("sig", bidx * rows_per_band + r + 1).cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bidx in range(bands)
-        ]
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws('_', {parts})))".format(
+            b=bidx,
+            parts=", ".join(
+                f"cast(element_at(sig, {bidx * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bidx in range(bands)
     )
     # band rows are (doc_id, band, bucket) ONLY — the shingle arrays do
     # not ride the 16x explode or the bucket shuffle; they re-join just
-    # for the (few) surviving candidate pairs
-    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
+    # for the (few) surviving candidate pairs. Persisted: the bucket
+    # self-join would otherwise evaluate the whole shingle->signature
+    # pipeline once per side (and the verify joins re-read the shingle
+    # arrays twice more) — at scale this materialization is the
+    # difference between 1x and 4x signature compute.
+    banded = (
+        sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+        .persist()
     )
 
     a = banded.alias("a")
@@ -226,47 +225,42 @@ def with_simhash64(
     expressions in two projection stages (votes, then bit-pack) so the
     64-element vote aggregate appears once in the plan, not 64 times.
     """
-    votes = _simhash_votes(text_col, ngram)
-    staged = df.withColumn("__votes", votes)
-    v = F.col("__votes")
-    bits = [
-        F.when(
-            F.element_at(v, j + 1) > 0,
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    packed = bits[0]
-    for b in bits[1:]:
-        packed = packed.bitwiseOR(b)
-    return staged.withColumn(out_col, packed).drop("__votes")
-
-
-def _simhash_votes(text_col: str = "text", ngram: int = 2) -> Column:
-    sh = word_shingles(text_col, ngram)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # votes[j] = sum over shingles of +-1 depending on bit j of the
-    # hash. Bit positions are unrolled as Python-side literals (Spark's
-    # shift functions take int literals, not Columns).
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    )
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for j in range(64)
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
+    staged = df.withColumn("__sh", word_shingles(text_col, ngram)).withColumn(
+        "__votes", _simhash_votes("__sh")
     )
-    return votes
+    # pack: bit j set iff votes[j] > 0. Disjoint powers of two, so + IS
+    # bitwise-or. Unrolled on purpose: referencing __votes inside a
+    # fold lambda counts as ONE reference, so CollapseProject would
+    # inline the whole vote aggregate into the lambda body and
+    # re-evaluate it per fold step (64x per row); 64 plain references
+    # keep the staged projection materialized once.
+    packed = F.expr(
+        " + ".join(
+            f"if(element_at(__votes, {j + 1}) > 0, shiftleft(1L, {j}), 0L)"
+            for j in range(64)
+        )
+    )
+    return staged.withColumn(out_col, packed).drop("__sh", "__votes")
+
+
+def _simhash_votes(shingles_col: str = "__sh") -> Column:
+    """votes[j] = sum over shingles of +-1 by bit j of xxhash64(shingle).
+
+    One expr string over a staged shingle-array column; the inner
+    zip_with walks all 64 bit positions per shingle hash.
+    """
+    # bit positions unrolled as constant shifts — an inner
+    # transform(sequence(0,63), ...) with a column shift amount is a
+    # nested interpreted loop per shingle (~8x slower end to end)
+    bit_votes = ", ".join(
+        f"if((shiftright(h, {j}) & 1) = 1, 1L, -1L)" for j in range(64)
+    )
+    return F.expr(
+        f"aggregate("
+        f"  transform({shingles_col}, s -> xxhash64(s)),"
+        f"  array_repeat(0L, 64),"
+        f"  (acc, h) -> zip_with(acc, array({bit_votes}), (x, y) -> x + y))"
+    )
 
 
 def simhash_pairs(
@@ -296,9 +290,13 @@ def simhash_pairs(
             for i in range(4)
         ]
     )
-    blocked = with_h.select(
-        "doc_id", "simhash", F.explode(chunks).alias("c")
-    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    # persisted: the chunk self-join would otherwise evaluate the whole
+    # 64-bit SimHash pipeline once per join side
+    blocked = (
+        with_h.select("doc_id", "simhash", F.explode(chunks).alias("c"))
+        .select("doc_id", "simhash", "c.ci", "c.cv")
+        .persist()
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (
