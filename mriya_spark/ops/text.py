@@ -103,11 +103,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-anchor language ID: count per-language anchor hits,
-    take the argmax (ties broken by language code). Cheap, determinate,
-    SQL-expressible — the scale path would swap in a fastText-style
-    model behind the same signature (pandas_udf)."""
+def lang_pred(text_col: str = "text") -> Column:
+    """Stopword-anchor language prediction: count per-language anchor
+    hits, take the argmax (ties broken by language code); 'und' when no
+    anchors hit. Cheap, determinate, SQL-expressible — the scale path
+    would swap in a fastText-style model behind the same signature
+    (pandas_udf)."""
     t = F.col(text_col)
     hits = {lang: _stopword_hits(t, words) for lang, words in LANG_STOPWORDS.items()}
     # argmax with deterministic tie-break on language code
@@ -118,11 +119,19 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for i, lang in enumerate(sorted(hits))
         ]
     )
-    pred = F.when(
+    return F.when(
         sum(hits.values(), F.lit(0)) == 0, F.lit("und")
     ).otherwise(struct["lang"])
-    return df.select("doc_id", F.col("lang").alias("lang_label"),
-                     pred.alias("lang_pred"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID against the labeled ``lang`` column (see
+    ``lang_pred`` for the predictor expression)."""
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        lang_pred(text_col).alias("lang_pred"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

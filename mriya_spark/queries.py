@@ -2271,3 +2271,107 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         (F.map_keys(m) == F.array(F.lit("k"))).alias("has_only_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# north-star flagship: the full corpus-curation pipeline, oracle-checked
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_corpus_curation",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             round( (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(string_split_regex(trim(text), '\s+')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(string_split_regex(trim(text), '\s+')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM corpus),
+    kept_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    ex AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept_q
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+    survivors AS (SELECT kq.* FROM kept_q kq JOIN ex USING (doc_id)),
+    words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM survivors),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM words),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT s.doc_b AS doc_id
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE round(s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared), 6) >= 0.6),
+    langd AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))     AS n_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
+      FROM survivors)
+    SELECT s.doc_id,
+           CASE WHEN l.n_en + l.n_de + l.n_es + l.n_fr = 0 THEN 'und'
+                WHEN l.n_de >= l.n_en AND l.n_de >= l.n_es AND l.n_de >= l.n_fr THEN 'de'
+                WHEN l.n_en >= l.n_es AND l.n_en >= l.n_fr THEN 'en'
+                WHEN l.n_es >= l.n_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           s.n_tokens, s.quality_score
+    FROM survivors s
+    JOIN langd l USING (doc_id)
+    LEFT JOIN dropped d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE lazy DAG:
+    quality pre-filter -> exact dedup (keep min doc_id per fingerprint)
+    -> n-gram-Jaccard near-dup removal (drop the larger id of each
+    pair >= 0.6) -> language tag. Every stage is the library op the
+    standalone queries check individually; this query checks they
+    COMPOSE, value-exact, against one DuckDB twin.
+
+    Scale shape: quality/lang are scan-local projections; exact dedup
+    is one fingerprint shuffle; the near-dup stage is the quadratic
+    exact variant here (oracle-checkable) — at 100 TB the MinHash-LSH
+    candidate path (`dedup_minhash_lsh`) slots in with identical
+    drop semantics.
+    """
+    from mriya_spark.ops import dedup, text
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    q = text.quality_score(corpus)
+    kept_q = corpus.join(
+        q.filter(F.col("quality_score") >= 0.5), "doc_id"
+    )  # doc_id, text, n_tokens, quality_score
+    ex = dedup.exact_dedup(kept_q)
+    survivors = kept_q.join(
+        ex.select(F.col("kept_doc_id").alias("doc_id")), "doc_id"
+    )
+    pairs = dedup.ngram_jaccard_pairs(survivors, n=3, threshold=0.6)
+    return (
+        survivors.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .select(
+            "doc_id",
+            text.lang_pred("text").alias("lang_pred"),
+            "n_tokens",
+            "quality_score",
+        )
+    )
