@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash_lsh",  # shingle -> signature -> banded bucket join
     "similarity_topk",    # broadcast queries x corpus cosine + window
     "text_stats",         # scan-speed regex/token stats
+    "pipeline_corpus_curation_lsh",  # full curation DAG over documents
 ]
 
 

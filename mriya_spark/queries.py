@@ -2350,9 +2350,19 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate path (`dedup_minhash_lsh`) slots in with identical
     drop semantics.
     """
+    return _curate(
+        _neardup_corpus(spark, sf_dir), near_dup="exact", threshold=0.6
+    )
+
+
+def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
+    """Shared curation DAG; ``near_dup`` picks the pair generator —
+    'exact' (quadratic inverted-index Jaccard, oracle-checkable) or
+    'lsh' (MinHash-banded candidates, the 100 TB path). Identical drop
+    semantics either way: the larger doc_id of every pair >= threshold
+    goes."""
     from mriya_spark.ops import dedup, text
 
-    corpus = _neardup_corpus(spark, sf_dir)
     q = text.quality_score(corpus)
     kept_q = corpus.join(
         q.filter(F.col("quality_score") >= 0.5), "doc_id"
@@ -2361,7 +2371,10 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = kept_q.join(
         ex.select(F.col("kept_doc_id").alias("doc_id")), "doc_id"
     )
-    pairs = dedup.ngram_jaccard_pairs(survivors, n=3, threshold=0.6)
+    if near_dup == "lsh":
+        pairs = dedup.minhash_lsh_pairs(survivors, n=3, threshold=threshold)
+    else:
+        pairs = dedup.ngram_jaccard_pairs(survivors, n=3, threshold=threshold)
     return (
         survivors.join(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
@@ -2374,4 +2387,18 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "quality_score",
         )
+    )
+
+
+@register("pipeline_corpus_curation_lsh", None)  # LSH recall < 1 -> rows-only
+def pipeline_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline at its scale shape: whole ``documents``
+    table, MinHash-LSH candidate generation instead of the quadratic
+    exact join. This is the headline 100 TB workload — every stage is
+    a projection or a bounded shuffle (fingerprint, band bucket,
+    query_id)."""
+    return _curate(
+        _cat(spark, sf_dir).table("documents").select("doc_id", "text"),
+        near_dup="lsh",
+        threshold=0.6,
     )
