@@ -2273,6 +2273,51 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (the lookup join per
+    micro-batch); final complete-mode state equals the batch join."""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    dim = _cat(spark, sf_dir).table("customer")
+    return S.run_to_memory_sink(S.static_enrich_counts(ev, dim))
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x purchases within 1h by
+    the same user), append mode; bounded replay keeps all join state so
+    the result is exactly the batch twin."""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return S.run_to_memory_sink(
+        S.interval_join_pairs(clicks, purchases, within="1 hour"),
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # north-star flagship: the full corpus-curation pipeline, oracle-checked
 # ---------------------------------------------------------------------------

@@ -288,6 +288,52 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: every micro-batch broadcast-joins the
+    (small, static) dimension — the streaming form of the reference's
+    parent-relationship lookup (`/root/reference/mapping_parser.py:34-36`),
+    where each extracted page resolves FK fields against a stable org.
+    The dimension never shuffles the stream side."""
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def interval_join_pairs(
+    clicks: DataFrame, purchases: DataFrame, *, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``within`` after a
+    click by the same user. State is keyed by user_id on both sides; an
+    unbounded deployment adds ``withWatermark`` on both streams so join
+    state ages out — bounded replay here keeps all state so the final
+    result is exactly the batch join (the oracle twin)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+
+
 def dedup_within_watermark(
     events_a: DataFrame, events_b: DataFrame, *, watermark: str = "1 hour"
 ) -> DataFrame:
