@@ -77,10 +77,10 @@ def _stopword_hits(t: Column, words: list[str]) -> Column:
     return F.size(F.regexp_extract_all(F.lower(t), F.lit(pat), 0)).cast("long")
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]: token-count band, mean token
-    length band, stopword presence, low symbol noise. The standard
-    cheap pre-filter in front of expensive pipeline stages."""
+def quality_score_col(text_col: str = "text") -> Column:
+    """Heuristic quality score in [0,1] as a Column: token-count band,
+    mean token length band, stopword presence, low symbol noise. The
+    standard cheap pre-filter in front of expensive pipeline stages."""
     t = F.col(text_col)
     n_tokens = token_count(t)
     n_chars = F.length(t).cast("long")
@@ -96,10 +96,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stop_ratio * F.lit(2.5), F.lit(0.25))
         + F.when(sym_ratio <= 0.1, 0.25).otherwise(0.0)
     )
+    return F.round(score, 4)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(score, 4).alias("quality_score"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_score_col(text_col).alias("quality_score"),
     )
 
 

@@ -2406,15 +2406,25 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
     'lsh' (MinHash-banded candidates, the 100 TB path). Identical drop
     semantics either way: the larger doc_id of every pair >= threshold
     goes."""
+    from pyspark.sql import Window
+
     from mriya_spark.ops import dedup, text
 
-    q = text.quality_score(corpus)
-    kept_q = corpus.join(
-        q.filter(F.col("quality_score") >= 0.5), "doc_id"
-    )  # doc_id, text, n_tokens, quality_score
-    ex = dedup.exact_dedup(kept_q)
-    survivors = kept_q.join(
-        ex.select(F.col("kept_doc_id").alias("doc_id")), "doc_id"
+    # stats are inline columns, not a joined-back side table — the text
+    # column never shuffles for scoring
+    kept_q = corpus.select(
+        "doc_id",
+        "text",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.quality_score_col("text").alias("quality_score"),
+    ).filter(F.col("quality_score") >= 0.5)
+    # exact dedup keep-min as a window over the fingerprint: one
+    # shuffle, no groupBy + join-back
+    w = Window.partitionBy(F.md5(dedup.normalized("text")))
+    survivors = (
+        kept_q.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
     )
     if near_dup == "lsh":
         pairs = dedup.minhash_lsh_pairs(survivors, n=3, threshold=threshold)
