@@ -67,8 +67,11 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(w) < n, few).otherwise(many))
 
 
-def _with_shingle_hashes(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """doc_id + distinct word-n-gram shingles as array<long> hashes.
+def add_shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Append distinct word-n-gram shingles as an array<long> column.
 
     Each shingle is ``xxhash64(w_i, ..., w_{i+n-1})`` — the words feed
     the hash directly, no n-gram string is ever materialized. Shingle
@@ -76,7 +79,10 @@ def _with_shingle_hashes(df: DataFrame, text_col: str, n: int) -> DataFrame:
     hash collisions (~n_distinct²/2⁶⁵ — negligible at any corpus size
     that fits a cluster). Two projections on purpose: the token array
     is referenced several times, which keeps CollapseProject from
-    inlining the tokenizer once per reference.
+    inlining the tokenizer once per reference. Keeps every input
+    column, so pipelines can shingle once, drop the text, and persist
+    a compact frame that serves both candidate generation and final
+    reporting (see ``queries._curate``).
     """
     grams = ", ".join(f"element_at(__w, i + {k + 1})" for k in range(n))
     hashed = F.expr(
@@ -85,9 +91,16 @@ def _with_shingle_hashes(df: DataFrame, text_col: str, n: int) -> DataFrame:
         f"ELSE transform(sequence(0, size(__w) - {n}), i -> xxhash64({grams})) "
         f"END)"
     )
-    return df.withColumn("__w", tokens(F.col(text_col))).select(
-        "doc_id", hashed.alias("shingles")
+    return (
+        df.withColumn("__w", tokens(F.col(text_col)))
+        .withColumn(out_col, hashed)
+        .drop("__w")
     )
+
+
+def _with_shingle_hashes(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """doc_id + shingle hashes only (see ``add_shingle_hashes``)."""
+    return add_shingle_hashes(df, text_col, n).select("doc_id", "shingles")
 
 
 def ngram_jaccard_pairs(
@@ -106,6 +119,15 @@ def ngram_jaccard_pairs(
     truth.
     """
     sh = _with_shingle_hashes(df, text_col, n)
+    return ngram_jaccard_pairs_from_shingles(sh, threshold=threshold)
+
+
+def ngram_jaccard_pairs_from_shingles(
+    sh: DataFrame, *, threshold: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard pairs from a pre-shingled ``(doc_id, shingles)``
+    frame — callers that already computed (and persisted) shingle
+    hashes skip the tokenize/hash stage entirely."""
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.alias("a")
@@ -181,10 +203,30 @@ def minhash_lsh_pairs(
     With 16 bands x 4 rows, P(candidate) ≈ 1-(1-j⁴)¹⁶: ~0.04 at j=0.3,
     ~0.93 at j=0.6, ~0.9998 at j=0.8 — tuned for ``threshold=0.6``.
     """
-    rows_per_band = num_perm // bands
     # shingles are already 64-bit hashes — they feed the permutation
-    # family directly, no per-shingle re-hash stage
+    # family directly, no per-shingle re-hash stage. Persisted: the
+    # bucket self-join and the two verify joins would otherwise
+    # re-evaluate the whole tokenize->shingle pipeline per reference.
     sh = _with_shingle_hashes(df, text_col, n).persist()
+    return minhash_lsh_pairs_from_shingles(
+        sh, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
+    )
+
+
+def minhash_lsh_pairs_from_shingles(
+    sh: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH pairs from a pre-shingled ``(doc_id, shingles)`` frame.
+
+    ``sh`` is referenced three times (signature build + both sides of
+    the verify join) — callers should hand in a persisted frame.
+    """
+    rows_per_band = num_perm // bands
     sig = sh.select(
         "doc_id",
         minhash_signature("shingles", num_perm=num_perm, seed=seed).alias("sig"),

@@ -2420,13 +2420,14 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
 
     from mriya_spark.ops import dedup, text
 
-    # stats are inline columns, not a joined-back side table — the text
-    # column never shuffles for scoring
+    # stats/lang are inline columns, not joined-back side tables — the
+    # text column is scored in the scan projection and never shuffles
     kept_q = corpus.select(
         "doc_id",
         "text",
         text.token_count(F.col("text")).alias("n_tokens"),
         text.quality_score_col("text").alias("quality_score"),
+        text.lang_pred("text").alias("lang_pred"),
     ).filter(F.col("quality_score") >= 0.5)
     # exact dedup keep-min as a window over the fingerprint: one
     # shuffle, no groupBy + join-back
@@ -2436,22 +2437,24 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__keep"))
         .drop("__keep")
     )
+    # shingle once, then drop the text: the persisted frame is compact
+    # (ids + stats + 8-byte shingle hashes) and serves BOTH the
+    # near-dup candidate stage and the final report join, so the
+    # scan -> score -> window pipeline executes exactly once instead
+    # of once per consumer.
+    surv_sh = dedup.add_shingle_hashes(survivors, n=3).drop("text").persist()
+    shingles = surv_sh.select("doc_id", "shingles")
     if near_dup == "lsh":
-        pairs = dedup.minhash_lsh_pairs(survivors, n=3, threshold=threshold)
+        pairs = dedup.minhash_lsh_pairs_from_shingles(shingles, threshold=threshold)
     else:
-        pairs = dedup.ngram_jaccard_pairs(survivors, n=3, threshold=threshold)
+        pairs = dedup.ngram_jaccard_pairs_from_shingles(shingles, threshold=threshold)
     return (
-        survivors.join(
+        surv_sh.join(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
         )
-        .select(
-            "doc_id",
-            text.lang_pred("text").alias("lang_pred"),
-            "n_tokens",
-            "quality_score",
-        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score")
     )
 
 
