@@ -81,6 +81,33 @@ def filter_isin(
     return df.filter(F.col(key).isin(values))
 
 
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan, in bytes — no job is run.
+
+    For leaf scans this is the on-disk file size (the only stat Spark
+    has without ANALYZE TABLE/CBO), which makes it a sound input for
+    "is this side provably small" gates. Join outputs are estimated as
+    the product of their children, so never gate on a join's own
+    estimate — gate on a leaf that upper-bounds it (see
+    ``broadcast_threshold_bytes`` callers).
+    """
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def broadcast_threshold_bytes(df: DataFrame) -> int:
+    """The session's ``autoBroadcastJoinThreshold`` in bytes (-1 -> 0)."""
+    raw = df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower().removesuffix("b")
+    mult = units.get(s[-1:], 1)
+    if mult != 1:
+        s = s[:-1]
+    n = int(float(s)) * mult
+    return max(n, 0)
+
+
 def limit_rows(df: DataFrame, n: int = 10_000) -> DataFrame:
     """L1 — hard LIMIT (`mapping_parser.py:5` ``LIMIT 10000``).
 

@@ -305,19 +305,32 @@ def join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join order is fact-side-streams: lineitem (the big table) never
     builds a hash map or rides a broadcast — the segment-filtered
     customer⋈orders projection (2 narrow columns, ~1/5 of orders) is
-    the explicit broadcast side. Left to stats Catalyst broadcasts the
+    the preferred broadcast side. Left to stats Catalyst broadcasts the
     pruned lineitem scan instead, which is backwards at any real scale
     and measured ~35% slower even at sf0.1 (hash-building 600k rows vs
-    30k). Past broadcast range the hint comes off and AQE picks a
-    shuffle join on o_orderkey — the declarative shape is unchanged.
+    30k). But an explicit broadcast hint is honored UNCONDITIONALLY by
+    Spark — it is never demoted past the threshold — so hinting a side
+    that grows with the fact table is a driver OOM at 100 TB. The hint
+    is therefore gated on a provable upper bound: the customer⋈orders
+    output has at most one row per order and is projected narrower than
+    the orders scan, so Catalyst's leaf estimate for ``orders`` bounds
+    it. Under the session broadcast threshold -> hint (wins at bench
+    scale); over it -> no hint, and AQE's runtime shuffle->broadcast
+    conversion still catches the cases where the segment filter makes
+    the side genuinely small.
     """
+    from mriya_spark.ops.relational import (
+        broadcast_threshold_bytes,
+        estimated_size_bytes,
+    )
+
     cat = _cat(spark, sf_dir)
     c = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = cat.table("orders")
     l = cat.table("lineitem")
-    co = F.broadcast(
-        c.join(o, c["c_custkey"] == o["o_custkey"]).select("o_orderkey", "c_name")
-    )
+    co = c.join(o, c["c_custkey"] == o["o_custkey"]).select("o_orderkey", "c_name")
+    if estimated_size_bytes(o) <= broadcast_threshold_bytes(o):
+        co = F.broadcast(co)
     return (
         l.join(co, l["l_orderkey"] == co["o_orderkey"])
         .groupBy("o_orderkey", "c_name")

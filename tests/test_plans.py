@@ -111,6 +111,27 @@ def test_agg_count_reads_no_columns(spark, queries):
     assert m and m.group(1).strip() == "", "count(*) should scan zero columns"
 
 
+def test_multi_join_broadcast_hint_is_size_gated(spark, queries):
+    """join_inner_multi's broadcast of the customer⋈orders side must be
+    conditional: Spark honors explicit hints unconditionally (never
+    demoted past the threshold), so an unconditional hint on a
+    fact-derived side is a driver OOM at scale. Simulate 'orders is too
+    big to broadcast' by zeroing the threshold and assert the hint
+    comes off."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        plan = executed_plan(queries["join_inner_multi"](spark, SF))
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set(key, saved)
+    # at test scale (orders « threshold) the hint is on: lineitem
+    # streams, the dimension-bounded side builds the broadcast map
+    plan = executed_plan(queries["join_inner_multi"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_migration_pipeline_whole_stage_codegen(spark, queries):
     """The flagship ETL DAG stays inside codegen (no interpreted
     row-at-a-time stages — the reference's whole execution model,
