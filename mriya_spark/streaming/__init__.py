@@ -197,20 +197,32 @@ def dedup_counts(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
 
 
 def foreach_batch_upsert(
-    events: DataFrame, target_path: str, *, key: str = "user_id"
+    events: DataFrame,
+    target_path: str,
+    *,
+    key: str = "user_id",
+    n_buckets: int = 16,
 ) -> str:
     """Micro-batch upsert loop (≙ the reference's per-chunk
     ``bulk_upsert``, `data_connector.py:301-310`): every micro-batch
     reduces to latest-event-per-key, then merges into a parquet target
-    keyed on ``key`` (anti-join + union, rewritten per batch).
+    keyed on ``key``, latest event time winning.
 
-    At scale the target would be Delta/Iceberg MERGE; the per-batch
-    reduce-before-merge keeps the merge input dimension-sized.
+    Scale shape: the target is hash-bucketed by the merge key
+    (``__bucket = pmod(xxhash64(key), n_buckets)`` as a partition
+    column). Each batch reads ONLY the bucket partitions its keys touch
+    (partition pruning) and dynamic-partition-overwrite rewrites ONLY
+    those buckets — per-batch IO is O(touched buckets), not O(target).
+    An unbounded stream over a 100 TB target stays feasible as long as
+    ``n_buckets`` is sized so a bucket fits a task (at that scale the
+    same signature would front a Delta/Iceberg MERGE, which is this
+    exact plan with a transaction log on top).
     """
     from pyspark.sql import Window
 
     spark = events.sparkSession
     ckpt = f"{_STAGE_ROOT}/ckpt_upsert_{uuid.uuid4().hex[:12]}"
+    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
     def keep_latest(df: DataFrame) -> DataFrame:
         w = Window.partitionBy(key).orderBy(
@@ -226,16 +238,33 @@ def foreach_batch_upsert(
         # version-aware merge: between target and batch rows for the
         # same key, the greater event time wins — the final state is
         # "latest event per key" regardless of file/batch arrival order
-        latest = keep_latest(batch)
+        latest = keep_latest(batch).withColumn("__bucket", bucket_of)
+        touched = [
+            r["__bucket"]
+            for r in latest.select("__bucket").distinct().collect()
+        ]
         if os.path.exists(target_path):
-            target = spark.read.parquet(target_path)
+            target = spark.read.parquet(target_path).filter(
+                F.col("__bucket").isin(touched)  # dir-pruned scan
+            )
             merged = keep_latest(target.unionByName(latest))
         else:
             merged = latest
-        # rewrite target atomically-enough for local tests
+        # stage through tmp (source and sink may not share a path);
+        # tmp holds only the touched buckets' rows
         tmp = target_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.read.parquet(tmp)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         shutil.rmtree(tmp, ignore_errors=True)
 
     q = (

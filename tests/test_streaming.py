@@ -51,6 +51,55 @@ def test_foreach_batch_upsert_latest_wins(spark, catalog):
     assert joined.count() == 0
 
 
+def test_foreach_batch_upsert_touches_only_batch_buckets(spark, catalog):
+    """Per-batch IO must be proportional to the batch's keys, not the
+    target: a batch touching one user may rewrite only that user's
+    hash-bucket partition — every other bucket's files stay untouched."""
+    import os
+
+    ev = S.read_events_stream(spark, SF, max_files_per_trigger=None, n_files=8)
+    target = f"/tmp/mriya_spark_stream/test_upsert_bk_{uuid.uuid4().hex[:8]}"
+    S.foreach_batch_upsert(ev, target, key="user_id", n_buckets=16)
+
+    def bucket_state(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                p = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                )
+        return out
+
+    before = bucket_state(target)
+    assert len(before) > 4  # the seed run populated many buckets
+
+    # a second stream carrying a single user's events
+    one_user = catalog.table("events").select("user_id").first()["user_id"]
+    src = f"/tmp/mriya_spark_stream/test_one_user_{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") == one_user)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    ev2 = (
+        spark.readStream.schema(S.EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    S.foreach_batch_upsert(ev2, target, key="user_id", n_buckets=16)
+
+    after = bucket_state(target)
+    changed = [d for d in before if after.get(d) != before[d]]
+    assert len(changed) == 1, changed  # exactly the one touched bucket
+    # and the merge itself is still correct for that user
+    got = spark.read.parquet(target).filter(F.col("user_id") == one_user)
+    assert got.count() == 1
+
+
 def test_stateful_counter_totals(spark, catalog):
     ev = S.read_events_stream(spark, SF, max_files_per_trigger=2, n_files=8)
     emissions = S.run_to_memory_sink(S.stateful_user_counts(ev), output_mode="update")
