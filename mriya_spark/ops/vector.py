@@ -17,8 +17,12 @@ Design:
                           blocking key, search within bucket (+ optional
                           multi-probe). The 100 TB path: candidate count
                           per query drops from N to N / 2^bits.
-- ``cosine_near_dup_pairs`` — all pairs above a cosine threshold,
-                          LSH-blocked.
+- ``cosine_near_dup_pairs`` — all pairs above a cosine threshold;
+                          exact O(n²) form, kept ONLY as the oracle /
+                          recall yardstick.
+- ``cosine_near_dup_pairs_blocked`` — the scale path: multi-table
+                          sign-bit LSH blocking + exact verify within
+                          buckets.
 """
 
 from __future__ import annotations
@@ -376,16 +380,88 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding-based near-dup).
+    """All pairs with cosine >= threshold — the EXACT form, O(n²).
 
-    Exact all-pairs within the frame — callers block first (LSH bucket
-    or label) at scale; kept exact here so the DuckDB oracle can verify
-    values.
+    This is the oracle/ground-truth twin only (DuckDB-verifiable, and
+    the recall yardstick for the blocked variant in tests). Anything
+    that runs at corpus scale must use
+    ``cosine_near_dup_pairs_blocked`` instead.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked near-dup pairs — the scale path for
+    ``cosine_near_dup_pairs``.
+
+    Candidates are pairs sharing a sign-bit bucket in at least one of
+    ``n_tables`` independent random-hyperplane tables; exact cosine then
+    verifies each candidate. For a pair at cosine s, per-plane agreement
+    is p = 1 - arccos(s)/pi, so recall = 1 - (1 - p^n_planes)^n_tables:
+    ~0.99 at s=0.99, ~0.75 at s=0.9 with the 4x8 default (raise
+    ``n_tables`` for lower thresholds). Identical-direction duplicates
+    collide in EVERY table — recall 1.0 for true copies.
+
+    Shape: the bucket rows carry (id, table, bucket) only — vectors do
+    not ride the explode or the bucket self-join; they re-join just for
+    surviving candidates. Cost is O(sum over buckets of bucket²) ≪
+    O(n²); at 100 TB (table, bucket) is the partition key.
+    """
+    tables = [
+        hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col("v"), tables[t]).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
         .select(
             "id_a",
             "id_b",

@@ -1441,6 +1441,29 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(corpus, threshold=0.99)
 
 
+@register("dedup_embedding_cosine_lsh", None)  # LSH recall < 1 -> rows-only
+def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``dedup_embedding_cosine``: multi-table
+    sign-bit LSH blocking + exact cosine verify within buckets (same
+    planted-copies corpus; recall vs the exact query asserted in
+    tests — identical-direction copies collide in every table, so
+    planted-pair recall is 1.0)."""
+    from mriya_spark.ops.vector import cosine_near_dup_pairs_blocked
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(copies)
+    return cosine_near_dup_pairs_blocked(corpus, threshold=0.99)
+
+
 # ---------------------------------------------------------------------------
 # north-star: similarity search (ops.vector)
 # ---------------------------------------------------------------------------

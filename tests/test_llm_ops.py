@@ -207,3 +207,36 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(multimodal.attach_payload(df), every_n=10)
     idx = sorted(r.frame_idx for r in frames.collect())
     assert idx == [0, 10, 20]
+
+
+def test_cosine_blocked_no_false_positives_and_planted_recall(catalog, spark):
+    """Blocked near-dup: subset of exact (verify step), and every
+    planted identical-direction copy is found (recall 1.0 for true
+    copies — same sign pattern in every hyperplane table)."""
+    emb = catalog.table("embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(copies)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in vector.cosine_near_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in vector.cosine_near_dup_pairs_blocked(
+            corpus, threshold=0.99
+        ).collect()
+    }
+    assert blocked <= exact  # exact verify -> no false positives
+    planted = {(i, i + 100000) for i in range(20)} & exact
+    assert len(planted) == 20
+    assert planted <= blocked  # every true copy pair found
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9, f"blocked recall {recall}"
