@@ -344,54 +344,83 @@ def _simhash_votes(hashes_col: str = "__sh") -> Column:
     )
 
 
-def simhash_pairs(
+def simhash_candidates(
     df: DataFrame,
     *,
     text_col: str = "text",
-    max_hamming: int = 8,
-    n_chunks: int | None = None,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
+    """SimHash candidate pairs (pre-verify) with GUARANTEED recall at
+    hamming <= ``max_hamming``.
 
-    Blocking (multi-index hamming search): split the 64-bit hash into
-    ``n_chunks`` bit ranges; by pigeonhole, any pair within hamming
-    ``n_chunks - 1`` shares at least one exact chunk, so the default
-    ``n_chunks = max_hamming + 1`` gives GUARANTEED recall at the
-    budget — never rely on differing bits happening to cluster.
-    Candidates equi-join on (chunk_idx, chunk_value) — the LSH trick
-    again, zero Python. Narrower chunks mean hotter buckets (64/9 ≈ 7
-    bits -> 128 values per index); shrink ``max_hamming`` or pass a
-    smaller ``n_chunks`` (accepting probabilistic recall) if a corpus
-    makes the candidate join the bottleneck.
+    Multi-block hamming blocking (Manku/Charikar-style): split the
+    64-bit hash into ``n_blocks`` bit ranges. ``max_hamming`` differing
+    bits can spoil at most ``max_hamming`` blocks, so any qualifying
+    pair agrees on some combination of ``m = n_blocks - max_hamming``
+    blocks — index every m-block combination and equi-join on
+    (combo_idx, combined value). Zero Python in the row path.
+
+    Defaults: ``n_blocks = max_hamming + 1`` (m=1, plain pigeonhole)
+    with ``max_hamming=3`` -> 4 blocks of 16 bits = 65 536 bucket
+    values per index — candidate volume ~ 4·n²/2¹⁶ on distinct
+    content, vs the old 8+1 chunks of 7 bits (128 values, effectively
+    quadratic). For larger budgets pass ``n_blocks > max_hamming + 1``
+    to key on multi-block combinations: e.g. ``max_hamming=8,
+    n_blocks=10`` indexes C(10,2)=45 two-block combos (~12-bit keys)
+    instead of 9 single 7-bit chunks — wider keys at the cost of more
+    index rows. The combo count is capped to keep the explode bounded.
     """
-    if n_chunks is None:
-        n_chunks = min(64, max_hamming + 1)
-    width = 64 // n_chunks  # last chunk absorbs the remainder bits
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = min(64, max_hamming + 1)
+    m = n_blocks - max_hamming
+    if m < 1:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "— pigeonhole needs at least one guaranteed-shared block"
+        )
+    combos = list(combinations(range(n_blocks), m))
+    if len(combos) > 128:
+        raise ValueError(
+            f"{len(combos)} block combinations (C({n_blocks},{m})) would "
+            "explode each row too far; lower n_blocks or max_hamming"
+        )
+    width = 64 // n_blocks  # last block absorbs the remainder bits
     with_h = with_simhash64(df.select("doc_id", text_col), text_col).select(
         "doc_id", "simhash"
     )
-    def _chunk(i: int) -> Column:
+
+    def _block(i: int) -> Column:
         shifted = F.shiftrightunsigned("simhash", width * i)
-        if i == n_chunks - 1:  # zero-fill shift already isolates the rest
+        if i == n_blocks - 1:  # zero-fill shift already isolates the rest
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    chunks = F.array(
+    def _key(combo: tuple[int, ...]) -> Column:
+        if len(combo) == 1:
+            return _block(combo[0])
+        # combined key for multi-block combos; 64-bit hash collisions
+        # only add candidates, which the verify step filters
+        return F.xxhash64(*[_block(i) for i in combo])
+
+    keys = F.array(
         *[
-            F.struct(F.lit(i).alias("ci"), _chunk(i).alias("cv"))
-            for i in range(n_chunks)
+            F.struct(F.lit(ci).alias("ci"), _key(combo).alias("cv"))
+            for ci, combo in enumerate(combos)
         ]
     )
-    # persisted: the chunk self-join would otherwise evaluate the whole
+    # persisted: the index self-join would otherwise evaluate the whole
     # 64-bit SimHash pipeline once per join side
     blocked = (
-        with_h.select("doc_id", "simhash", F.explode(chunks).alias("c"))
+        with_h.select("doc_id", "simhash", F.explode(keys).alias("c"))
         .select("doc_id", "simhash", "c.ci", "c.cv")
         .persist()
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -405,6 +434,26 @@ def simhash_pairs(
             F.col("b.simhash").alias("h_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
+
+    Blocking via ``simhash_candidates`` (guaranteed recall at the
+    budget), then an exact ``bit_count(xor)`` hamming filter. The
+    default budget is hamming <= 3 over 4x16-bit blocks — wide enough
+    buckets that candidate volume stays ~4·n²/2¹⁶ on distinct content.
+    ``n_chunks`` is the historical name for ``n_blocks``.
+    """
+    cand = simhash_candidates(
+        df, text_col=text_col, max_hamming=max_hamming, n_blocks=n_chunks
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (

@@ -1402,8 +1402,9 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", None)  # same: blocking recall -> rows-only
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming <= 8, 4-chunk pigeonhole
-    blocking)."""
+    """SimHash-64 near-dup pairs (hamming <= 3, 4x16-bit-block
+    pigeonhole blocking — ~65k bucket values per index keeps candidate
+    volume ~4·n²/2¹⁶, see ``ops.dedup.simhash_candidates``)."""
     from mriya_spark.ops.dedup import simhash_pairs
 
     return simhash_pairs(_neardup_corpus(spark, sf_dir), text_col="text")

@@ -101,6 +101,31 @@ def test_simhash_near_identical(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
 
 
+def test_simhash_candidate_volume_subquadratic(spark):
+    """Blocking must stay sub-quadratic on a big mostly-distinct corpus
+    even with a heavy near-dup cluster (hot-bucket guard): with 4x16-bit
+    block indexes, cross-candidates among n distinct docs are ~4n²/2¹⁶,
+    so total candidates should be bounded by cluster-pairs + a small
+    multiple of n — nowhere near n²/2. The old 7-bit-chunk blocking
+    (~9n²/128) fails this by two orders of magnitude."""
+    n, cluster = 10_000, 100
+    words = F.expr(
+        "concat_ws(' ', transform(sequence(0, 11), "
+        "i -> conv(abs(xxhash64(doc_id, i)) % 1048576, 10, 36)))"
+    )
+    distinct = spark.range(n).select(F.col("id").alias("doc_id"), words.alias("text"))
+    dup_cluster = spark.range(n, n + cluster).select(
+        F.col("id").alias("doc_id"), F.lit("the same exact duplicated text body").alias("text")
+    )
+    cand = dedup.simhash_candidates(distinct.unionByName(dup_cluster))
+    n_cand = cand.count()
+    cluster_pairs = cluster * (cluster - 1) // 2
+    assert n_cand <= cluster_pairs + 5 * n, (
+        f"{n_cand} candidates for n={n}+{cluster}-dup cluster — blocking "
+        "is behaving quadratically"
+    )
+
+
 # -------------------------------------------------------------- vector --
 
 def test_cosine_known_values(spark):
