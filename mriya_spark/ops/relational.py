@@ -222,8 +222,16 @@ def salted_join(
 
     AQE's skew-join handles moderate skew automatically; explicit
     salting is the escape hatch for pathological keys (one key = 30%
-    of 100 TB). Results are identical to a plain join (tested).
+    of 100 TB). Results are identical to a plain inner/left join
+    (tested). Only those two modes are accepted: the right side is
+    replicated once per bucket, so right/full outer would emit each
+    unmatched right row ``salt_buckets`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r} — "
+            "replicating the right side breaks right/full outer semantics"
+        )
     salted_l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
     )

@@ -116,11 +116,10 @@ def run_mriya_pipeline(
 
     # stage 1 — environment reset (`mriya.py:50-77`): drop both objects.
     # The reference needed chunked DELETE calls; the mock org is files.
-    for obj in ("Account", "Accounts__c"):
-        p = os.path.join(org_dir, f"{obj}.jsonl")
+    for name in ("Account.jsonl", "Accounts__c.jsonl", "_calls.jsonl"):
+        p = os.path.join(org_dir, name)
         if os.path.exists(p):
             os.remove(p)
-    shutil.rmtree(os.path.join(org_dir, "_calls.jsonl"), ignore_errors=True)
 
     # stage 2 — generate + bulk insert src rows (`mriya.py:79-86`, G1+S7)
     data = generator.gen_data(spark, n_rows, "Account", seed=seed)

@@ -1184,10 +1184,10 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            length(text) AS n_chars_calc,
-           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-           round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1)
-                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_token_len,
+           round((length(text) - len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) + 1)
+                 / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 1), 4) AS avg_token_len,
            round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 4) AS punct_ratio,
            round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 4) AS digit_ratio
     FROM documents
@@ -1206,7 +1206,7 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
              length(text) AS n_chars,
              len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS stop_hits,
              len(regexp_extract_all(text, '[^\w\s]')) AS n_sym
@@ -1276,7 +1276,7 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
-           round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+           round(avg(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))), 4) AS avg_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -1357,7 +1357,7 @@ _NEARDUP_CORPUS_SQL = r"""
     f"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
     words AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM corpus),
     sh AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -1375,7 +1375,7 @@ _NEARDUP_CORPUS_SQL = r"""
     FROM shared
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+    WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,7 +1871,7 @@ def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "explode_words",
     r"""
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word
     FROM documents WHERE doc_id < 50
     """,
 )
@@ -2375,10 +2375,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
     q AS (
       SELECT doc_id, text,
-             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-             round( (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
-                  + (CASE WHEN length(text) / greatest(len(string_split_regex(trim(text), '\s+')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
-                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(string_split_regex(trim(text), '\s+')),1) * 2.5, 0.25)
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
                   + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
                AS quality_score
       FROM corpus),
@@ -2389,7 +2389,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
     survivors AS (SELECT kq.* FROM kept_q kq JOIN ex USING (doc_id)),
     words AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM survivors),
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM survivors),
     sh AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

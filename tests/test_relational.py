@@ -120,6 +120,19 @@ def test_salted_join_matches_plain_join(catalog):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_rejects_outer_modes(catalog):
+    # right/full would emit unmatched right rows once per salt bucket
+    import pytest
+
+    orders = catalog.table("orders").select("o_orderkey", "o_custkey")
+    customers = catalog.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            R.salted_join(orders, customers, "o_custkey", how=how)
+
+
 def test_bucketed_write_enables_shuffle_free_join(spark, catalog, tmp_path):
     # bucketing: persist both sides bucketed by the join key -> the
     # later join plans without an Exchange on either side
