@@ -28,10 +28,11 @@ intent.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mriya_spark.ops.relational import backfill_join, filter_expr
@@ -40,6 +41,60 @@ if TYPE_CHECKING:
     from mriya_spark.catalog import Catalog
 
 VALID_COLUMN_TYPES = {"regular", "src_id", "dst_id"}
+
+#: SOQL-only constructs a real Salesforce mapping may contain. The
+#: reference splices ``where_condition`` into SOQL verbatim
+#: (`mapping_parser.py:21,39-40`); this engine takes ANSI/Spark-SQL
+#: expressions instead (documented deviation, `ops/relational.py`
+#: ``filter_expr``). Most SOQL date literals are *syntactically* valid
+#: ANSI (``TODAY`` parses as a column), so without this check a pasted
+#: SOQL mapping only fails deep in the analyzer with an unresolved-
+#: column error — detect the known constructs up front and say how to
+#: rewrite them.
+_SOQL_ONLY = re.compile(
+    r"""(?ix)
+    \b(?:
+        (?:LAST|NEXT)_N_(?:DAYS|WEEKS|MONTHS|QUARTERS|YEARS)\s*:\s*\d+
+      | (?:LAST|NEXT)_90_DAYS
+      | (?:THIS|LAST|NEXT)_(?:WEEK|MONTH|QUARTER|YEAR|FISCAL_QUARTER|FISCAL_YEAR)
+      | TODAY | YESTERDAY | TOMORROW
+      | INCLUDES\s*\( | EXCLUDES\s*\(
+    )""",
+)
+
+
+def validate_where_condition(cond: str) -> None:
+    """Fail fast on a ``where_condition`` this engine cannot run.
+
+    Two layers, both at mapping-load time rather than mid-pipeline:
+    known SOQL-only constructs get a targeted message (rewrite hints),
+    and — when a SparkSession is already active — the expression is run
+    through Spark's SQL parser so plain syntax errors surface with the
+    mapping context attached instead of from a later ``filter_expr``.
+    """
+    if not cond:
+        return
+    m = _SOQL_ONLY.search(cond)
+    if m:
+        raise ValueError(
+            f"where_condition {cond!r} uses the SOQL-only construct "
+            f"{m.group(0)!r}; this engine takes ANSI/Spark-SQL expressions "
+            "(e.g. TODAY -> current_date(), LAST_N_DAYS:7 -> "
+            "date_sub(current_date(), 7), INCLUDES(x) -> "
+            "array_contains(split(col, ';'), 'x'))"
+        )
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            # parser-only (F.expr is lazy in PySpark 4); unresolved
+            # columns still surface later, at analysis
+            spark._jsparkSession.sessionState().sqlParser().parseExpression(cond)
+        except Exception as e:
+            first = next((ln for ln in str(e).splitlines() if ln.strip()), repr(e))
+            raise ValueError(
+                f"where_condition {cond!r} is not a valid Spark SQL "
+                f"expression: {first}"
+            ) from None
 
 
 @dataclass(frozen=True)
@@ -87,6 +142,7 @@ class MappingSpec:
         if not rules:
             # same contract as the reference (`mapping_parser.py:15-17`)
             raise ValueError("mapping must be non-empty")
+        validate_where_condition(where_condition)
         self.source_object = source_object
         self.destination_object = destination_object
         self.where_condition = where_condition

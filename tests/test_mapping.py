@@ -23,6 +23,30 @@ def test_load_json_array():
     assert [r.column_dst for r in spec.backfill_rules] == ["old_record_id"]
 
 
+def test_where_condition_soql_rejected_at_load():
+    # a real Salesforce mapping pasted in verbatim must fail at load
+    # time with a rewrite hint, not deep in the analyzer
+    for cond in (
+        "Account_Birthday__c > TODAY",
+        "CreatedDate >= LAST_N_DAYS:7",
+        "Interests__c INCLUDES ('golf')",
+    ):
+        spec = dict(FLAGSHIP_MAPPING, where_condition=cond)
+        with pytest.raises(ValueError, match="SOQL-only"):
+            MappingSpec.from_obj(spec)
+
+
+def test_where_condition_syntax_error_rejected_at_load(spark):
+    spec = dict(FLAGSHIP_MAPPING, where_condition="c_acctbal >== 3")
+    with pytest.raises(ValueError, match="not a valid Spark SQL"):
+        MappingSpec.from_obj(spec)
+
+
+def test_where_condition_ansi_accepted():
+    spec = dict(FLAGSHIP_MAPPING, where_condition="c_date >= date_sub(current_date(), 7)")
+    assert MappingSpec.from_obj(spec).where_condition.startswith("c_date")
+
+
 def test_extract_resolves_lookup(spark, catalog):
     spec = MappingSpec.from_obj(FLAGSHIP_MAPPING)
     df = spec.extract(catalog)
