@@ -29,8 +29,11 @@ HEADLINE = [
     "dedup_exact",        # fingerprint shuffle over documents corpus
     "dedup_minhash_lsh",  # shingle -> signature -> banded bucket join
     "similarity_topk",    # broadcast queries x corpus cosine + window
+    "similarity_ann_ivf", # IVF train + nprobe cell join (ANN scale path)
     "text_stats",         # scan-speed regex/token stats
     "pipeline_corpus_curation_lsh",  # full curation DAG over documents
+    "connector_scan_pushdown",       # DSv2 pushdown through the connector
+    "stream_tumbling_window",        # micro-batch windowed agg (streaming)
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,23 +109,47 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int):
+    """Clamp ``spark.sql.shuffle.partitions`` for a bounded stream run.
+
+    Stateful streaming operators instantiate, commit, and snapshot one
+    state store per shuffle partition per micro-batch — with the batch
+    session default (32 here) that fixed overhead dominates a bounded
+    replay many times over, regardless of data volume. The value is
+    captured into the query's (fresh) checkpoint at start, so clamping
+    around ``start()`` is exact; the session conf is restored after.
+    Unbounded production streams size this to throughput x key
+    cardinality instead — they don't go through these drivers.
+    """
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def run_to_memory_sink(
-    stream_df: DataFrame, *, output_mode: str = "complete"
+    stream_df: DataFrame, *, output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a bounded stream to completion into a memory sink and
     return the final result as a batch DataFrame."""
     name = f"out_{uuid.uuid4().hex[:12]}"
     ckpt = f"{_STAGE_ROOT}/ckpt_{name}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with _bounded_state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -267,13 +292,16 @@ def foreach_batch_upsert(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    q = (
-        events.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the clamp also covers merge_batch's inner batch jobs (window +
+    # bucket rewrite), which run while the stream is active
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return target_path
 

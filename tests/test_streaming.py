@@ -111,3 +111,37 @@ def test_stateful_counter_totals(spark, catalog):
     assert expected.exceptAll(final).count() == 0
     # multiple batches -> at least some users emitted more than once
     assert emissions.count() > final.count()
+
+
+def test_progress_listener_accumulates_batches(spark):
+    """§2.11 progress surface: the listener sees every micro-batch and
+    the summary's row count equals the replayed total (the numbers the
+    reference's printProgress/success_records_check rendered)."""
+    from mriya_spark.progress import ProgressLog
+
+    plog = ProgressLog.attach(spark)
+    try:
+        ev = S.read_events_stream(spark, SF, max_files_per_trigger=2, n_files=8)
+        out = S.run_to_memory_sink(
+            S.tumbling_window_counts(ev, minutes=10)
+        )
+        out.collect()
+        # listener events are delivered async on the bus; wait for all
+        # 4 batches (8 files / 2 per trigger) to arrive
+        import time
+
+        names = {s["name"] for s in plog.started}
+        assert len(names) == 1
+        (name,) = names
+        total = spark.read.parquet(S.stage_events_files(spark, SF)).count()
+        for _ in range(60):
+            if plog.summary(name)["rows"] >= total:
+                break
+            time.sleep(0.5)
+        summ = plog.summary(name)
+        assert summ["batches"] >= 4
+        assert summ["rows"] == total
+        assert summ["failures"] == 0
+        assert summ["last_state_rows"] > 0
+    finally:
+        plog.detach(spark)
