@@ -133,6 +133,30 @@ class MockTransport:
         return len(rows)
 
 
+def make_transport(options: dict):
+    """The transport seam: ``transport=mock`` (default, file-backed
+    org) or ``transport=http`` (`transport.py` — OAuth2 + streamed
+    CSV over the wire). Everything Spark-side (pushdown, pagination,
+    chunked DML) is identical through either."""
+    if options.get("transport", "mock") == "http":
+        from mriya_spark.connector.transport import ConnectorParams, HttpTransport
+
+        return HttpTransport(
+            ConnectorParams(
+                username=options.get("username", ""),
+                password=options.get("password", ""),
+                base_url=options["base_url"],
+                url_prefix=options.get("url_prefix", ""),
+                consumer_key=options.get("consumer_key", ""),
+                consumer_secret=options.get("consumer_secret", ""),
+                session_file=options.get(
+                    "session_file", "/tmp/mriya_spark_sessions.json"
+                ),
+            )
+        )
+    return MockTransport(options["org_dir"])
+
+
 def _json_default(v):
     import datetime
 
@@ -206,10 +230,46 @@ class _Page(InputPartition):
     limit: int
 
 
+def _restore(dt):
+    """Value restorer for one schema field: the wire is stringly (CSV
+    over HTTP; ISO strings in the mock's jsonl), the declared schema is
+    typed — idempotent for values the mock already deserialized."""
+    import datetime
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampType,
+    )
+
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return int
+    if isinstance(dt, (FloatType, DoubleType)):
+        return float
+    if isinstance(dt, BooleanType):
+        return lambda v: v if isinstance(v, bool) else str(v).lower() in ("true", "1")
+    if isinstance(dt, TimestampType):
+        return lambda v: (
+            v if isinstance(v, datetime.datetime)
+            else datetime.datetime.fromisoformat(v)
+        )
+    if isinstance(dt, DateType):
+        return lambda v: (
+            v if isinstance(v, datetime.date) else datetime.date.fromisoformat(v)
+        )
+    return lambda v: v
+
+
 class SalesforceMockReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
-        self.org_dir = options["org_dir"]
+        self.options = options
         self.object = options["object"]
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.pushed: list[dict] = []
@@ -225,7 +285,7 @@ class SalesforceMockReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         """One partition per page (≙ queryMore cursor positions) —
         fetched in parallel by executors."""
-        total = MockTransport(self.org_dir).count(self.object, self.pushed)
+        total = make_transport(self.options).count(self.object, self.pushed)
         n_pages = max(1, -(-total // self.page_size))
         return [
             _Page(offset=i * self.page_size, limit=self.page_size)
@@ -233,24 +293,14 @@ class SalesforceMockReader(DataSourceReader):
         ]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
-        import datetime
-
-        from pyspark.sql.types import DateType, TimestampType
-
-        transport = MockTransport(self.org_dir)
+        transport = make_transport(self.options)
         cols = [f.name for f in self.schema.fields]  # pruned by Spark
-        convs = {}
-        for f in self.schema.fields:
-            if isinstance(f.dataType, TimestampType):
-                convs[f.name] = lambda v: datetime.datetime.fromisoformat(v)
-            elif isinstance(f.dataType, DateType):
-                convs[f.name] = lambda v: datetime.date.fromisoformat(v)
+        convs = {f.name: _restore(f.dataType) for f in self.schema.fields}
         for row in transport.query_page(
             self.object, cols, self.pushed, partition.offset, partition.limit
         ):
             yield tuple(
-                convs[c](row[c]) if c in convs and row.get(c) is not None
-                else row.get(c)
+                convs[c](row[c]) if row.get(c) is not None else None
                 for c in cols
             )
 
@@ -266,14 +316,14 @@ class _WriteResult(WriterCommitMessage):
 class SalesforceMockWriter(DataSourceWriter):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
-        self.org_dir = options["org_dir"]
+        self.options = options
         self.object = options["object"]
 
     def write(self, rows: Iterator) -> _WriteResult:
         """Per-partition chunked DML: buffer ≤200 rows per transport
         call (`data_connector.py:119-161` chunking, parallelized per
         partition instead of one serial driver loop)."""
-        transport = MockTransport(self.org_dir)
+        transport = make_transport(self.options)
         cols = [f.name for f in self.schema.fields]
         buf: list[dict] = []
         n_rows = n_calls = 0
@@ -289,14 +339,16 @@ class SalesforceMockWriter(DataSourceWriter):
         return _WriteResult(n_rows=n_rows, n_calls=n_calls)
 
     def commit(self, messages: list[_WriteResult]) -> None:
-        MockTransport(self.org_dir)._log(
-            {
-                "op": "commit",
-                "object": self.object,
-                "n_rows": sum(m.n_rows for m in messages),
-                "n_calls": sum(m.n_calls for m in messages),
-            }
-        )
+        transport = make_transport(self.options)
+        if hasattr(transport, "_log"):  # call log is a mock-org feature
+            transport._log(
+                {
+                    "op": "commit",
+                    "object": self.object,
+                    "n_rows": sum(m.n_rows for m in messages),
+                    "n_calls": sum(m.n_calls for m in messages),
+                }
+            )
 
 
 # ---------------------------------------------------------------- source
