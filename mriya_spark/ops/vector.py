@@ -227,7 +227,6 @@ def ivf_train(
         )
     vecs = vecs.cache()  # read once; reused every Lloyd iteration
     try:
-        dim = vecs.select(F.size("__v").alias("d")).limit(1).collect()[0]["d"]
         init = (
             vecs.orderBy(F.xxhash64(F.lit(seed), F.col("__id")))
             .limit(n_centroids)
@@ -235,6 +234,7 @@ def ivf_train(
             .collect()
         )
         centroids = [list(r["__v"]) for r in init]
+        dim = len(centroids[0])  # init rows carry vectors; no extra job
         for _ in range(iters):
             assigned = vecs.select(
                 _nearest_centroid(F.col("__v"), centroids).alias("cid"), "__v"
@@ -315,6 +315,7 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 5,
     seed: int = 42,
+    sample_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -339,6 +340,7 @@ def ivf_topk(
         n_centroids=n_centroids,
         iters=iters,
         seed=seed,
+        sample_fraction=sample_fraction,
         id_col=id_col,
         vec_col=vec_col,
     )
