@@ -151,6 +151,66 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition + composition signals per document.
+
+    The filters real curation pipelines cut on (Rae et al. 2021
+    "Scaling Language Models" §A1.1, Raffel et al. 2020 C4): duplicate
+    lines, bullet/ellipsis line shapes, words without any alphabetic
+    character, symbol noise. All built-in array/regex expressions over
+    one projection — scan-speed, no shuffle, no Python:
+
+    - ``dup_line_frac``     — 1 - distinct/total over trimmed non-empty
+                              lines (Gopher cuts > 0.30)
+    - ``bullet_line_frac``  — lines starting with a bullet (cut > 0.90)
+    - ``ellipsis_line_frac``— lines ending in '...' (cut > 0.30)
+    - ``alpha_word_frac``   — words containing a letter (cut < 0.80)
+    - ``symbol_word_ratio`` — '#' and '...' hits per word (cut > 0.10)
+    - ``gopher_flagged``    — any cut tripped
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    words = tokens(t)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    dup_line = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
+    )
+    bullet = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))) / n_lines, 6
+    )
+    ellipsis = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 6
+    )
+    alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    n_sym = (
+        F.size(F.regexp_extract_all(t, F.lit("#"), 0))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    ).cast("long")
+    symbol = F.round(n_sym / n_words, 6)
+    out = df.select(
+        "doc_id",
+        dup_line.alias("dup_line_frac"),
+        bullet.alias("bullet_line_frac"),
+        ellipsis.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        symbol.alias("symbol_word_ratio"),
+    )
+    flagged = (
+        (F.col("dup_line_frac") > 0.30)
+        | (F.col("bullet_line_frac") > 0.90)
+        | (F.col("ellipsis_line_frac") > 0.30)
+        | (F.col("alpha_word_frac") < 0.80)
+        | (F.col("symbol_word_ratio") > 0.10)
+    )
+    return out.withColumn("gopher_flagged", flagged)
+
+
 def lang_group_stats(df: DataFrame) -> DataFrame:
     """Corpus composition by language label."""
     return df.groupBy("lang").agg(

@@ -1320,6 +1320,41 @@ def lang_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_group_stats(_cat(spark, sf_dir).table("documents"))
 
 
+@register(
+    "text_gopher_signals",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS lines,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words,
+             text
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             round((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1), 6) AS dup_line_frac,
+             round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) / greatest(len(lines), 1), 6) AS bullet_line_frac,
+             round(len(list_filter(lines, l -> l LIKE '%...')) / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+             round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / greatest(len(words), 1), 6) AS alpha_word_frac,
+             round((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))
+                   / greatest(len(words), 1), 6) AS symbol_word_ratio
+      FROM base)
+    SELECT *,
+           (dup_line_frac > 0.30 OR bullet_line_frac > 0.90
+            OR ellipsis_line_frac > 0.30 OR alpha_word_frac < 0.80
+            OR symbol_word_ratio > 0.10) AS gopher_flagged
+    FROM sig
+    """,
+)
+def text_gopher_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition + composition cut signals (dup lines,
+    bullet/ellipsis shapes, non-alpha words, symbol noise) — the
+    standard pre-training quality filters, one scan-local projection."""
+    from mriya_spark.ops.text import repetition_signals
+
+    return repetition_signals(_cat(spark, sf_dir).table("documents"))
+
+
 # ---------------------------------------------------------------------------
 # north-star: dedup family (ops.dedup)
 # ---------------------------------------------------------------------------

@@ -45,6 +45,23 @@ def test_fingerprint_normalizes_whitespace_case(spark):
     assert fps[1] == fps[2] != fps[3]
 
 
+def test_repetition_signals_planted(spark):
+    docs = [
+        (1, "good clean prose line\nanother fine line\nthird line here"),
+        (2, "dup\ndup\ndup\ndup"),
+        (3, "- first\n- second\n- third"),
+        (4, "1 2 3 4 5 6 7 8 9"),
+        (5, "wait...\nmore...\nyes...\nok..."),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    assert not out[1].gopher_flagged
+    assert out[2].dup_line_frac == 0.75 and out[2].gopher_flagged
+    assert out[3].bullet_line_frac == 1.0 and out[3].gopher_flagged
+    assert out[4].alpha_word_frac == 0.0 and out[4].gopher_flagged
+    assert out[5].ellipsis_line_frac == 1.0 and out[5].gopher_flagged
+
+
 # --------------------------------------------------------------- dedup --
 
 def test_exact_dedup_keeps_min_id(spark):
