@@ -104,6 +104,76 @@ def upsert_merge(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return survivors.unionByName(source, allowMissingColumns=True)
 
 
+def merge_into_sql(
+    target_table: str,
+    source_view: str,
+    key: str,
+    *,
+    update_cols: list[str],
+    insert_cols: list[str] | None = None,
+) -> str:
+    """The transactional twin of ``upsert_merge``: a ``MERGE INTO``
+    statement for catalogs whose tables support row-level operations
+    (Delta, Iceberg — neither ships in this image, so only the SQL
+    builder is exercised here; `data_connector.py:301-310` is the
+    reference intent).
+
+    ``upsert_merge`` (anti-join + union) and this statement are the
+    same logical plan — a transactional backend adds snapshot isolation
+    and file-level conflict handling, not different semantics.
+    """
+    ins = insert_cols or [key, *update_cols]
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    cols = ", ".join(ins)
+    vals = ", ".join(f"s.{c}" for c in ins)
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s "
+        f"ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def upsert_table(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    key: str,
+    *,
+    backend: str = "auto",
+) -> None:
+    """Upsert ``source`` into a cataloged table behind one signature.
+
+    ``backend='merge'`` runs a real ``MERGE INTO`` (requires a
+    Delta/Iceberg-backed table); ``'overwrite'`` applies the
+    ``upsert_merge`` emulation and overwrites the table;``'auto'``
+    tries MERGE and falls back. The choice changes transactionality,
+    never the resulting rows.
+    """
+    view = f"__upsert_src_{abs(hash(target_table)) % 10**8}"
+    source.createOrReplaceTempView(view)
+    try:
+        update_cols = [c for c in source.columns if c != key]
+        if backend in ("merge", "auto"):
+            stmt = merge_into_sql(
+                target_table, view, key,
+                update_cols=update_cols, insert_cols=source.columns,
+            )
+            try:
+                spark.sql(stmt)
+                return
+            except Exception:
+                if backend == "merge":
+                    raise
+        merged = upsert_merge(spark.table(target_table), source, key)
+        # self-referencing overwrite: materialize before truncating
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            target_table
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def delete_where(target: DataFrame, predicate: str | Column) -> DataFrame:
     """S10 — delete by predicate (`data_connector.py:294-298`):
     keep the anti-complement."""

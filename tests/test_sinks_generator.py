@@ -77,3 +77,38 @@ def test_generator_custom_struct(spark):
         defaults={}, prefixes={}, seed=1,
     )
     assert set(df.columns) == {"row_id", "a", "b"}
+
+
+def test_merge_into_sql_text():
+    stmt = sinks.merge_into_sql(
+        "dst", "src_view", "id", update_cols=["name", "amt"]
+    )
+    assert stmt == (
+        "MERGE INTO dst t USING src_view s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, name, amt) "
+        "VALUES (s.id, s.name, s.amt)"
+    )
+
+
+def test_upsert_table_auto_falls_back_without_merge_backend(spark):
+    """No Delta/Iceberg in this image: backend='auto' must fall back to
+    the emulation and produce MERGE semantics; backend='merge' must
+    surface the failure instead of silently degrading."""
+    import uuid
+
+    import pytest
+
+    tbl = f"upsert_tbl_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "name"]
+    ).write.saveAsTable(tbl)
+    src = spark.createDataFrame([(2, "B2"), (3, "c")], ["id", "name"])
+    try:
+        sinks.upsert_table(spark, tbl, src, "id", backend="auto")
+        got = {r.id: r.name for r in spark.table(tbl).collect()}
+        assert got == {1: "a", 2: "B2", 3: "c"}
+        with pytest.raises(Exception):
+            sinks.upsert_table(spark, tbl, src, "id", backend="merge")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
