@@ -144,3 +144,22 @@ def test_migration_pipeline_whole_stage_codegen(spark, queries):
     assert "isFinalPlan=true" in plan
     # codegen'd operators print as "*(n) Op" in the executed plan
     assert re.search(r"\*\(\d+\)", plan), plan
+
+
+def test_blocked_neardup_candidates_are_equi_joins(spark, queries):
+    """The LSH/SimHash/cosine blocking exists to turn all-pairs compare
+    into bucket equi-joins — if a refactor drops the equi-keys, Spark
+    silently degrades to BroadcastNestedLoopJoin/Cartesian and the op
+    is O(n^2) again. Only the exact oracle twin (dedup_embedding_cosine,
+    dedup_ngram_jaccard's shared-shingle join) may keep a theta join."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_embedding_cosine_lsh"):
+        plan = executed_plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_probe_is_equi_join_on_cell(spark, queries):
+    plan = executed_plan(queries["similarity_ann_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
