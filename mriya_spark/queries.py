@@ -2358,6 +2358,66 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) —
+    the quantile-bucketing shape data pipelines use for per-group
+    score binning. Total order inside the window (tie-broken on the
+    key) keeps every engine's answer identical."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _cat(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "string_distance_pairs",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS edit_dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 20 AND b.doc_id < 20
+      AND levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) <= 20
+    """,
+)
+def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs over text prefixes — the fuzzy-match
+    primitive behind record linkage. Bounded on purpose: levenshtein
+    is O(len^2) per pair, so real pipelines run it only as the VERIFY
+    step after candidate blocking (the same role exact Jaccard plays
+    for MinHash-LSH); the 30-char prefix + id cap here mirror that
+    post-blocking shape."""
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 20)
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.substring("text", 1, 30).alias("t_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.substring("text", 1, 30).alias("t_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("t_a", "t_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+
+
+@register(
     "orderby_full_sort",
     """
     SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC
