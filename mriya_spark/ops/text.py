@@ -151,6 +151,43 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    chunk_size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    LLM-ingest chunking primitive (context-window packing, RAG
+    indexing). One ``posexplode`` over per-row window starts; zero
+    Python, zero shuffle — at 100 TB this is a scan-speed flat-map
+    whose output feeds the embedding stage.
+
+    Windows start every ``chunk_size - overlap`` tokens; the last
+    window may be shorter (never empty); empty documents produce no
+    rows. Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    w = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(step)
+    )
+    exploded = (
+        df.select("doc_id", w.alias("__w"), F.posexplode(starts).alias("chunk_idx", "__s"))
+        .filter(F.col("__s") < F.size("__w"))
+    )
+    chunk = F.slice(F.col("__w"), F.col("__s") + 1, chunk_size)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/C4-style repetition + composition signals per document.
 

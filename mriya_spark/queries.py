@@ -1321,6 +1321,31 @@ def lang_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunking",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM documents),
+    st AS (
+      SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 40)) AS s
+      FROM words)
+    SELECT doc_id,
+           s // 40 AS chunk_idx,
+           array_to_string(list_slice(w, s + 1, s + 50), ' ') AS chunk_text,
+           len(list_slice(w, s + 1, s + 50)) AS n_chunk_tokens
+    FROM st WHERE s < len(w)
+    """,
+)
+def text_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token windows, 10-token
+    overlap) — the LLM-ingest flat-map; see ``ops.text.chunk_tokens``."""
+    from mriya_spark.ops.text import chunk_tokens
+
+    return chunk_tokens(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
     "text_gopher_signals",
     r"""
     WITH base AS (

@@ -45,6 +45,33 @@ def test_fingerprint_normalizes_whitespace_case(spark):
     assert fps[1] == fps[2] != fps[3]
 
 
+def test_chunk_tokens_windows_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(12))),  # 12 tokens
+            (2, "short doc"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.chunk_tokens(df, chunk_size=5, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts every 3 tokens at 0,3,6,9 -> 4 chunks, last shorter
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text == "w0 w1 w2 w3 w4"
+    assert c1[1].chunk_text == "w3 w4 w5 w6 w7"  # 2-token overlap
+    assert c1[3].chunk_text == "w9 w10 w11" and c1[3].n_chunk_tokens == 3
+    assert by_doc[2][0].chunk_text == "short doc"
+    assert 3 not in by_doc  # empty doc -> no chunks
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_tokens(df, chunk_size=5, overlap=5)
+
+
 def test_repetition_signals_planted(spark):
     docs = [
         (1, "good clean prose line\nanother fine line\nthird line here"),
