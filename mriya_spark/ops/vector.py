@@ -183,6 +183,42 @@ def lsh_topk(
     )
 
 
+def group_centroids(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Element-wise mean embedding per group — the pooling primitive
+    behind class prototypes, topic centroids, and IVF cell stats.
+
+    Shape: ``dim`` scalar ``avg(element_at(...))`` aggregates in ONE
+    groupBy — map-side partial aggregation, a single shuffle of
+    n_groups x dim partial sums, then the array is reassembled. The
+    alternative (explode to (group, pos, val) rows) shuffles
+    rows x dim records; this shuffles groups x dim. Values are cast
+    to double BEFORE averaging so engines agree exactly.
+    """
+    if dim is None:
+        dim = len(
+            df.select(F.col(vec_col).alias("v")).limit(1).collect()[0]["v"]
+        )
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [
+        F.round(F.avg(F.element_at(v, d + 1)), 6).alias(f"__c{d}")
+        for d in range(dim)
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(*aggs)
+        .select(
+            group_col,
+            F.array(*[F.col(f"__c{d}") for d in range(dim)]).alias("centroid"),
+        )
+    )
+
+
 def _unit(vec: Column) -> Column:
     """L2-normalize to unit length (zero vectors pass through as-is)."""
     n = _norm(vec)

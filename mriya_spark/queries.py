@@ -1589,6 +1589,26 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+_CENTROID_DIM = 64  # embeddings fixture dimension (all SFs)
+
+@register(
+    "embedding_group_centroid",
+    "SELECT label, ["
+    + ", ".join(
+        f"round(avg(CAST(embedding AS DOUBLE[])[{d + 1}]), 6)"
+        for d in range(_CENTROID_DIM)
+    )
+    + "] AS centroid FROM embeddings GROUP BY label",
+)
+def embedding_group_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes): one partial-agg
+    shuffle of groups x dim sums — see ``ops.vector.group_centroids``."""
+    from mriya_spark.ops.vector import group_centroids
+
+    emb = _cat(spark, sf_dir).table("embeddings")
+    return group_centroids(emb, group_col="label", dim=_CENTROID_DIM)
+
+
 @register("similarity_ann_lsh", None)  # approximate recall -> rows-only
 def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-10 (6 planes -> ~64x candidate
