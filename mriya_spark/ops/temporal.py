@@ -94,6 +94,43 @@ def band_join(
     return left.join(r, on=condition, how=how)
 
 
+def gap_fill_counts(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    minutes: int = 10,
+) -> DataFrame:
+    """Dense per-key time-bucket counts: every ``minutes`` bucket
+    between a key's first and last event appears, empty buckets as 0 —
+    the time_bucket_gapfill / hypertable-rollup shape.
+
+    Plan: one (key, bucket) partial-agg shuffle for the sparse counts;
+    the dense bucket axis is GENERATED (sequence+explode per key from
+    the key's min/max — n_keys rows in, n_buckets out), never scanned;
+    one final left join sparse->dense. Nothing in the plan is
+    proportional to raw rows except the first aggregation.
+    """
+    bucket = F.window(F.col(ts), f"{minutes} minutes")["start"]
+    sparse = (
+        df.groupBy(F.col(key), bucket.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spans = sparse.groupBy(key).agg(
+        F.min("window_start").alias("__mn"), F.max("window_start").alias("__mx")
+    )
+    dense = spans.select(
+        key,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"INTERVAL {minutes} minutes"))
+        ).alias("window_start"),
+    )
+    return (
+        dense.join(sparse, on=[key, "window_start"], how="left")
+        .select(key, "window_start", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
 def sessionize(
     df: DataFrame,
     *,

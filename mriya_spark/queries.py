@@ -1209,6 +1209,34 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_gapfill",
+    """
+    WITH c AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, min(window_start) AS mn, max(window_start) AS mx
+          FROM c GROUP BY 1),
+    g AS (SELECT event_type,
+                 unnest(generate_series(mn, mx, INTERVAL 10 minutes)) AS window_start
+          FROM r)
+    SELECT g.event_type, g.window_start, coalesce(c.n, 0) AS n
+    FROM g LEFT JOIN c USING (event_type, window_start)
+    """,
+)
+def events_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 10-min bucket counts per event type, empty buckets as 0 —
+    the time_bucket_gapfill / hypertable-rollup shape; the dense axis
+    is generated from per-key spans, never scanned
+    (``ops.temporal.gap_fill_counts``)."""
+    from mriya_spark.ops.temporal import gap_fill_counts
+
+    ev = _cat(spark, sf_dir).table("events").select("event_type", "ts")
+    return gap_fill_counts(ev, key="event_type", ts="ts", minutes=10)
+
+
 # ---------------------------------------------------------------------------
 # north-star: text analysis (ops.text)
 # ---------------------------------------------------------------------------
