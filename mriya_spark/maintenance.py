@@ -1,0 +1,82 @@
+"""Table maintenance: small-file compaction for parquet datasets.
+
+Streaming sinks accrete files — ``foreach_batch_upsert`` writes every
+touched bucket once per micro-batch, a long-running ingest leaves
+thousands of KB-sized files per partition, and at 100 TB the scan cost
+of a dataset is driven by file count as much as byte count (task
+scheduling, footer reads, no row-group parallelism inside tiny files).
+The reference never manages storage (Salesforce does); this is the
+lakehouse-side half of SURVEY §2.1's sink surface — what Delta/Iceberg
+``OPTIMIZE`` does, on plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+#: default target size per output file; 128 MB matches
+#: ``spark.sql.files.maxPartitionBytes`` so one compacted file == one
+#: scan task downstream.
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _dataset_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path``, recursively."""
+    n = total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("part-", "data-")) and not f.endswith(".crc"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files.
+
+    Reads the dataset, repartitions to ``ceil(bytes / target)`` output
+    partitions — hash-distributed on the partition columns when the
+    layout is partitioned, so each Hive directory receives whole
+    output partitions — and atomically swaps the rewrite in (stage to
+    a sibling tmp dir, then move). Returns before/after file stats.
+
+    Rows are preserved exactly (tested); only the file layout changes.
+    On a transactional format this whole function is ``OPTIMIZE``;
+    plain parquet pays one full rewrite, which is why real deployments
+    compact per-partition on a schedule, not per-batch.
+    """
+    n_before, bytes_before = _dataset_stats(path)
+    df = spark.read.parquet(path)
+    n_out = max(1, -(-bytes_before // target_file_bytes))
+    if partition_by:
+        # distribute on the partition columns: each output task holds
+        # entire Hive partitions, so files-per-directory stays ~1
+        df = df.repartition(n_out, *partition_by)
+    else:
+        df = df.repartition(n_out)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    n_after, bytes_after = _dataset_stats(path)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+    }

@@ -145,3 +145,32 @@ def test_progress_listener_accumulates_batches(spark):
         assert summ["last_state_rows"] > 0
     finally:
         plog.detach(spark)
+
+
+def test_compact_parquet_shrinks_fragmented_dataset(spark, catalog):
+    """Compaction must collapse a many-small-files layout to ~1 file
+    per Hive partition while preserving rows exactly and keeping the
+    partition dirs usable for pruning."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mriya_spark.maintenance import compact_parquet
+
+    target = f"/tmp/mriya_spark_stream/compact_{uuid.uuid4().hex[:8]}"
+    ev = catalog.table("events").withColumn(
+        "__bucket", F.pmod(F.xxhash64("user_id"), F.lit(4)).cast("int")
+    )
+    # fragment on purpose: 32 writer tasks x 4 bucket dirs
+    ev.repartition(32).write.partitionBy("__bucket").parquet(target)
+    before = spark.read.parquet(target)
+    rows_before = {(r.user_id, r.event_id) for r in before.collect()}
+    stats = compact_parquet(spark, target, partition_by=["__bucket"])
+    assert stats["files_before"] > 30
+    assert stats["files_after"] <= 8
+    after = spark.read.parquet(target)
+    rows_after = {(r.user_id, r.event_id) for r in after.collect()}
+    assert rows_after == rows_before
+    # layout preserved: hive bucket dirs still exist for pruning
+    assert any(d.startswith("__bucket=") for d in os.listdir(target))
