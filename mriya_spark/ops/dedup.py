@@ -124,37 +124,77 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_from_shingles(
-    sh: DataFrame, *, threshold: float = 0.6
+    sh: DataFrame, *, threshold: float = 0.6, max_shingle_df: int | None = None
 ) -> DataFrame:
     """Exact Jaccard pairs from a pre-shingled ``(doc_id, shingles)``
     frame — callers that already computed (and persisted) shingle
-    hashes skip the tokenize/hash stage entirely."""
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    hashes skip the tokenize/hash stage entirely.
+
+    ``max_shingle_df`` is the hot-shingle guard: a shingle appearing in
+    d documents contributes d²/2 join rows, so one boilerplate phrase
+    across a large corpus turns the inverted-index join quadratic.
+    With a cap, shingles above the document-frequency cap are dropped
+    from the CANDIDATE index only; surviving pairs are verified on the
+    full arrays, so every reported jaccard is still exact — recall is
+    lost only for pairs whose shared shingles are ALL hot (which a
+    boilerplate phrase is, and near-dup content is not). ``None`` = the
+    fully exact oracle form.
+    """
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    shared = (
+    if max_shingle_df is None:
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        a = inv.alias("a")
+        b = inv.alias("b")
+        shared = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        out = (
+            shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "size_a"}),
+                        on="doc_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "size_b"}),
+                  on="doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_shared")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("doc_a", "doc_b", "jaccard")
+    # capped path: df-filtered index generates candidates; exact verify
+    # on the shingle arrays (callers should hand in a persisted ``sh``)
+    cold = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+    )
+    a = inv.join(cold.select("shingle"), on="shingle").alias("a")
+    b = inv.join(cold.select("shingle"), on="shingle").alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    out = (
-        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "size_a"}),
-                    on="doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "size_b"}),
-              on="doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
-                6,
-            ),
-        )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sh_a")), on="doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), on="doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return out.select("doc_a", "doc_b", "jaccard")
 
 
 def minhash_signature(

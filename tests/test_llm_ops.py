@@ -114,6 +114,33 @@ def test_ngram_jaccard_identical_docs(spark):
     assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The df-capped candidate path must still find real near-dups
+    (their shared shingles are cold) and report EXACT jaccard values,
+    while a boilerplate shingle shared by every doc stops generating
+    candidates."""
+    boiler = "standard legal disclaimer text"
+    docs = [(i, f"{boiler} unique{i} filler{i} words{i} here{i}") for i in range(40)]
+    docs += [(100, f"{boiler} alpha beta gamma delta epsilon"),
+             (101, f"{boiler} alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = dedup.add_shingle_hashes(df).select("doc_id", "shingles")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_from_shingles(sh, threshold=0.3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_from_shingles(
+            sh, threshold=0.3, max_shingle_df=10
+        ).collect()
+    }
+    assert (100, 101) in capped  # the real near-dup survives the cap
+    assert capped[(100, 101)] == exact[(100, 101)]  # values stay exact
+    # boilerplate-only pairs are exactly the recall the cap trades away
+    assert set(capped) <= set(exact)
+
+
 def test_minhash_lsh_recall_vs_exact(catalog, spark):
     docs = catalog.table("documents").select("doc_id", "text")
     perturbed = docs.filter("doc_id < 50").select(
