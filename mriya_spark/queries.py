@@ -2253,6 +2253,62 @@ def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udaf_geomean",
+    """
+    SELECT lang, round(exp(avg(ln(n_chars))), 6) AS geomean_chars
+    FROM documents WHERE n_chars > 0 GROUP BY lang
+    """,
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (SURVEY §2.10): a geometric mean the
+    built-in aggregates lack. Arrow hands each group's column to one
+    numpy reduction; the shuffle is the same single hash exchange a
+    built-in agg pays (no partial aggregation — the documented cost of
+    the UDAF path vs exp(avg(ln)) in pure exprs, which is what the
+    oracle uses)."""
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("n_chars") > 0)
+    return docs.groupBy("lang").agg(
+        F.round(geomean("n_chars"), 6).alias("geomean_chars")
+    )
+
+
+@register(
+    "grouped_map_zscore",
+    """
+    SELECT doc_id, lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z
+    FROM documents
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY §2.10): per-language z-score
+    computed inside one pandas function per group. Deliberately an op a
+    window expression ALSO expresses — the oracle checks the custom
+    path value-exact. Real uses are the per-group logic windows can't
+    express (model scoring, per-group fits); this pins the plumbing:
+    one shuffle on the grouping key, Arrow both ways."""
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, z double"
+    )
+
+
+@register(
     "udtf_char_ngrams",
     """
     SELECT doc_id, unnest([substring(text, i, 4) FOR i IN range(1, length(text) - 2)]) AS ngram
