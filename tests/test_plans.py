@@ -163,3 +163,21 @@ def test_ivf_probe_is_equi_join_on_cell(spark, queries):
     plan = executed_plan(queries["similarity_ann_ivf"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column filter must prune
+    at the directory level: the scan's PartitionFilters carry the
+    predicate and non-matching partitions never become input splits —
+    at 100 TB this is the difference between scanning one language and
+    scanning the corpus."""
+    from mriya_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF).table("documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    scan = spark.read.parquet(path).filter("lang = 'en'").select("doc_id")
+    plan = formatted(scan)
+    assert re.search(r"PartitionFilters: \[.*lang.*\]", plan), plan
+    n_en = docs.filter("lang = 'en'").count()
+    assert scan.count() == n_en
