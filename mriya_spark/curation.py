@@ -1,0 +1,153 @@
+"""Curation recipes: a declarative spec -> one lazy curation plan.
+
+The reference's engine is "a JSON document compiled to a data plan"
+(`/root/reference/mapping_parser.py` — mapping doc -> SOQL + dict
+loops; restated in ``mriya_spark.mapping``). This module gives the
+training-data pipeline the same product shape: a JSON-able spec
+naming quality filters, dedup stages, and output columns, compiled to
+one DataFrame DAG built from the ops library (``ops.text``,
+``ops.dedup``). Invalid specs fail at load time with the offending
+stage named — same contract as ``MappingSpec`` (where_condition
+validation).
+
+Spec form::
+
+    {
+      "filters": [
+        {"type": "quality", "min_score": 0.5},
+        {"type": "gopher"},
+        {"type": "lang", "keep": ["en", "de"]},
+        {"type": "token_range", "min": 5, "max": 100000}
+      ],
+      "dedup": [
+        {"type": "exact"},
+        {"type": "minhash_lsh", "threshold": 0.6}   # or "ngram_jaccard"
+      ],
+      "output": ["doc_id", "lang_pred", "n_tokens", "quality_score"]
+    }
+
+Filter/dedup stages run in spec order. Scale shape mirrors
+``queries._curate``: scoring is inline in the scan projection, exact
+dedup is one fingerprint shuffle, near-dup stages shingle once into a
+scope-cached frame that serves candidates and the final anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mriya_spark.caching import cache_scope, scoped_persist
+
+_FILTER_TYPES = {"quality", "gopher", "lang", "token_range"}
+_DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard"}
+
+#: columns the scoring projection can emit
+_DERIVED = {"lang_pred", "n_tokens", "quality_score"}
+
+
+class CurationSpec:
+    def __init__(
+        self,
+        *,
+        filters: list[dict],
+        dedup: list[dict],
+        output: list[str],
+    ):
+        for f in filters:
+            if f.get("type") not in _FILTER_TYPES:
+                raise ValueError(
+                    f"unknown filter type {f.get('type')!r}; "
+                    f"supported: {sorted(_FILTER_TYPES)}"
+                )
+            if f["type"] == "lang" and not f.get("keep"):
+                raise ValueError("lang filter needs a non-empty 'keep' list")
+        for d in dedup:
+            if d.get("type") not in _DEDUP_TYPES:
+                raise ValueError(
+                    f"unknown dedup type {d.get('type')!r}; "
+                    f"supported: {sorted(_DEDUP_TYPES)}"
+                )
+        bad = [c for c in output if c not in _DERIVED and not c.isidentifier()]
+        if bad or not output:
+            raise ValueError(f"bad output columns: {bad or output}")
+        self.filters = filters
+        self.dedup = dedup
+        self.output = output
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "CurationSpec":
+        return cls(
+            filters=list(obj.get("filters", [])),
+            dedup=list(obj.get("dedup", [])),
+            output=list(obj.get("output", ["doc_id"])),
+        )
+
+    # -- compilation -----------------------------------------------------
+    def build(self, corpus: DataFrame, *, text_col: str = "text") -> DataFrame:
+        """Compile to one lazy plan over ``corpus`` (needs ``doc_id``
+        and ``text_col``; a ``lang`` column if a lang filter is used)."""
+        from mriya_spark.ops import dedup as D
+        from mriya_spark.ops import text as T
+
+        with cache_scope():
+            # one scoring projection: every derived column the filters
+            # or the output need, computed inline at the scan
+            cols = [F.col(c) for c in corpus.columns]
+            cols += [
+                T.token_count(F.col(text_col)).alias("n_tokens"),
+                T.quality_score_col(text_col).alias("quality_score"),
+                T.lang_pred(text_col).alias("lang_pred"),
+            ]
+            df = corpus.select(*cols)
+            for f in self.filters:
+                df = self._apply_filter(df, f, text_col, T)
+            for d in self.dedup:
+                df = self._apply_dedup(df, d, text_col, D)
+            return df.select(*self.output)
+
+    @staticmethod
+    def _apply_filter(df: DataFrame, f: dict, text_col: str, T) -> DataFrame:
+        kind = f["type"]
+        if kind == "quality":
+            return df.filter(
+                F.col("quality_score") >= float(f.get("min_score", 0.5))
+            )
+        if kind == "gopher":
+            sig = T.repetition_signals(df.select("doc_id", text_col), text_col)
+            keep = sig.filter(~F.col("gopher_flagged")).select("doc_id")
+            return df.join(keep, on="doc_id", how="left_semi")
+        if kind == "lang":
+            return df.filter(F.col("lang_pred").isin(list(f["keep"])))
+        # token_range
+        lo, hi = int(f.get("min", 1)), int(f.get("max", 1 << 31))
+        return df.filter(F.col("n_tokens").between(lo, hi))
+
+    @staticmethod
+    def _apply_dedup(df: DataFrame, d: dict, text_col: str, D) -> DataFrame:
+        from pyspark.sql import Window
+
+        kind = d["type"]
+        if kind == "exact":
+            w = Window.partitionBy(F.md5(D.normalized(text_col)))
+            return (
+                df.withColumn("__keep", F.min("doc_id").over(w))
+                .filter(F.col("doc_id") == F.col("__keep"))
+                .drop("__keep")
+            )
+        # near-dup stages: shingle once (scope-cached), drop the larger
+        # id of every pair over the threshold
+        thr = float(d.get("threshold", 0.6))
+        sh = scoped_persist(
+            D.add_shingle_hashes(df.select("doc_id", text_col), text_col)
+            .select("doc_id", "shingles")
+        )
+        if kind == "minhash_lsh":
+            pairs = D.minhash_lsh_pairs_from_shingles(sh, threshold=thr)
+        else:
+            pairs = D.ngram_jaccard_pairs_from_shingles(
+                sh, threshold=thr,
+                max_shingle_df=d.get("max_shingle_df"),
+            )
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return df.join(drop, on="doc_id", how="left_anti")

@@ -2778,3 +2778,66 @@ def pipeline_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup="lsh",
         threshold=0.6,
     )
+
+
+# ---------------------------------------------------------------------------
+# north-star: declarative curation recipes (mriya_spark.curation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "curation_recipe",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM corpus),
+    kept_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    langd AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))     AS n_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
+      FROM kept_q),
+    langf AS (
+      SELECT kq.*,
+             CASE WHEN l.n_en + l.n_de + l.n_es + l.n_fr = 0 THEN 'und'
+                  WHEN l.n_de >= l.n_en AND l.n_de >= l.n_es AND l.n_de >= l.n_fr THEN 'de'
+                  WHEN l.n_en >= l.n_es AND l.n_en >= l.n_fr THEN 'en'
+                  WHEN l.n_es >= l.n_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM kept_q kq JOIN langd l USING (doc_id)),
+    kept_l AS (SELECT * FROM langf WHERE lang_pred IN ('en', 'de')),
+    ex AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept_l
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+    SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality_score
+    FROM kept_l k JOIN ex USING (doc_id)
+    """,
+)
+def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative curation: a JSON-able recipe (quality cut -> keep
+    en/de -> exact dedup) compiled by ``mriya_spark.curation`` into
+    one lazy plan from the ops library — the training-data analogue
+    of the reference's mapping-document engine
+    (`/root/reference/mapping_parser.py`)."""
+    from mriya_spark.curation import CurationSpec
+
+    spec = CurationSpec.from_obj(
+        {
+            "filters": [
+                {"type": "quality", "min_score": 0.5},
+                {"type": "lang", "keep": ["en", "de"]},
+            ],
+            "dedup": [{"type": "exact"}],
+            "output": ["doc_id", "lang_pred", "n_tokens", "quality_score"],
+        }
+    )
+    return spec.build(_neardup_corpus(spark, sf_dir))
