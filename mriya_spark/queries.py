@@ -745,6 +745,48 @@ def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_scd2_merge",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer),
+    u AS (
+      SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal,
+             TIMESTAMP '2024-06-01' AS valid_from
+      FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT t.c_custkey, t.c_acctbal, t.valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2024-06-01' END AS valid_to
+    FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_acctbal, valid_from, CAST(NULL AS TIMESTAMP)
+    FROM u
+    """,
+)
+def sink_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving (SCD type-2) upsert: current versions of
+    updated keys close at the update timestamp, updates append as the
+    new open version — see ``sinks.scd2_merge``."""
+    from mriya_spark import sinks
+
+    cust = _cat(spark, sf_dir).table("customer")
+    target = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("timestamp").alias("valid_from"),
+    )
+    return sinks.scd2_merge(target, updates, key="c_custkey")
+
+
+@register(
     "delete_by_predicate",
     """
     SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')

@@ -104,6 +104,49 @@ def upsert_merge(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return survivors.unionByName(source, allowMissingColumns=True)
 
 
+def scd2_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    *,
+    ts_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: history-preserving
+    upsert (the reference's upsert discards history,
+    `data_connector.py:301-310`; SCD2 is what a warehouse keeps
+    instead).
+
+    ``target`` rows carry ``[key, attrs..., valid_from, valid_to]``
+    with ``valid_to IS NULL`` marking the current version. For each
+    update row (``[key, attrs..., valid_from]``): the key's current
+    version closes (``valid_to = update.valid_from``) and the update
+    appends as the new open version. Closed history and untouched keys
+    pass through unchanged.
+
+    Plan shape: one left join target->updates on the key (AQE
+    broadcasts the update batch when small) + a union of the update
+    rows — no window, no global sort; at scale this is exactly the
+    Delta SCD2 MERGE recipe without the transaction log.
+    """
+    upd_ts = updates.select(
+        F.col(key), F.col(ts_col).alias("__new_from")
+    )
+    closed = (
+        target.join(upd_ts, on=key, how="left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(end_col).isNull() & F.col("__new_from").isNotNull(),
+                F.col("__new_from"),
+            ).otherwise(F.col(end_col)),
+        )
+        .drop("__new_from")
+    )
+    opened = updates.withColumn(end_col, F.lit(None).cast("timestamp"))
+    return closed.unionByName(opened, allowMissingColumns=True)
+
+
 def merge_into_sql(
     target_table: str,
     source_view: str,

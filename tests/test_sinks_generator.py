@@ -112,3 +112,30 @@ def test_upsert_table_auto_falls_back_without_merge_backend(spark):
             sinks.upsert_table(spark, tbl, src, "id", backend="merge")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_scd2_merge_preserves_history(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    target = spark.createDataFrame(
+        [
+            (1, 10.0, t0, None),      # current, will be updated
+            (1, 5.0, t0, t0),         # already-closed history row
+            (2, 20.0, t0, None),      # untouched
+        ],
+        "id long, v double, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, 11.0, t1), (3, 30.0, t1)],
+        "id long, v double, valid_from timestamp",
+    )
+    out = sinks.scd2_merge(target, updates, key="id").collect()
+    rows = {(r.id, r.v): (r.valid_from, r.valid_to) for r in out}
+    assert len(out) == 5
+    assert rows[(1, 10.0)] == (t0, t1)      # current version closed
+    assert rows[(1, 5.0)] == (t0, t0)       # closed history untouched
+    assert rows[(2, 20.0)] == (t0, None)    # untouched key stays open
+    assert rows[(1, 11.0)] == (t1, None)    # new open version
+    assert rows[(3, 30.0)] == (t1, None)    # brand-new key inserted
