@@ -333,6 +333,133 @@ def minhash_lsh_pairs_from_shingles(
     )
 
 
+def ngram_jaccard_pairs_bipartite(
+    sh_a: DataFrame, sh_b: DataFrame, *, threshold: float = 0.6
+) -> DataFrame:
+    """Exact cross-set Jaccard pairs: ``(doc_a from A, doc_b from B)``
+    with jaccard >= threshold. Same inverted-index join as the
+    self-pair form, but bipartite — no ``doc_id <`` dedup constraint,
+    ids may overlap between sides. The oracle-checkable ground truth
+    for LSH decontamination."""
+    sizes_a = sh_a.select(F.col("doc_id").alias("doc_a"), F.size("shingles").alias("size_a"))
+    sizes_b = sh_b.select(F.col("doc_id").alias("doc_b"), F.size("shingles").alias("size_b"))
+    inv_a = sh_a.select(F.col("doc_id").alias("doc_a"), F.explode("shingles").alias("shingle"))
+    inv_b = sh_b.select(F.col("doc_id").alias("doc_b"), F.explode("shingles").alias("shingle"))
+    shared = (
+        inv_a.join(inv_b, on="shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes_a, on="doc_a")
+        .join(sizes_b, on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _banded(sig_df: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from a ``(doc_id, sig)`` frame."""
+    rows_per_band = num_perm // bands
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws('_', {parts})))".format(
+            b=bidx,
+            parts=", ".join(
+                f"cast(element_at(sig, {bidx * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bidx in range(bands)
+    )
+    return sig_df.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    method: str = "minhash_lsh",
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Remove corpus documents near-duplicating any REFERENCE document
+    — benchmark/test-set decontamination, the bipartite form of
+    near-dup removal every serious training pipeline runs before
+    training (the eval set is the reference; leaked eval documents are
+    dropped from the training corpus).
+
+    ``method='minhash_lsh'`` (the scale path): both sides band their
+    MinHash signatures; candidates come from an equi-join on
+    (band, bucket) — cost O(collisions), with the (small) reference
+    side's banded index broadcastable — then exact Jaccard verifies on
+    shingle arrays. ``'exact'`` uses the full bipartite inverted-index
+    join (oracle twin). Returns the clean corpus rows unchanged.
+    """
+    with cache_scope():
+        sh_c = scoped_persist(_with_shingle_hashes(corpus, text_col, n))
+        sh_r = scoped_persist(_with_shingle_hashes(reference, text_col, n))
+        if method == "exact":
+            pairs = ngram_jaccard_pairs_bipartite(sh_c, sh_r, threshold=threshold)
+        elif method == "minhash_lsh":
+            sig_c = sh_c.select(
+                "doc_id", minhash_signature("shingles", num_perm=num_perm, seed=seed).alias("sig")
+            )
+            sig_r = sh_r.select(
+                "doc_id", minhash_signature("shingles", num_perm=num_perm, seed=seed).alias("sig")
+            )
+            bc = _banded(sig_c, num_perm=num_perm, bands=bands)
+            br = _banded(sig_r, num_perm=num_perm, bands=bands)
+            cand = (
+                bc.alias("a")
+                .join(
+                    br.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .dropDuplicates(["doc_a", "doc_b"])
+            )
+            verified = (
+                cand.join(
+                    sh_c.select(F.col("doc_id").alias("doc_a"),
+                                F.col("shingles").alias("sh_a")),
+                    on="doc_a",
+                )
+                .join(
+                    sh_r.select(F.col("doc_id").alias("doc_b"),
+                                F.col("shingles").alias("sh_b")),
+                    on="doc_b",
+                )
+            )
+            inter = F.size(F.array_intersect("sh_a", "sh_b"))
+            union = F.size("sh_a") + F.size("sh_b") - inter
+            pairs = (
+                verified.withColumn("jaccard", F.round(inter / union, 6))
+                .filter(F.col("jaccard") >= threshold)
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}: exact|minhash_lsh")
+        contaminated = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+        return corpus.join(contaminated, on="doc_id", how="left_anti")
+
+
 def with_simhash64(
     df: DataFrame, text_col: str = "text", *, ngram: int = 2,
     out_col: str = "simhash",

@@ -1575,6 +1575,75 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_decontaminate",
+    r"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    ref AS (
+      SELECT doc_id, ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
+      FROM documents WHERE doc_id < 50),
+    wc AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
+    wr AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM ref),
+    shc AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM wc),
+    shr AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM wr),
+    ia AS (SELECT doc_id, unnest(shingles) AS shingle FROM shc),
+    ib AS (SELECT doc_id, unnest(shingles) AS shingle FROM shr),
+    shared AS (
+      SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS n_shared
+      FROM ia JOIN ib USING (shingle) GROUP BY 1, 2),
+    dirty AS (
+      SELECT DISTINCT s.doc_a AS doc_id
+      FROM shared s
+      JOIN (SELECT doc_id, len(shingles) AS n FROM shc) sa ON sa.doc_id = s.doc_a
+      JOIN (SELECT doc_id, len(shingles) AS n FROM shr) sb ON sb.doc_id = s.doc_b
+      WHERE round(s.n_shared / (sa.n + sb.n - s.n_shared), 6) >= 0.5)
+    SELECT c.doc_id, c.text FROM corpus c
+    LEFT JOIN dirty d USING (doc_id) WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (exact ground-truth form): drop
+    corpus docs near-duplicating any reference doc (here: perturbed
+    copies of the first 50 docs stand in for a leaked eval set) —
+    ``ops.dedup.decontaminate(method='exact')``."""
+    from mriya_spark.ops.dedup import decontaminate
+
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    return decontaminate(corpus, ref, threshold=0.5, method="exact")
+
+
+@register("pipeline_decontaminate_lsh", None)  # LSH recall < 1 -> rows-only
+def pipeline_decontaminate_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``pipeline_decontaminate``: banded MinHash
+    on both sides, candidates from the (band, bucket) equi-join —
+    reference-side index broadcastable — exact-Jaccard verified.
+    Recall vs the exact form asserted in tests."""
+    from mriya_spark.ops.dedup import decontaminate
+
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    return decontaminate(corpus, ref, threshold=0.5, method="minhash_lsh")
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH corpus AS (

@@ -162,6 +162,32 @@ def test_minhash_lsh_recall_vs_exact(catalog, spark):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_decontaminate_recall_vs_exact(catalog, spark):
+    """Bipartite LSH decontamination: never drops a doc the exact form
+    keeps (verify step), and finds >=90% of true contamination."""
+    docs = catalog.table("documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id < 200")
+    ref = docs.filter("doc_id < 40").select(
+        "doc_id", F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text")
+    )
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    exact_kept = {
+        r.doc_id
+        for r in dedup.decontaminate(corpus, ref, threshold=0.5, method="exact")
+        .select("doc_id").collect()
+    }
+    lsh_kept = {
+        r.doc_id
+        for r in dedup.decontaminate(corpus, ref, threshold=0.5, method="minhash_lsh")
+        .select("doc_id").collect()
+    }
+    assert exact_kept <= lsh_kept  # no false drops
+    exact_dropped = all_ids - exact_kept
+    assert len(exact_dropped) > 0  # the planted leaks are detectable
+    recall = len(all_ids - lsh_kept) / len(exact_dropped)
+    assert recall >= 0.9, f"decontamination recall {recall}"
+
+
 def test_simhash_near_identical(spark):
     base = "the quick brown fox jumps over the lazy dog " * 5
     df = spark.createDataFrame(
