@@ -32,6 +32,7 @@ HEADLINE = [
     "similarity_ann_ivf", # IVF train + nprobe cell join (ANN scale path)
     "text_stats",         # scan-speed regex/token stats
     "pipeline_corpus_curation_lsh",  # full curation DAG over documents
+    "pipeline_decontaminate_lsh",    # bipartite MinHash decontamination
     "connector_scan_pushdown",       # DSv2 pushdown through the connector
     "stream_tumbling_window",        # micro-batch windowed agg (streaming)
 ]

@@ -1577,10 +1577,10 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_decontaminate",
     r"""
-    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    WITH corpus AS (SELECT doc_id, text FROM documents),
     ref AS (
       SELECT doc_id, ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
-      FROM documents WHERE doc_id < 50),
+      FROM documents WHERE doc_id % 10 = 0),
     wc AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
     wr AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM ref),
     shc AS (
@@ -1618,8 +1618,8 @@ def pipeline_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mriya_spark.ops.dedup import decontaminate
 
     docs = _cat(spark, sf_dir).table("documents")
-    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
-    ref = docs.filter(F.col("doc_id") < 50).select(
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
     )
@@ -1635,8 +1635,8 @@ def pipeline_decontaminate_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mriya_spark.ops.dedup import decontaminate
 
     docs = _cat(spark, sf_dir).table("documents")
-    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
-    ref = docs.filter(F.col("doc_id") < 50).select(
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
     )
