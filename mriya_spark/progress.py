@@ -25,8 +25,32 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
+
+
+def observed_counts(
+    df: DataFrame, *, success: Column | None = None, name: str = "progress"
+) -> tuple[DataFrame, Observation]:
+    """Batch-side progress: attach an ``Observation`` counting rows
+    (and successes, given a predicate) to a plan; metrics materialize
+    with the FIRST action on the returned frame at zero extra cost —
+    no second count() pass over the data.
+
+    The ``success_records_check`` analogue (`/root/reference/
+    project_utils.py:38-46`): the reference re-walked its result list
+    to count ``success==True``; here the pipeline's own action
+    produces ``{"n_rows": ..., "n_success": ...}`` via
+    ``observation.get``.
+    """
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if success is not None:
+        metrics.append(
+            F.sum(F.when(success, 1).otherwise(0)).alias("n_success")
+        )
+    return df.observe(obs, *metrics), obs
 
 
 class ProgressLog(StreamingQueryListener):

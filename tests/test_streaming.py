@@ -174,3 +174,16 @@ def test_compact_parquet_shrinks_fragmented_dataset(spark, catalog):
     assert rows_after == rows_before
     # layout preserved: hive bucket dirs still exist for pruning
     assert any(d.startswith("__bucket=") for d in os.listdir(target))
+
+
+def test_observed_counts_piggyback_on_action(spark, catalog):
+    from mriya_spark.progress import observed_counts
+
+    orders = catalog.table("orders").select("o_orderkey", "o_orderstatus")
+    df, obs = observed_counts(
+        orders, success=F.col("o_orderstatus") == "F", name="load"
+    )
+    n = df.count()  # the pipeline's own action materializes the metrics
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_success"] == orders.filter("o_orderstatus = 'F'").count()
