@@ -181,3 +181,21 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*lang.*\]", plan), plan
     n_en = docs.filter("lang = 'en'").count()
     assert scan.count() == n_en
+
+
+def test_scd2_merge_broadcasts_update_batch_no_shuffle(spark, queries):
+    plan = executed_plan(queries["sink_scd2_merge"](spark, SF))
+    assert n_shuffles(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_scan_local(spark, queries):
+    plan = executed_plan(queries["text_chunking"](spark, SF))
+    assert n_shuffles(plan) == 0, plan
+
+
+def test_curation_recipe_single_shuffle(spark, queries):
+    # quality/lang filters are scan-local; the one shuffle is the
+    # exact-dedup fingerprint window
+    plan = executed_plan(queries["curation_recipe"](spark, SF))
+    assert n_shuffles(plan) == 1, plan
