@@ -460,6 +460,74 @@ def decontaminate(
         return corpus.join(contaminated, on="doc_id", how="left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (doc_id, component) with
+    ``component`` = the smallest doc_id reachable through the pair
+    graph. The missing last step of every pairwise dedup — pairs say
+    "A~B, B~C"; keeping one survivor per {A,B,C} needs the component.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels (both edge
+    directions), until a fixed point. Rounds = graph diameter — for
+    dedup graphs (dense near-cliques of copies) that is 2-3, so the
+    driver loop is a control plane of a few joins, same posture as
+    ``ivf_train``'s Lloyd iterations. Each round is one shuffle join
+    labels><edges + one min-aggregation; the early-exit check is an
+    ``Observation``-style count on the round's change set, not a
+    second pass. Raises if ``max_iterations`` rounds don't converge
+    (pathological chain longer than the budget).
+    """
+    # edges are referenced by every propagation round — materialize
+    # once (scoped persist + eager localCheckpoint of round state keeps
+    # the pair-generation pipeline from re-running per round); the
+    # returned labels are checkpointed, so they outlive the cache scope
+    with cache_scope():
+        edges = scoped_persist(
+            pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .distinct()
+        )
+        return _propagate_min_labels(edges, max_iterations)
+
+
+def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("comp"))
+    )
+    for _ in range(max_iterations):
+        # neighbor minimum per vertex this round
+        neigh = (
+            edges.join(labels.withColumnsRenamed({"u": "v", "comp": "vcomp"}), on="v")
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("ncomp"))
+        )
+        updated = (
+            labels.join(neigh, on="u", how="left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("__changed"),
+            )
+        )
+        # materialize the round once: the change count AND next round's
+        # labels come from the same localCheckpoint, no recompute and
+        # no unbounded lineage growth across iterations
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter("__changed").count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            return labels.select(F.col("u").alias("doc_id"), "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
 def with_simhash64(
     df: DataFrame, text_col: str = "text", *, ngram: int = 2,
     out_col: str = "simhash",

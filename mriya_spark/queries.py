@@ -1552,6 +1552,53 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    rf"""
+    WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM words),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+    SELECT doc_id, comp FROM comp
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into clusters (connected components,
+    smallest reachable doc_id as the component label) — the step that
+    turns pairwise output into keep-one-per-group survivors. Spark:
+    iterative min-label propagation; oracle: recursive-CTE transitive
+    closure over the identical exact pair set."""
+    from mriya_spark.ops.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), text_col="text", n=3, threshold=0.5
+    )
+    return connected_components(pairs)
+
+
 @register("dedup_minhash_lsh", None)  # LSH recall < 1 by design -> rows-only
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16x4 banded LSH near-dup pairs, Jaccard-verified.

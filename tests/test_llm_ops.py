@@ -162,6 +162,32 @@ def test_minhash_lsh_recall_vs_exact(catalog, spark):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_connected_components_matches_union_find(spark):
+    """Chains, triangles, isolated pairs, and a long path (diameter >
+    2) all resolve to the same components a union-find produces."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20),
+             (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.comp for r in dedup.connected_components(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
 def test_decontaminate_recall_vs_exact(catalog, spark):
     """Bipartite LSH decontamination: never drops a doc the exact form
     keeps (verify step), and finds >=90% of true contamination."""
