@@ -2410,6 +2410,28 @@ def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sketch_hll_mergeable", None)  # estimate, not exact -> rows-only
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): one
+    sketch per segment, unioned into a global estimate — the 100 TB
+    distinct-counting architecture (per-partition sketches merge
+    associatively; raw values never re-shuffle for the global count;
+    sketch blobs persist for incremental rollups). Estimate accuracy
+    vs exact asserted in tests; rows-only here (approximate by
+    design)."""
+    o = _cat(spark, sf_dir).table("orders")
+    per_seg = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_seg.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_custkeys"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
 @register(
     "udaf_geomean",
     """

@@ -410,3 +410,11 @@ def test_cosine_blocked_no_false_positives_and_planted_recall(catalog, spark):
     assert planted <= blocked  # every true copy pair found
     recall = len(blocked & exact) / len(exact)
     assert recall >= 0.9, f"blocked recall {recall}"
+
+
+def test_hll_sketch_estimate_accuracy(catalog, spark):
+    from mriya_spark.queries import queries
+
+    out = queries()["sketch_hll_mergeable"](spark, "/root/testdata/sf0.001").collect()[0]
+    exact = catalog.table("orders").select("o_custkey").distinct().count()
+    assert abs(out.est_distinct_custkeys - exact) / exact < 0.05
