@@ -13,8 +13,14 @@ training-data pipeline needs. Design per op:
                    The scale path: cost is O(candidates), not O(n²);
                    everything is built-in array expressions (xxhash64,
                    transform, array_min) — no Python in the row path.
-- ``simhash``    — 64-bit SimHash + pigeonhole chunk blocking for
-                   hamming-distance candidates.
+- ``simhash``    — 64-bit SimHash + multi-block (Manku-style) hamming
+                   blocking: 16-bit block keys by default, combination
+                   keys for larger budgets.
+- ``decontaminate`` — bipartite corpus-vs-reference near-dup scrub
+                   (benchmark/test-set leakage removal), banded on
+                   both sides.
+- ``connected_components`` — pairs -> cluster labels (min-label
+                   propagation), the keep-one-per-group resolution.
 
 All hashing is seeded/deterministic (xxhash64 + fixed affine
 constants) so results are reproducible run to run and node to node.
