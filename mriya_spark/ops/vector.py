@@ -411,6 +411,86 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize an IVF index: the corpus written Hive-partitioned
+    by its cell assignment (``cell=K/`` directories), centroids
+    returned (caller persists them — k x dim floats, a JSON file at
+    any scale). This is the storage form the ``ivf_topk`` docstring
+    promises: a probe becomes a partition-pruned scan of ``nprobe``
+    directories instead of a full-corpus scan + filter.
+    """
+    centroids = ivf_train(
+        corpus, n_centroids=n_centroids, iters=iters, seed=seed,
+        sample_fraction=sample_fraction, id_col=id_col, vec_col=vec_col,
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(_unit(F.col(vec_col)), centroids).alias("cell"),
+    )
+    # repartition on cell so each directory is written by one task
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a materialized IVF index: collect the query
+    batch's probe cells (a driver-side set of at most
+    n_queries x nprobe ints), scan ONLY those ``cell=`` directories
+    (partition pruning — verified in plan tests), then the same
+    broadcast-queries cosine + rank as ``ivf_topk``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _nprobe_centroids(_unit(F.col(vec_col)), centroids, nprobe)
+        ).alias("cell"),
+    )
+    probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(probe_cells)  # directory-pruned scan
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,

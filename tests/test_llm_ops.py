@@ -418,3 +418,22 @@ def test_hll_sketch_estimate_accuracy(catalog, spark):
     out = queries()["sketch_hll_mergeable"](spark, "/root/testdata/sf0.001").collect()[0]
     exact = catalog.table("orders").select("o_custkey").distinct().count()
     assert abs(out.est_distinct_custkeys - exact) / exact < 0.05
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(catalog, spark, tmp_path):
+    """The materialized IVF layout must return the identical result
+    set as the in-memory form (same centroids, same probe policy) and
+    its probe scan must be partition-pruned to the probed cells."""
+    emb = catalog.table("embeddings")
+    queries = emb.filter("vec_id < 5")
+    path = str(tmp_path / "ivf_index")
+    cents = vector.ivf_write_index(emb, path, n_centroids=8, iters=2)
+    indexed = vector.ivf_topk_indexed(spark, path, cents, queries, k=10, nprobe=3)
+    inmem = vector.ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=3, iters=2
+    )
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in indexed.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in inmem.collect()}
+    assert got == want
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
