@@ -3021,3 +3021,37 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spec.build(_neardup_corpus(spark, sf_dir))
+
+
+@register("pipeline_rag_ingest", None)  # hash-embeddings -> rows-only
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest composition, end to end in one lazy DAG: documents
+    -> overlapping token-window chunks (``text.chunk_tokens``) ->
+    deterministic pseudo-embeddings (seeded xxhash features per
+    dimension — the stand-in for a model-server pandas_udf, same
+    schema and partitioning) -> hyperplane-LSH top-k of the first
+    5 chunks against the chunk corpus (``vector.lsh_topk``). Every
+    stage is scan-local except the ANN bucket join; at scale the
+    embed stage swaps to an Arrow-batched model call behind the same
+    column contract. Deterministic but hash-defined -> rows-only;
+    stage invariants are unit-tested individually."""
+    from mriya_spark.caching import cache_scope, scoped_persist
+    from mriya_spark.ops.text import chunk_tokens
+    from mriya_spark.ops.vector import lsh_topk
+
+    dim = 16
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
+    chunks = chunk_tokens(docs, chunk_size=40, overlap=8).select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("vec_id"),
+        "chunk_text",
+    )
+    embed = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"d -> pmod(xxhash64(chunk_text, d), 1000) / 500.0 - 1.0)"
+    )
+    with cache_scope():
+        # the chunk+embed pipeline feeds the ANN probe, the query
+        # selection, and the bucket join — compute it once
+        corpus = scoped_persist(chunks.select("vec_id", embed.alias("embedding")))
+        queries_df = corpus.orderBy("vec_id").limit(5)
+        return lsh_topk(corpus, queries_df, k=5, n_planes=4, probe_hamming=1)
