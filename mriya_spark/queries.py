@@ -1990,6 +1990,48 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_corpus_ingest",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM documents),
+    k AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    m AS (SELECT fingerprint, min(doc_id) AS doc_id FROM k GROUP BY 1)
+    SELECT k.doc_id, k.fingerprint, k.quality_score
+    FROM k JOIN m USING (fingerprint, doc_id)
+    """,
+)
+def stream_corpus_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus building over a multi-batch document
+    stream: per-batch quality filter + in-batch dedup + anti-join on
+    the target's fingerprints + append. The staged files replay in
+    doc_id order, so first-arrival-wins equals the batch twin's
+    min-doc-per-fingerprint — value-exact against the oracle."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+
+    path = S.stage_docs_files(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)
+        .load(path)
+    )
+    target = f"/tmp/mriya_spark_stream/corpus_{_uuid.uuid4().hex[:8]}"
+    S.stream_corpus_ingest(stream, target)
+    return spark.read.parquet(target).select(
+        "doc_id", "fingerprint", "quality_score"
+    )
+
+
+@register(
     "stream_stateful_counter",
     """
     SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

@@ -406,3 +406,96 @@ def dedup_within_watermark(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stage_docs_files(
+    spark: SparkSession, sf_dir: str, *, n_files: int = 8
+) -> str:
+    """Split ``documents`` into ``n_files`` id-ordered parquet files
+    with monotone mtimes, so a file stream replays the corpus in
+    doc_id order — which makes first-arrival-wins dedup deterministic
+    (first arrival == smallest doc_id)."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"{_STAGE_ROOT}/docs_{tag}_{n_files}"
+    marker = f"{out}/_STAGED"
+    if not os.path.exists(marker):
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(out)
+        import time as _time
+
+        parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+        base = _time.time() - len(parts) * 10
+        for i, fname in enumerate(parts):
+            os.utime(os.path.join(out, fname), (base + i * 10, base + i * 10))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def stream_corpus_ingest(
+    docs: DataFrame,
+    target_path: str,
+    *,
+    min_quality: float = 0.5,
+) -> str:
+    """Incremental corpus building: each micro-batch of documents is
+    quality-filtered, deduped within the batch (min doc_id per
+    fingerprint), anti-joined against the fingerprints already in the
+    target, and APPENDED — the streaming form of the curation
+    pipeline's quality+exact-dedup stages, with first-arrival-wins
+    semantics across batches.
+
+    Per-batch IO: the existing-target read prunes to the fingerprint
+    column only (column pruning on parquet), and the write is
+    append-only — nothing is rewritten, so per-batch cost is
+    O(batch + target fingerprints), never O(target bytes). At larger
+    scale the target becomes fingerprint-prefix-bucketed (the
+    ``shard_key`` column `ops/text.py:fingerprint` emits) so the
+    anti-join prunes buckets too.
+    """
+    from pyspark.sql import Window
+
+    from mriya_spark.ops import text as text_ops
+    from mriya_spark.ops.dedup import normalized
+
+    spark = docs.sparkSession
+    ckpt = f"{_STAGE_ROOT}/ckpt_ingest_{uuid.uuid4().hex[:12]}"
+
+    def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
+        scored = batch.select(
+            "*",
+            F.md5(normalized("text")).alias("fingerprint"),
+            text_ops.quality_score_col("text").alias("quality_score"),
+        ).filter(F.col("quality_score") >= min_quality)
+        w = Window.partitionBy("fingerprint")
+        in_batch = (
+            scored.withColumn("__keep", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("__keep"))
+            .drop("__keep")
+        )
+        if os.path.exists(target_path):
+            seen = spark.read.parquet(target_path).select("fingerprint")
+            in_batch = in_batch.join(seen, on="fingerprint", how="left_anti")
+        in_batch.write.mode("append").parquet(target_path)
+
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            docs.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return target_path

@@ -187,3 +187,46 @@ def test_observed_counts_piggyback_on_action(spark, catalog):
     got = obs.get
     assert got["n_rows"] == n
     assert got["n_success"] == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_stream_corpus_ingest_cross_batch_dedup(spark, tmp_path):
+    """A duplicate arriving in a LATER batch must be dropped by the
+    target-fingerprint anti-join (first arrival wins), and low-quality
+    docs never land."""
+    import os
+    import time
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the house of a friend " * 2)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, good, "en", "w", len(good)), (2, "x", "en", "w", 1)],
+        S.DOCS_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [(5, good + " ", "en", "w", len(good))],  # dup of 1 (normalized)
+        S.DOCS_SCHEMA,
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    # flatten into one dir with ordered mtimes
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(src + "/" + d):
+            if f.startswith("part-"):
+                p = flat + f"/b{i}.parquet"
+                os.rename(src + "/" + d + "/" + f, p)
+                os.utime(p, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(flat)
+    )
+    target = str(tmp_path / "target")
+    S.stream_corpus_ingest(stream, target)
+    got = {r.doc_id for r in spark.read.parquet(target).collect()}
+    assert got == {1}  # dup (5) anti-joined away, junk (2) quality-cut
