@@ -3097,3 +3097,33 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = scoped_persist(chunks.select("vec_id", embed.alias("embedding")))
         queries_df = corpus.orderBy("vec_id").limit(5)
         return lsh_topk(corpus, queries_df, k=5, n_planes=4, probe_hamming=1)
+
+
+@register(
+    "catalog_profile",
+    """
+    SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'region', count(*) FROM region
+    """,
+)
+def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog row-count profile (the reference's describe/count
+    probes, `data_connector.py:55-69` size field): one zero-column
+    count per table, unioned — each count reads parquet footer
+    statistics only (no column data), so this is metadata-speed at
+    any corpus size."""
+    cat = _cat(spark, sf_dir)
+    parts = [
+        cat.table(t).groupBy().agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("tbl"), "n_rows"
+        )
+        for t in ("customer", "events", "lineitem", "nation", "orders", "region")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
