@@ -3127,3 +3127,60 @@ def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "join_salted",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew escape hatch in the official gate: salted equi-join
+    (left keys salted into 8 sub-keys, right side replicated per
+    bucket) must produce EXACTLY the plain join — the oracle is the
+    unsalted SQL. AQE's skew split handles moderate skew on its own;
+    this op is for the pathological hot key it can't split."""
+    from mriya_spark.ops.relational import salted_join
+
+    cat = _cat(spark, sf_dir)
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    customers = cat.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(orders, customers, "o_custkey", salt_buckets=8).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
+    "window_nth_value",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           nth_value(l_quantity, 2) OVER w AS second_qty,
+           last_value(l_quantity) OVER (PARTITION BY l_suppkey
+                                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value (running frame) + last_value over the full-partition
+    frame — the positional window accessors beyond lead/lag/first."""
+    from pyspark.sql import Window
+
+    li = _cat(spark, sf_dir).table("lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
+        F.last("l_quantity").over(w_full).alias("last_qty"),
+    )
