@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -305,6 +306,57 @@ class SalesforceMockReader(DataSourceReader):
             )
 
 
+# ------------------------------------------------------------ streaming
+
+class SalesforceMockStreamReader(SimpleDataSourceStreamReader):
+    """Incremental extract as a DSv2 STREAM: the offset is the row
+    position in the object (≙ the queryLocator cursor of the
+    reference's ``queryMore`` loop, `data_connector.py:62-66`). Each
+    micro-batch reads at most ``stream_batch_size`` new rows; rows
+    appended to the org between triggers surface in later batches —
+    CDC-shaped ingestion through the same transport the batch reader
+    uses. ``readBetweenOffsets`` replays a committed range exactly
+    (offsets are stable row positions), which is what makes the
+    checkpoint recovery contract hold.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.object = options["object"]
+        self.batch_size = int(options.get("stream_batch_size", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # a concrete list, not a generator: Spark's prefetch cache
+        # copies the returned iterator for checkpoint replay
+        transport = make_transport(self.options)
+        cols = [f.name for f in self.schema.fields]
+        convs = {f.name: _restore(f.dataType) for f in self.schema.fields}
+        return [
+            tuple(
+                convs[c](row[c]) if row.get(c) is not None else None
+                for c in cols
+            )
+            for row in transport.query_page(self.object, cols, [], start, end - start)
+        ]
+
+    def read(self, start: dict):
+        # iter(list): the engine's prefetch cache copy.copy()s the
+        # iterator for replay — list iterators are copyable/picklable,
+        # generators are not
+        total = make_transport(self.options).count(self.object, [])
+        end = min(total, start["pos"] + self.batch_size)
+        if end <= start["pos"]:
+            return iter([]), start
+        return iter(self._rows(start["pos"], end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
 # ---------------------------------------------------------------- writer
 
 @dataclass
@@ -373,6 +425,9 @@ class SalesforceMockDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SalesforceMockReader:
         return SalesforceMockReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SalesforceMockStreamReader:
+        return SalesforceMockStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> SalesforceMockWriter:
         if overwrite:

@@ -3184,3 +3184,36 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
         F.last("l_quantity").over(w_full).alias("last_qty"),
     )
+
+
+@register(
+    "connector_stream_read",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+)
+def connector_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental extract THROUGH the connector: the DSv2 simple
+    stream reader pages the mock org by row-position offsets (≙ the
+    reference's queryMore cursor) in 500-row micro-batches; the
+    append-mode memory sink's final contents must equal the batch
+    scan — value-exact against the oracle."""
+    from mriya_spark import streaming as S
+    from mriya_spark.connector.salesforce import (
+        CUSTOMER_DDL,
+        SalesforceMockDataSource,
+    )
+
+    spark.dataSource.register(SalesforceMockDataSource)
+    org = _seeded_org(spark, sf_dir)
+    stream = (
+        spark.readStream.format("salesforce_mock")
+        .schema(CUSTOMER_DDL)
+        .option("org_dir", org)
+        .option("object", "Account")
+        .option("stream_batch_size", 500)
+        .load()
+    )
+    # python stream sources don't support Trigger.AvailableNow
+    out = S.run_until_idle(stream.select("c_custkey", "c_name", "c_acctbal"))
+    return out

@@ -154,6 +154,35 @@ def run_to_memory_sink(
     return out
 
 
+def run_until_idle(
+    stream_df: DataFrame, *, output_mode: str = "append",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Like ``run_to_memory_sink`` but for sources that don't support
+    ``Trigger.AvailableNow`` (e.g. Python DSv2 stream readers): run
+    continuous micro-batches and block with ``processAllAvailable()``
+    until the source reports no new data, then stop."""
+    name = f"out_{uuid.uuid4().hex[:12]}"
+    ckpt = f"{_STAGE_ROOT}/ckpt_{name}"
+    spark = stream_df.sparkSession
+    with _bounded_state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination()
+    out = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def tumbling_window_counts(events: DataFrame, *, minutes: int = 10) -> DataFrame:
     """Tumbling event-time window aggregate with watermark."""
     return (

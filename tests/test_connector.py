@@ -97,3 +97,42 @@ def test_fresh_load_isolates_pushdown(spark, org):
     ).count()
     n_full = read_object(spark, org, "Account", CUSTOMER_DDL).count()
     assert n_full > n_filtered
+
+
+def test_stream_reader_pages_incrementally(spark, tmp_path):
+    """The DSv2 stream reader must page the org in offset-sized
+    micro-batches (queryMore-cursor shape): every wire call carries
+    the batch limit, offsets advance monotonically, and the sink sees
+    every row exactly once."""
+    from mriya_spark import streaming as S
+    from mriya_spark.connector.salesforce import (
+        CUSTOMER_DDL,
+        MockTransport,
+        SalesforceMockDataSource,
+        seed_org_from_parquet,
+    )
+
+    spark.dataSource.register(SalesforceMockDataSource)
+    org = str(tmp_path / "org")
+    seed_org_from_parquet(
+        spark, org, "Account", "/root/testdata/sf0.001/customer.parquet"
+    )
+    stream = (
+        spark.readStream.format("salesforce_mock")
+        .schema(CUSTOMER_DDL)
+        .option("org_dir", org)
+        .option("object", "Account")
+        .option("stream_batch_size", 60)
+        .load()
+    )
+    out = S.run_until_idle(stream.select("c_custkey"))
+    total = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    got = [r.c_custkey for r in out.collect()]
+    assert len(got) == total and len(set(got)) == total
+    pages = [
+        c for c in MockTransport(org).calls() if c["op"] == "query_page"
+    ]
+    offsets = [c["offset"] for c in pages]
+    assert offsets == sorted(offsets)
+    assert all(c["limit"] <= 60 for c in pages)
+    assert len(pages) >= -(-total // 60)
