@@ -30,17 +30,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: dict[str, str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` within the same ``key``.
+    """As-of join: for each left row, the nearest right row within the
+    same ``key`` — ``direction='backward'`` (default) takes the latest
+    right with ``right.ts <= left.ts``; ``'forward'`` the earliest
+    right with ``right.ts >= left.ts``.
 
     Implementation: tag and union both sides, then carry the last
-    non-null right value forward with an ordered window
+    non-null right value through an ordered window
     (``last(..., ignorenulls=True)``) — a single shuffle on
-    (key, ts). Right rows sort before left rows at equal timestamps,
-    so an exactly-simultaneous right row IS matched (ASOF >=
-    semantics, same as DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+    (key, ts); ``forward`` simply traverses ts DESCENDING. Right rows
+    sort before left rows at equal timestamps in either direction, so
+    an exactly-simultaneous right row IS matched (inclusive >=/<=
+    semantics, same as DuckDB's ``ASOF JOIN``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tagged_left = left.select(
         F.col(key).alias("__k"),
@@ -58,9 +64,10 @@ def asof_join(
         *[F.col(rc).alias(f"__rv_{out}") for out, rc in right_values.items()],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ts_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -1198,6 +1198,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    """
+    SELECT p.event_id, p.user_id, p.ts, l.next_login_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts AS next_login_ts FROM events WHERE event_type = 'login') l
+    ON p.user_id = l.user_id AND p.ts <= l.next_login_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the EARLIEST login at-or-after each
+    purchase — same union+window single-shuffle plan as the backward
+    form, traversing event time descending."""
+    from mriya_spark.ops.temporal import asof_join
+
+    ev = _cat(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    logins = ev.filter(F.col("event_type") == "login").select(
+        "user_id", F.col("ts").alias("login_ts")
+    )
+    return asof_join(
+        purchases,
+        logins,
+        key="user_id",
+        left_ts="ts",
+        right_ts="login_ts",
+        right_values={"next_login_ts": "login_ts"},
+        direction="forward",
+    )
+
+
+@register(
     "join_band",
     """
     SELECT c.c_custkey, s.s_suppkey
