@@ -47,8 +47,12 @@ def compact_parquet(
     Reads the dataset, repartitions to ``ceil(bytes / target)`` output
     partitions — hash-distributed on the partition columns when the
     layout is partitioned, so each Hive directory receives whole
-    output partitions — and atomically swaps the rewrite in (stage to
-    a sibling tmp dir, then move). Returns before/after file stats.
+    output partitions — and swaps the rewrite in: stage to a sibling
+    tmp dir, then two renames. The swap is NOT atomic — a reader in
+    the instant between renames sees a missing path, and a crash
+    there leaves the data at the ``__old`` sibling; run in a
+    maintenance window (a transactional format does this swap in
+    metadata instead). Returns before/after file stats.
 
     Rows are preserved exactly (tested); only the file layout changes.
     On a transactional format this whole function is ``OPTIMIZE``;

@@ -74,7 +74,10 @@ def validate_where_condition(cond: str) -> None:
     """
     if not cond:
         return
-    m = _SOQL_ONLY.search(cond)
+    # mask string literals first: a constant like c_status = 'TOMORROW'
+    # is valid ANSI and must not trip the SOQL detector
+    unquoted = re.sub(r"'(?:[^'\\]|\\.)*'", "''", cond)
+    m = _SOQL_ONLY.search(unquoted)
     if m:
         raise ValueError(
             f"where_condition {cond!r} uses the SOQL-only construct "
@@ -84,17 +87,25 @@ def validate_where_condition(cond: str) -> None:
             "array_contains(split(col, ';'), 'x'))"
         )
     spark = SparkSession.getActiveSession()
-    if spark is not None:
-        try:
-            # parser-only (F.expr is lazy in PySpark 4); unresolved
-            # columns still surface later, at analysis
-            spark._jsparkSession.sessionState().sqlParser().parseExpression(cond)
-        except Exception as e:
-            first = next((ln for ln in str(e).splitlines() if ln.strip()), repr(e))
-            raise ValueError(
-                f"where_condition {cond!r} is not a valid Spark SQL "
-                f"expression: {first}"
-            ) from None
+    if spark is None:
+        return
+    try:
+        # parser-only (F.expr is lazy in PySpark 4); unresolved columns
+        # still surface later, at analysis
+        parser = spark._jsparkSession.sessionState().sqlParser()
+    except Exception:
+        # no JVM-side parser on this session flavor (e.g. Spark
+        # Connect) — skip the syntax pre-check, don't misreport an
+        # environment gap as a SQL error
+        return
+    try:
+        parser.parseExpression(cond)
+    except Exception as e:
+        first = next((ln for ln in str(e).splitlines() if ln.strip()), repr(e))
+        raise ValueError(
+            f"where_condition {cond!r} is not a valid Spark SQL "
+            f"expression: {first}"
+        ) from None
 
 
 @dataclass(frozen=True)

@@ -276,20 +276,9 @@ def minhash_lsh_pairs_from_shingles(
     ``sh`` is referenced three times (signature build + both sides of
     the verify join) — callers should hand in a persisted frame.
     """
-    rows_per_band = num_perm // bands
     sig = sh.select(
         "doc_id",
         minhash_signature("shingles", num_perm=num_perm, seed=seed).alias("sig"),
-    )
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws('_', {parts})))".format(
-            b=bidx,
-            parts=", ".join(
-                f"cast(element_at(sig, {bidx * rows_per_band + r + 1}) as string)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for bidx in range(bands)
     )
     # band rows are (doc_id, band, bucket) ONLY — the shingle arrays do
     # not ride the 16x explode or the bucket shuffle; they re-join just
@@ -300,10 +289,7 @@ def minhash_lsh_pairs_from_shingles(
     # difference between 1x and 4x signature compute. Scoped: joins the
     # caller's cache_scope when nested, else released at the next
     # scoped build (mriya_spark.caching).
-    banded = scoped_persist(
-        sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bucket")
-    )
+    banded = scoped_persist(_banded(sig, num_perm=num_perm, bands=bands))
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -99,7 +99,8 @@ def broadcast_threshold_bytes(df: DataFrame) -> int:
     raw = df.sparkSession.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10485760"
     )
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+             "p": 1 << 50}
     s = raw.strip().lower().removesuffix("b")
     mult = units.get(s[-1:], 1)
     if mult != 1:

@@ -119,12 +119,16 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 4,
     probe_hamming: int = 1,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k with multi-probe random-hyperplane LSH.
+    ``dim`` defaults to the corpus's actual vector length (probed with
+    one limit(1) job) — a mismatched dim nulls the hyperplane dots and
+    collapses every row into one bucket (see
+    ``cosine_near_dup_pairs_blocked``).
 
     Each query probes its own bucket plus every bucket within hamming
     distance ``probe_hamming`` (query side explodes into its probe set,
@@ -137,6 +141,10 @@ def lsh_topk(
     At 100 TB: bucket is a partition key — corpus pre-bucketed and
     bucket-pruned scans replace the broadcast join entirely.
     """
+    if dim is None:
+        dim = len(
+            corpus.select(F.col(vec_col).alias("v")).limit(1).collect()[0]["v"]
+        )
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -524,13 +532,17 @@ def cosine_near_dup_pairs_blocked(
     threshold: float = 0.9,
     n_tables: int = 4,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-blocked near-dup pairs — the scale path for
-    ``cosine_near_dup_pairs``.
+    ``cosine_near_dup_pairs``. ``dim`` defaults to the corpus's actual
+    vector length (one limit(1) probe); passing a WRONG dim would
+    null out every hyperplane dot product (zip_with pads with nulls),
+    collapse all rows into bucket 0, and silently degrade the join to
+    the all-pairs form this function exists to avoid.
 
     Candidates are pairs sharing a sign-bit bucket in at least one of
     ``n_tables`` independent random-hyperplane tables; exact cosine then
@@ -545,10 +557,12 @@ def cosine_near_dup_pairs_blocked(
     surviving candidates. Cost is O(sum over buckets of bucket²) ≪
     O(n²); at 100 TB (table, bucket) is the partition key.
     """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if dim is None:
+        dim = len(base.select("v").limit(1).collect()[0]["v"])
     tables = [
         hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
     ]
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = base.select(
         "id",
         F.explode(

@@ -100,25 +100,35 @@ class ProgressLog(StreamingQueryListener):
     def summary(self, name_or_id: str) -> dict[str, Any]:
         """Rolled-up progress for one query — the numbers a progress
         bar renders (``printProgress(iteration=batches, ...)``) plus
-        the failure count ``success_records_check`` would report."""
+        the failure count ``success_records_check`` would report.
+        Failures are scoped to THIS query's run ids (one name can map
+        to several ids across restarts)."""
         bs = self.batches(name_or_id)
         rows = sum(int(b.get("numInputRows") or 0) for b in bs)
         ms = sum(
             int((b.get("durationMs") or {}).get("triggerExecution") or 0)
             for b in bs
         )
-        state_rows = sum(
-            int(s.get("numRowsTotal") or 0)
-            for b in bs
-            for s in (b.get("stateOperators") or [])[:1]
+        last_state = next(
+            (
+                int(s.get("numRowsTotal") or 0)
+                for b in reversed(bs)
+                for s in (b.get("stateOperators") or [])[:1]
+            ),
+            0,
         )
-        failed = [t for t in self.terminated if t["exception"]]
+        my_ids = {name_or_id} | {
+            s["id"] for s in self.started if s["name"] == name_or_id
+        }
+        failed = [
+            t for t in self.terminated if t["exception"] and t["id"] in my_ids
+        ]
         return {
             "batches": len(bs),
             "rows": rows,
             "trigger_ms": ms,
             "rows_per_sec": round(rows / (ms / 1000), 1) if ms else None,
-            "last_state_rows": state_rows,
+            "last_state_rows": last_state,
             "failures": len(failed),
         }
 

@@ -118,22 +118,24 @@ def scd2_merge(
     instead).
 
     ``target`` rows carry ``[key, attrs..., valid_from, valid_to]``
-    with ``valid_to IS NULL`` marking the current version. For each
-    update row (``[key, attrs..., valid_from]``): the key's current
-    version closes (``valid_to = update.valid_from``) and the update
-    appends as the new open version. Closed history and untouched keys
-    pass through unchanged.
+    with ``valid_to IS NULL`` marking the current version. A batch may
+    carry SEVERAL versions of one key (the CDC shape): they chain —
+    each update closes at the key's next update's ``valid_from`` (lead
+    window over the batch), only the last stays open, and the target's
+    current version closes at the key's EARLIEST update timestamp.
+    Closed history and untouched keys pass through unchanged.
 
-    Plan shape: one left join target->updates on the key (AQE
-    broadcasts the update batch when small) + a union of the update
-    rows — no window, no global sort; at scale this is exactly the
-    Delta SCD2 MERGE recipe without the transaction log.
+    Plan shape: a lead window + min-agg over the (small) update batch,
+    one left join target->per-key-min (AQE broadcasts it), and a
+    union — the target never shuffles beyond the key join; at scale
+    this is exactly the Delta SCD2 MERGE recipe without the
+    transaction log.
     """
-    upd_ts = updates.select(
-        F.col(key), F.col(ts_col).alias("__new_from")
-    )
+    from pyspark.sql import Window
+
+    upd_min = updates.groupBy(key).agg(F.min(ts_col).alias("__new_from"))
     closed = (
-        target.join(upd_ts, on=key, how="left")
+        target.join(upd_min, on=key, how="left")
         .withColumn(
             end_col,
             F.when(
@@ -143,7 +145,10 @@ def scd2_merge(
         )
         .drop("__new_from")
     )
-    opened = updates.withColumn(end_col, F.lit(None).cast("timestamp"))
+    w = Window.partitionBy(key).orderBy(ts_col)
+    opened = updates.withColumn(
+        end_col, F.lead(ts_col).over(w).cast("timestamp")
+    )
     return closed.unionByName(opened, allowMissingColumns=True)
 
 

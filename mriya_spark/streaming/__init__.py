@@ -293,9 +293,12 @@ def foreach_batch_upsert(
         # same key, the greater event time wins — the final state is
         # "latest event per key" regardless of file/batch arrival order
         latest = keep_latest(batch).withColumn("__bucket", bucket_of)
+        # touched buckets from the RAW batch keys: same bucket set as
+        # `latest` (keep_latest only drops duplicate keys) without
+        # re-running its window reduction for the collect
         touched = [
             r["__bucket"]
-            for r in latest.select("__bucket").distinct().collect()
+            for r in batch.select(bucket_of.alias("__bucket")).distinct().collect()
         ]
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path).filter(

@@ -234,16 +234,18 @@ def test_cache_scope_bounds_persisted_intermediates(spark):
         [(i, f"some text body number {i} with shared words") for i in range(30)],
         ["doc_id", "text"],
     )
-    release_caches()  # isolate from caches earlier tests left behind
+    release_caches()  # isolate from scoped caches earlier tests left
+    # baseline-relative: earlier tests may leave RDD-level persists the
+    # registry does not own (e.g. localCheckpoints awaiting GC)
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     p1 = dedup.minhash_lsh_pairs(df, threshold=0.5)
     p1.count()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    assert jmap.size() > 0  # this build's caches are live (that's the point)
-    n_after_p1 = jmap.size()
+    n_after_p1 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after_p1 > base  # this build's caches are live (the point)
     dedup.simhash_pairs(df).count()  # new scoped build evicts p1's caches
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_after_p1 + 1
     release_caches()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
 
 
 def test_simhash_candidate_volume_subquadratic(spark):

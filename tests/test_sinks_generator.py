@@ -139,3 +139,26 @@ def test_scd2_merge_preserves_history(spark):
     assert rows[(2, 20.0)] == (t0, None)    # untouched key stays open
     assert rows[(1, 11.0)] == (t1, None)    # new open version
     assert rows[(3, 30.0)] == (t1, None)    # brand-new key inserted
+
+
+def test_scd2_merge_multi_version_batch_chains(spark):
+    """A CDC batch with several versions of one key must chain them:
+    target's open row closes at the EARLIEST update, intermediate
+    updates close at the next version, only the last stays open."""
+    import datetime
+
+    t0, t1, t2 = (datetime.datetime(2024, m, 1) for m in (1, 6, 9))
+    target = spark.createDataFrame(
+        [(1, 10.0, t0, None)],
+        "id long, v double, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, 11.0, t1), (1, 12.0, t2)],
+        "id long, v double, valid_from timestamp",
+    )
+    out = sinks.scd2_merge(target, updates, key="id").collect()
+    rows = {(r.id, r.v): (r.valid_from, r.valid_to) for r in out}
+    assert len(out) == 3  # no fan-out duplicates
+    assert rows[(1, 10.0)] == (t0, t1)   # closed at earliest update
+    assert rows[(1, 11.0)] == (t1, t2)   # chained to next version
+    assert rows[(1, 12.0)] == (t2, None)  # single open version
