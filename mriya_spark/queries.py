@@ -3251,3 +3251,59 @@ def connector_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python stream sources don't support Trigger.AvailableNow
     out = S.run_until_idle(stream.select("c_custkey", "c_name", "c_acctbal"))
     return out
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_name
+    FROM (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5) n
+    FULL OUTER JOIN
+         (SELECT c_custkey, c_name, c_nationkey FROM customer
+          WHERE c_nationkey BETWEEN 3 AND 7) c
+    ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (nation keys
+    0-4 vs customer nations 3-7)."""
+    cat = _cat(spark, sf_dir)
+    n = cat.table("nation").filter(F.col("n_nationkey") < 5).select(
+        "n_nationkey", "n_name"
+    )
+    c = cat.table("customer").filter(
+        F.col("c_nationkey").between(3, 7)
+    ).select("c_custkey", "c_name", "c_nationkey")
+    return n.join(
+        c, n["n_nationkey"] == c["c_nationkey"], "full_outer"
+    ).select("n_nationkey", "n_name", "c_custkey", "c_name")
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT n_nationkey,
+                      CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+               FROM nation),
+         r AS (SELECT r_regionkey,
+                      CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END AS rk,
+                      r_name
+               FROM region)
+    SELECT l.n_nationkey, r.r_name
+    FROM l JOIN r ON l.rk IS NOT DISTINCT FROM r.rk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — the semantics dirty
+    dimension keys need."""
+    cat = _cat(spark, sf_dir)
+    l = cat.table("nation").select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 0, None).otherwise(F.col("n_regionkey")).alias("rk"),
+    )
+    r = cat.table("region").select(
+        F.when(F.col("r_regionkey") == 0, None).otherwise(F.col("r_regionkey")).alias("rk"),
+        "r_name",
+    )
+    return l.join(r, l["rk"].eqNullSafe(r["rk"])).select("n_nationkey", "r_name")
