@@ -82,6 +82,47 @@ def decode_stub(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+def av_segment_plan(
+    df: DataFrame, *, segment_ms: int = 5_000, overlap_ms: int = 1_000
+) -> DataFrame:
+    """Audio/video time-segmentation plumbing: one row per
+    ``segment_ms`` window (with ``overlap_ms`` lookback) across each
+    payload's duration — the shape a transcription/embedding stage
+    consumes (whisper-style 30s windows, clip-level video encoders).
+
+    Duration is derived metadata here (1 byte ≙ 1 ms — the stub
+    stand-in for an ffprobe header read); a real deployment swaps the
+    duration source and keeps the identical explode. Segment bounds
+    are clamped to the duration, the last segment may be short, empty
+    payloads produce no rows. Scan-local: no shuffle, no Python.
+    """
+    if overlap_ms >= segment_ms:
+        raise ValueError(f"overlap_ms ({overlap_ms}) must be < segment_ms ({segment_ms})")
+    step = segment_ms - overlap_ms
+    duration = F.col("n_bytes")  # ms; metadata stand-in
+    starts = F.sequence(
+        F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(step)
+    )
+    seg = (
+        df.select(
+            "doc_id",
+            "payload_sha",
+            duration.alias("duration_ms"),
+            F.posexplode(starts).alias("segment_idx", "start_ms"),
+        )
+        .filter(F.col("start_ms") < F.col("duration_ms"))
+    )
+    return seg.select(
+        "doc_id",
+        "payload_sha",
+        "segment_idx",
+        "start_ms",
+        F.least(
+            F.col("start_ms") + segment_ms, F.col("duration_ms")
+        ).alias("end_ms"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-frame-sampling plumbing: given payloads, emit one row per
     sampled "frame" index (0..n_bytes/1000 step every_n) — the posexplode

@@ -1903,6 +1903,33 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(attach_payload(_cat(spark, sf_dir).table("documents")))
 
 
+@register(
+    "multimodal_segments",
+    """
+    WITH m AS (
+      SELECT doc_id, sha256(text) AS payload_sha,
+             octet_length(encode(text)) AS duration_ms
+      FROM documents),
+    s AS (
+      SELECT doc_id, payload_sha, duration_ms,
+             unnest(range(0, greatest(duration_ms, 1), 4000)) AS start_ms
+      FROM m)
+    SELECT doc_id, payload_sha, start_ms // 4000 AS segment_idx, start_ms,
+           least(start_ms + 5000, duration_ms) AS end_ms
+    FROM s WHERE start_ms < duration_ms
+    """,
+)
+def multimodal_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window segmentation of audio/video payloads (5s windows,
+    1s overlap; duration from metadata) — the transcription/embedding
+    ingest shape, see ``ops.multimodal.av_segment_plan``."""
+    from mriya_spark.ops.multimodal import attach_payload, av_segment_plan
+
+    return av_segment_plan(
+        attach_payload(_cat(spark, sf_dir).table("documents"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 streaming (mriya_spark.streaming): bounded streams driven to
 # completion; oracles are the batch-SQL twins over the same events.
