@@ -96,3 +96,46 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(col_name, F.sum(value).over(w))
+
+
+def merge_agg(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a delta batch's partial
+    aggregates into a materialized per-key aggregate table.
+
+    Counts and sums are commutative monoids, so
+    ``new = old (+) delta`` needs one full-outer join on the keys and
+    per-column null-safe addition — the target never re-aggregates its
+    raw history. This is the pattern behind every streaming rollup and
+    incremental materialized view: O(delta + touched keys) per batch
+    instead of O(all history). (avg/stddev ride along as sum/count and
+    sum-of-squares columns; MIN/MAX work for inserts-only; distinct
+    counts need a sketch — see ``queries.sketch_hll_mergeable``.)
+    """
+    # qualified names throughout: target and delta often derive from
+    # the same source frame, which trips the ambiguous-self-join check
+    # with attribute-based references
+    t = target.alias("__t")
+    d = delta.alias("__d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__t.{k}").eqNullSafe(F.col(f"__d.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(d, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"__t.{k}"), F.col(f"__d.{k}")).alias(k) for k in keys
+    ]
+    for c in (*sum_cols, count_col):
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"__t.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d.{c}"), F.lit(0))
+            ).alias(c)
+        )
+    return joined.select(*out_cols)

@@ -3334,3 +3334,38 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
     )
     return l.join(r, l["rk"].eqNullSafe(r["rk"])).select("n_nationkey", "r_name")
+
+
+@register(
+    "agg_incremental_merge",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the orders
+    history split into an 'existing' aggregate table and a 'new
+    arrivals' delta; merging the delta's partial aggregates into the
+    target (``ops.aggregate.merge_agg``) must equal re-aggregating
+    everything — which is exactly what the oracle computes."""
+    from mriya_spark.ops.aggregate import merge_agg
+
+    o = _cat(spark, sf_dir).table("orders")
+    aggs = lambda df: df.groupBy("o_orderpriority").agg(  # noqa: E731
+        F.sum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    split = F.col("o_orderdate") < "1996-01-01"
+    target = aggs(o.filter(split))
+    delta = aggs(o.filter(~split))
+    merged = merge_agg(
+        target, delta, ["o_orderpriority"], sum_cols=["sum_price"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.round("sum_price", 2).alias("sum_price"),
+        "n",
+    )
