@@ -3369,3 +3369,34 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_price", 2).alias("sum_price"),
         "n",
     )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 40
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — exactly 40 docs per
+    language, chosen by hash order (dataset-mixing / class-balancing;
+    ``df.sampleBy`` gives only approximate fractions and no
+    cross-engine determinism, so the sample key is a hash every engine
+    computes identically). One shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        _cat(spark, sf_dir).table("documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
