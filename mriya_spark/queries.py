@@ -3400,3 +3400,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "sample_weighted_mix",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= CASE WHEN source = 'src0' THEN 12
+                     WHEN source = 'src1' THEN 6
+                     ELSE 2 END
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus composition: per-source document quotas (the
+    mixture knob of a training-data recipe — upweight curated sources,
+    downweight the crawl), selected deterministically by hash order.
+    Same one-shuffle shape as ``sample_stratified`` with a per-stratum
+    quota expression."""
+    from pyspark.sql import Window
+
+    quota = (
+        F.when(F.col("source") == "src0", 12)
+        .when(F.col("source") == "src1", 6)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        _cat(spark, sf_dir).table("documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"), quota.alias("__q"))
+        .filter(F.col("rn") <= F.col("__q"))
+        .select("doc_id", "source")
+    )
