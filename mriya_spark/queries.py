@@ -3438,3 +3438,27 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("__q"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "sink_json_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-aware scan — the connector's wire
+    format as a lake format (the reference stages stringly CSV;
+    JSONL at least keeps numbers typed). Values must survive the
+    round trip bit-exactly; the read uses an explicit schema, never
+    inference, same policy as the CSV path."""
+    df = (
+        _cat(spark, sf_dir)
+        .table("customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+    path = f"{_STAGE_DIR}/customer_json"
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(df.schema).json(path)
