@@ -202,3 +202,24 @@ def test_curation_recipe_single_shuffle(spark, queries):
     # exact-dedup fingerprint window
     plan = executed_plan(queries["curation_recipe"](spark, SF))
     assert n_shuffles(plan) == 1, plan
+
+
+def test_gate_order_puts_unofficial_queries_first():
+    """CORRECTNESS_r01 recorded only the first 50 registry entries, so
+    queries() must yield every not-yet-official query before any
+    r1-green one — a capped driver gate then records the missing
+    surface first. Guards the round-2 coverage mechanism against an
+    accidental reorder."""
+    from mriya_spark.queries import _R1_OFFICIAL, queries
+
+    names = list(queries())
+    seen_official = False
+    for n in names:
+        if n in _R1_OFFICIAL:
+            seen_official = True
+        else:
+            assert not seen_official, (
+                f"{n} (no official correctness row) is ordered after an "
+                "r1-official query"
+            )
+    assert set(_R1_OFFICIAL) <= set(names)
