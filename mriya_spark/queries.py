@@ -46,34 +46,65 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-#: Queries with no green row in CORRECTNESS_r01.json — the driver's r1
-#: gate recorded only the first 50 registry entries, leaving the whole
-#: streaming / vector / multimodal / connector / subquery / curation
-#: surface officially unverified (VERDICT r1, "What's missing" #1).
-#: ``queries()`` yields these FIRST so a capped gate — whether the cap
-#: is wall-clock or entry-count — records them this round; the r1-green
-#: set follows and re-verifies with whatever budget remains.
-_R1_OFFICIAL = frozenset(
-    (
-        "scan_table project_columns filter_expr filter_isin limit_rows "
-        "orderby_topk join_lookup join_semi join_anti join_backfill "
-        "join_inner_multi transform_rename transform_lit agg_count "
-        "agg_filtered_count agg_groupby migration_pipeline "
-        "sink_csv_roundtrip scan_csv sink_insert sink_update_merge "
-        "sink_upsert_merge delete_by_predicate generate_rows window_rank "
-        "window_running agg_rollup agg_cube agg_grouping_sets "
-        "distinct_values pivot_agg having_filter count_distinct "
-        "string_funcs date_funcs json_extract case_when setop_union "
-        "setop_intersect setop_except join_asof join_band sessionize "
-        "text_stats text_quality text_lang_id text_fingerprint "
-        "lang_group_stats dedup_exact dedup_ngram_jaccard"
-    ).split()
-)
+def _gate_history() -> dict[str, tuple[int, int]]:
+    """Per-query official-gate staleness, read from CORRECTNESS_r*.json.
+
+    The driver's correctness gate records a capped number of entries per
+    round, so ``queries()`` orders the registry by what the recorded
+    history *lacks* (the advisor's suggested shape): queries with no
+    official row ever sort first, then queries whose newest row failed
+    (hash mismatch or canonicalizer crash), then everything else from
+    stalest to freshest last-green round. Registration order breaks
+    ties. If no history files are readable (fresh checkout, different
+    cwd layout), everything ties at "never recorded" and plain
+    registration order falls out.
+
+    Returns ``{name: (tier, last_green_round)}`` where tier is
+    0 = never recorded, 1 = newest row failed, 2 = green.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    history: dict[str, tuple[int, int]] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                history[name] = (2, rnd)
+            else:
+                # failed row: remember it, but a later green supersedes
+                prev = history.get(name)
+                if prev is None or prev[0] == 1:
+                    history[name] = (1, rnd)
+    return history
 
 
 def _gate_order() -> list[str]:
-    return sorted(REGISTRY, key=lambda n: (n in _R1_OFFICIAL,
-                                           list(REGISTRY).index(n)))
+    history = _gate_history()
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+
+    def key(n: str):
+        tier, rnd = history.get(n, (0, 0))
+        return (tier, rnd, reg_index[n])
+
+    return sorted(REGISTRY, key=key)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -1813,20 +1844,28 @@ _CENTROID_DIM = 64  # embeddings fixture dimension (all SFs)
 
 @register(
     "embedding_group_centroid",
-    "SELECT label, ["
-    + ", ".join(
-        f"round(avg(CAST(embedding AS DOUBLE[])[{d + 1}]), 6)"
-        for d in range(_CENTROID_DIM)
-    )
-    + "] AS centroid FROM embeddings GROUP BY label",
+    # (label, dim_idx, value) scalar rows — array cells crash the
+    # driver's canonicalizer (pandas sort on list-typed cells), so the
+    # registered projection posexplodes the centroid; the library
+    # function (ops.vector.group_centroids) still returns the array.
+    f"""
+    SELECT label, CAST(d.dim_idx AS BIGINT) AS dim_idx,
+           round(avg(CAST(embedding AS DOUBLE[])[d.dim_idx + 1]), 6) AS value
+    FROM embeddings, (SELECT unnest(range(0, {_CENTROID_DIM})) AS dim_idx) d
+    GROUP BY label, d.dim_idx
+    """,
 )
 def embedding_group_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class prototypes): one partial-agg
-    shuffle of groups x dim sums — see ``ops.vector.group_centroids``."""
+    shuffle of groups x dim sums — see ``ops.vector.group_centroids``.
+    Registered output is posexploded to (label, dim_idx, value)."""
     from mriya_spark.ops.vector import group_centroids
 
     emb = _cat(spark, sf_dir).table("embeddings")
-    return group_centroids(emb, group_col="label", dim=_CENTROID_DIM)
+    cent = group_centroids(emb, group_col="label", dim=_CENTROID_DIM)
+    return cent.select(
+        "label", F.posexplode("centroid").alias("dim_idx", "value")
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long"))
 
 
 @register("similarity_ann_lsh", None)  # approximate recall -> rows-only
@@ -1882,10 +1921,16 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_decode", None)  # stubbed decoder -> rows-only
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage (decoder STUBBED — no
-    image libs in container; plumbing real)."""
+    image libs in container; plumbing real). The registered projection
+    flattens the ``features`` array to a CSV string so the driver's
+    canonicalizer (which can't sort list cells) records the row; the
+    library function keeps the typed array."""
     from mriya_spark.ops.multimodal import attach_payload, decode_stub
 
-    return decode_stub(attach_payload(_cat(spark, sf_dir).table("documents")))
+    decoded = decode_stub(attach_payload(_cat(spark, sf_dir).table("documents")))
+    return decoded.withColumn(
+        "features", F.concat_ws(",", F.col("features").cast("array<string>"))
+    )
 
 
 @register(
@@ -2331,9 +2376,9 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
-           abs(l_discount - 0.05) AS abs_diff,
-           ceil(l_quantity) AS qty_ceil,
-           floor(l_extendedprice / 1000) AS price_k,
+           round(abs(l_discount - 0.05), 4) AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
            round(sqrt(l_extendedprice), 4) AS price_sqrt,
            round(ln(l_extendedprice + 1), 4) AS price_ln,
            round(power(l_discount, 2), 4) AS disc_sq,
@@ -2346,7 +2391,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_diff"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),

@@ -204,22 +204,28 @@ def test_curation_recipe_single_shuffle(spark, queries):
     assert n_shuffles(plan) == 1, plan
 
 
-def test_gate_order_puts_unofficial_queries_first():
-    """CORRECTNESS_r01 recorded only the first 50 registry entries, so
-    queries() must yield every not-yet-official query before any
-    r1-green one — a capped driver gate then records the missing
-    surface first. Guards the round-2 coverage mechanism against an
-    accidental reorder."""
-    from mriya_spark.queries import _R1_OFFICIAL, queries
+def test_gate_order_is_staleness_first():
+    """The driver's gate records a capped number of entries per round, so
+    queries() must yield (1) never-officially-recorded queries first,
+    then (2) queries whose newest official row failed, then (3) green
+    queries from stalest to freshest round — so every query's newest
+    official row stays at most a couple of rounds old. Guards the
+    coverage-rotation mechanism against an accidental reorder."""
+    from mriya_spark.queries import REGISTRY, _gate_history, queries
 
+    history = _gate_history()
     names = list(queries())
-    seen_official = False
-    for n in names:
-        if n in _R1_OFFICIAL:
-            seen_official = True
-        else:
-            assert not seen_official, (
-                f"{n} (no official correctness row) is ordered after an "
-                "r1-official query"
-            )
-    assert set(_R1_OFFICIAL) <= set(names)
+    assert set(names) == set(REGISTRY)
+
+    def tier(n):
+        t, rnd = history.get(n, (0, 0))
+        return (t, rnd)
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), (
+        "queries() must order by (never-recorded, failed, stalest-green) "
+        f"but got tiers {tiers}"
+    )
+    # with r1+r2 history present, both tiers must actually occur
+    if any(t == (2, 1) for t in tiers) and any(t == (2, 2) for t in tiers):
+        assert tiers.index((2, 2)) > tiers.index((2, 1))
