@@ -396,17 +396,35 @@ def decontaminate(
 
     ``method='minhash_lsh'`` (the scale path): both sides band their
     MinHash signatures; candidates come from an equi-join on
-    (band, bucket) — cost O(collisions), with the (small) reference
-    side's banded index broadcastable — then exact Jaccard verifies on
-    shingle arrays. ``'exact'`` uses the full bipartite inverted-index
-    join (oracle twin). Returns the clean corpus rows unchanged.
+    (band, bucket) — cost O(collisions) — then exact Jaccard verifies
+    on shingle arrays. The reference side (an eval set: orders of
+    magnitude smaller than the training corpus) is broadcast when its
+    leaf scan fits the session broadcast threshold, so the corpus-side
+    banded rows and shingle arrays never shuffle for candidate gen or
+    verify; past the threshold the hint is withheld (an explicit hint
+    is honored unconditionally — hinting an unbounded side is a driver
+    OOM) and AQE's runtime conversion takes over. ``'exact'`` uses the
+    full bipartite inverted-index join (oracle twin). Returns the clean
+    corpus rows unchanged.
     """
+    from mriya_spark.ops.relational import (
+        broadcast_threshold_bytes,
+        estimated_size_bytes,
+    )
+
     with cache_scope():
         sh_c = scoped_persist(_with_shingle_hashes(corpus, text_col, n))
         sh_r = scoped_persist(_with_shingle_hashes(reference, text_col, n))
         if method == "exact":
             pairs = ngram_jaccard_pairs_bipartite(sh_c, sh_r, threshold=threshold)
         elif method == "minhash_lsh":
+            # gate on the reference LEAF scan (the only sound stat):
+            # banded rows are 3 narrow columns x bands per doc and the
+            # shingle arrays are ~8B/token — both within a small
+            # constant of the reference's on-disk bytes.
+            ref_small = estimated_size_bytes(reference) <= broadcast_threshold_bytes(
+                reference
+            )
             sig_c = sh_c.select(
                 "doc_id", minhash_signature("shingles", num_perm=num_perm, seed=seed).alias("sig")
             )
@@ -415,6 +433,8 @@ def decontaminate(
             )
             bc = _banded(sig_c, num_perm=num_perm, bands=bands)
             br = _banded(sig_r, num_perm=num_perm, bands=bands)
+            if ref_small:
+                br = F.broadcast(br)
             cand = (
                 bc.alias("a")
                 .join(
@@ -428,17 +448,18 @@ def decontaminate(
                 )
                 .dropDuplicates(["doc_a", "doc_b"])
             )
+            ref_shingles = sh_r.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            )
+            if ref_small:
+                ref_shingles = F.broadcast(ref_shingles)
             verified = (
                 cand.join(
                     sh_c.select(F.col("doc_id").alias("doc_a"),
                                 F.col("shingles").alias("sh_a")),
                     on="doc_a",
                 )
-                .join(
-                    sh_r.select(F.col("doc_id").alias("doc_b"),
-                                F.col("shingles").alias("sh_b")),
-                    on="doc_b",
-                )
+                .join(ref_shingles, on="doc_b")
             )
             inter = F.size(F.array_intersect("sh_a", "sh_b"))
             union = F.size("sh_a") + F.size("sh_b") - inter
