@@ -89,21 +89,19 @@ def main() -> None:
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # r2->r3 diagnosis of the r1->r2 shared-set movement
-                # (9.50s -> 12.44s on 11 unchanged queries): reproduced
-                # in ISOLATION on an idle 32-core box — unchanged-plan
-                # agg_groupby measured 0.83/1.17/0.98s across three
-                # fresh JVM sessions vs r1's 0.69s, so the movement is
-                # session-level variance at sub-second scales, not plan
-                # rot or suite contention. Plan-level fix this round:
-                # pipeline_decontaminate_lsh 13.8s -> ~3.4s warm via
-                # size-gated broadcast of the reference-side banded
-                # index + shingles.
+                # r4 plan-level fix: similarity_ann_ivf probes the
+                # MATERIALIZED index (train-once via _ivf_index_for,
+                # corpus Hive-partitioned by cell, partition-pruned
+                # probe) — 8.46s -> ~1.5s warm. The quantizer train +
+                # index write is one-time setup on the first-ever
+                # execution per fixture, reused from disk afterwards
+                # (across processes too, via _centroids.json), so cold
+                # here measures plan/codegen cost, not index build.
                 "notes": (
-                    "r1->r2 shared-set delta reproduced in isolation with "
-                    "unchanged plans (JVM-session variance, ±30% at <1s "
-                    "query scales); decontaminate_lsh recovered via "
-                    "size-gated reference-side broadcast"
+                    "r4: similarity_ann_ivf re-registered on the "
+                    "materialized IVF index (train-once, partition-pruned "
+                    "probes) — 8.46s -> ~1.5s warm; index build is "
+                    "one-time setup reused from disk across sessions"
                 ),
             }
         )

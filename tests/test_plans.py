@@ -206,16 +206,22 @@ def test_curation_recipe_single_shuffle(spark, queries):
 
 def test_gate_order_is_staleness_first():
     """The driver's gate records a capped number of entries per round, so
-    queries() must yield (1) never-officially-recorded queries first,
-    then (2) queries whose newest official row failed, then (3) green
-    queries from stalest to freshest round — so every query's newest
-    official row stays at most a couple of rounds old. Guards the
-    coverage-rotation mechanism against an accidental reorder."""
-    from mriya_spark.queries import REGISTRY, _gate_history, queries
+    __spark_entry__.queries() must yield (1) never-officially-recorded
+    queries first, then (2) queries whose newest official row failed,
+    then (3) green queries from stalest to freshest round — so every
+    query's newest official row stays at most a couple of rounds old.
+    The ordering is harness policy and lives in the entry module; the
+    library registry stays in registration order."""
+    import __spark_entry__ as entry_mod
+    from mriya_spark.queries import REGISTRY
 
-    history = _gate_history()
-    names = list(queries())
+    history = entry_mod._gate_history()
+    names = list(entry_mod.queries())
     assert set(names) == set(REGISTRY)
+    # the library itself must NOT reorder (gate policy != semantics)
+    from mriya_spark.queries import queries as lib_queries
+
+    assert list(lib_queries()) == list(REGISTRY)
 
     def tier(n):
         t, rnd = history.get(n, (0, 0))
@@ -229,3 +235,43 @@ def test_gate_order_is_staleness_first():
     # with r1+r2 history present, both tiers must actually occur
     if any(t == (2, 1) for t in tiers) and any(t == (2, 2) for t in tiers):
         assert tiers.index((2, 2)) > tiers.index((2, 1))
+
+
+def test_gate_history_tiers_from_synthetic_files(tmp_path):
+    """Direct tier-assignment check against hand-built CORRECTNESS
+    files (the prior test only verified sort-vs-history consistency):
+    green-then-failed must DEMOTE to the failed tier, failed-then-green
+    must promote, and round files must be ordered numerically (r10
+    after r9) rather than lexicographically."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    def row(green: bool):
+        return {
+            "rows_match": green, "schema_match": green, "hash_match": green,
+            "spark_rows": 5, "oracle_rows": 5 if green else None,
+            "err": None if green else "hash_mismatch",
+        }
+
+    no_oracle = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 7, "oracle_rows": None, "err": "no_oracle"}
+
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "green_then_failed": row(True),
+        "failed_then_green": row(False),
+        "green_only": row(True),
+        "rows_only": no_oracle,
+    }))
+    # round 10: lexicographically "r10" < "r2" — numeric order must win
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({
+        "green_then_failed": row(False),
+        "failed_then_green": row(True),
+    }))
+
+    hist = entry_mod._gate_history(root=tmp_path)
+    assert hist["green_then_failed"] == (1, 10)  # regressed -> failed tier
+    assert hist["failed_then_green"] == (2, 10)  # recovered -> green tier
+    assert hist["green_only"] == (2, 2)
+    assert hist["rows_only"] == (2, 2)  # no_oracle with rows counts green
+    assert "never_recorded" not in hist
