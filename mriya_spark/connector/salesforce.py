@@ -140,7 +140,11 @@ def make_transport(options: dict):
     CSV over the wire). Everything Spark-side (pushdown, pagination,
     chunked DML) is identical through either."""
     if options.get("transport", "mock") == "http":
-        from mriya_spark.connector.transport import ConnectorParams, HttpTransport
+        from mriya_spark.connector.transport import (
+            DEFAULT_SESSION_FILE,
+            ConnectorParams,
+            HttpTransport,
+        )
 
         return HttpTransport(
             ConnectorParams(
@@ -150,9 +154,7 @@ def make_transport(options: dict):
                 url_prefix=options.get("url_prefix", ""),
                 consumer_key=options.get("consumer_key", ""),
                 consumer_secret=options.get("consumer_secret", ""),
-                session_file=options.get(
-                    "session_file", "/tmp/mriya_spark_sessions.json"
-                ),
+                session_file=options.get("session_file", DEFAULT_SESSION_FILE),
             )
         )
     return MockTransport(options["org_dir"])

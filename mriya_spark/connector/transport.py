@@ -41,6 +41,14 @@ from typing import Iterator, Sequence
 #: SOAP DML chunk envelope (reference `data_connector.py:23`).
 DML_CHUNK_SIZE = 200
 
+#: Token cache location. The reference keeps its session file in the
+#: process cwd (`data_connector.py:24,219-243`); a shared
+#: world-readable /tmp path would let any local user read live tokens,
+#: so the default is user-scoped and the file is created 0600.
+DEFAULT_SESSION_FILE = os.path.join(
+    os.path.expanduser("~"), ".cache", "mriya_spark", "sessions.json"
+)
+
 
 @dataclass(frozen=True)
 class ConnectorParams:
@@ -54,7 +62,7 @@ class ConnectorParams:
     url_prefix: str = ""
     consumer_key: str = ""
     consumer_secret: str = ""
-    session_file: str = "/tmp/mriya_spark_sessions.json"
+    session_file: str = DEFAULT_SESSION_FILE
 
     @property
     def instance_url(self) -> str:
@@ -160,24 +168,58 @@ class HttpTransport:
         except Exception:
             return None
 
-    def _save_token(self) -> None:
-        tokens = {}
+    def _mutate_tokens(self, fn) -> None:
+        """Serialized read-modify-write of the token cache.
+
+        The cache is shared by every transport of the same user, so
+        concurrent processes (e.g. parallel connector jobs) race on it.
+        An ``flock``'d sibling lockfile serializes the RMW, the payload
+        is written 0600 (tokens are credentials), and the content lands
+        via tmp-file + ``os.replace`` so readers — ``_cached_token``
+        takes no lock — always see a complete JSON document.
+        """
+        import tempfile
+
+        path = self.params.session_file
+        d = os.path.dirname(path) or "."
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_WRONLY, 0o600)
         try:
-            with open(self.params.session_file) as f:
-                tokens = json.load(f)
-        except Exception:
-            pass
-        tokens[self.params.username] = self.access_token
-        with open(self.params.session_file, "w") as f:
-            json.dump(tokens, f)
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: atomic replace still holds
+                pass
+            tokens = {}
+            try:
+                with open(path) as f:
+                    tokens = json.load(f)
+            except Exception:
+                pass
+            fn(tokens)
+            tmp_fd, tmp_path = tempfile.mkstemp(prefix=".sessions_", dir=d)
+            try:
+                os.fchmod(tmp_fd, 0o600)
+                with os.fdopen(tmp_fd, "w") as f:
+                    json.dump(tokens, f)
+                os.replace(tmp_path, path)
+            except BaseException:
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
+                raise
+        finally:
+            os.close(lock_fd)  # closing releases the flock
+
+    def _save_token(self) -> None:
+        tok = self.access_token
+        self._mutate_tokens(lambda t: t.__setitem__(self.params.username, tok))
 
     def _remove_cached_token(self) -> None:
         try:
-            with open(self.params.session_file) as f:
-                tokens = json.load(f)
-            tokens.pop(self.params.username, None)
-            with open(self.params.session_file, "w") as f:
-                json.dump(tokens, f)
+            self._mutate_tokens(lambda t: t.pop(self.params.username, None))
         except Exception:
             pass
 

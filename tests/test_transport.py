@@ -244,3 +244,55 @@ def test_dsv2_read_write_over_http(org, spark):
     assert len(got) == 10
     assert got[0].c_id == 490 and got[0].c_score == 735.0
     assert got[0].c_name == "name_490"
+
+def test_token_cache_file_is_private_and_atomic(org):
+    """The cache holds live credentials: it must be created 0600 in a
+    0700 directory (the reference keeps sessions in cwd,
+    `data_connector.py:24,219-243`; a shared /tmp default would leak
+    tokens cross-user), and writes must land atomically."""
+    import os
+    from dataclasses import replace
+
+    state, params = org
+    nested = os.path.join(os.path.dirname(params.session_file), "sub", "s.json")
+    p = replace(params, session_file=nested)
+    HttpTransport(p).get_token()
+    assert os.stat(nested).st_mode & 0o777 == 0o600
+    assert os.stat(os.path.dirname(nested)).st_mode & 0o777 == 0o700
+    # no torn tmp files left behind
+    leftovers = [f for f in os.listdir(os.path.dirname(nested))
+                 if f.startswith(".sessions_")]
+    assert leftovers == []
+
+
+def test_token_cache_concurrent_writers_lose_no_entries(org):
+    """20 threads doing read-modify-write for distinct usernames: the
+    flock'd RMW must serialize them so every entry survives (the old
+    unlocked write lost all but the last racer's update)."""
+    import threading as th
+    from dataclasses import replace
+
+    state, params = org
+    users = [f"u{i}@example.com" for i in range(20)]
+
+    def save(u):
+        t = HttpTransport(replace(params, username=u))
+        t.access_token = f"tok_for_{u}"
+        t._save_token()
+
+    threads = [th.Thread(target=save, args=(u,)) for u in users]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    tokens = json.load(open(params.session_file))
+    assert {u: f"tok_for_{u}" for u in users}.items() <= tokens.items()
+
+
+def test_default_session_file_is_user_scoped():
+    import os
+
+    from mriya_spark.connector.transport import DEFAULT_SESSION_FILE
+
+    assert not DEFAULT_SESSION_FILE.startswith("/tmp")
+    assert DEFAULT_SESSION_FILE.startswith(os.path.expanduser("~"))
