@@ -37,6 +37,35 @@ DIMENSIONS = frozenset({"region", "nation", "supplier", "part"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to TIMESTAMP_NTZ whatever the parquet
+    encoding of the fixture generation at hand:
+
+    - INT64 TIMESTAMP(NANOS) read as long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (early fixtures),
+    - plain TIMESTAMP(MICROS) without tz adjustment, which Spark 4
+      infers as TIMESTAMP_NTZ (current fixtures),
+    - tz-adjusted TIMESTAMP (LTZ), cast through the session tz (UTC).
+
+    DuckDB reads the same column as a naive TIMESTAMP, so NTZ is the
+    canonical type that hashes equal cross-engine.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # integer division: ns values exceed 2^53, so float division
+        # would lose precision; truncation matches DuckDB's ns->us
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    elif isinstance(dt, T.TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 class Catalog:
     """Resolve table names to DataFrames for one scale-factor directory."""
 
@@ -57,20 +86,7 @@ class Catalog:
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(self.path(name))
             if name == "events":
-                # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as
-                # long nanos (`spark.sql.legacy.parquet.nanosAsLong`).
-                # Fixture values are microsecond-precision, so the
-                # ns->us conversion is lossless.
-                from pyspark.sql import functions as F
-                from pyspark.sql import types as T
-
-                if isinstance(df.schema["ts"].dataType, T.LongType):
-                    # integer division: ns values exceed 2^53, so float
-                    # division would lose precision; truncation (not
-                    # rounding) matches DuckDB's ns->us behavior
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                    )
+                df = normalize_events_ts(df)
             self._cache[name] = df
         return self._cache[name]
 

@@ -240,21 +240,42 @@ def _restore(dt):
     import datetime
 
     from pyspark.sql.types import (
+        ArrayType,
         BooleanType,
         ByteType,
         DateType,
+        DecimalType,
         DoubleType,
         FloatType,
         IntegerType,
         LongType,
+        MapType,
         ShortType,
+        StructType,
         TimestampType,
     )
 
+    if isinstance(dt, (ArrayType, MapType, StructType)):
+        # the wire is flat CSV — a nested column can never round-trip;
+        # reject at schema-declaration time instead of silently
+        # yielding strings (the reference's CSV surface is flat too,
+        # /root/reference/data_connector.py bulk CSV paths)
+        raise TypeError(
+            f"salesforce_mock carries flat CSV; non-atomic column type "
+            f"{dt.simpleString()} is not supported — flatten or JSON-encode it"
+        )
     if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
         return int
     if isinstance(dt, (FloatType, DoubleType)):
         return float
+    if isinstance(dt, DecimalType):
+        import decimal
+
+        # through str, never float: Decimal(str(v)) preserves the wire
+        # text exactly; Decimal(0.1) would bake in binary-float error
+        return lambda v: (
+            v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+        )
     if isinstance(dt, BooleanType):
         return lambda v: v if isinstance(v, bool) else str(v).lower() in ("true", "1")
     if isinstance(dt, TimestampType):

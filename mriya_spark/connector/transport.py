@@ -177,19 +177,33 @@ class HttpTransport:
         is written 0600 (tokens are credentials), and the content lands
         via tmp-file + ``os.replace`` so readers — ``_cached_token``
         takes no lock — always see a complete JSON document.
+
+        POSIX-only serialization: without ``fcntl`` (Windows) the
+        atomic replace still guarantees readers see complete documents,
+        but two simultaneous writers race last-writer-wins on the RMW.
         """
         import tempfile
 
         path = self.params.session_file
         d = os.path.dirname(path) or "."
         os.makedirs(d, mode=0o700, exist_ok=True)
-        lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_WRONLY, 0o600)
+        # makedirs only applies the mode to directories it creates (and
+        # as masked by umask); tighten the leaf explicitly so the
+        # private-dir guarantee also holds for pre-existing dirs
+        try:
+            os.chmod(d, 0o700)
+        except OSError:  # not ours (e.g. shared parent) — leave it
+            pass
+        # O_NOFOLLOW: if the cache dir was ever shared, a planted
+        # symlink at <path>.lock must not redirect the open
+        flags = os.O_CREAT | os.O_WRONLY | getattr(os, "O_NOFOLLOW", 0)
+        lock_fd = os.open(path + ".lock", flags, 0o600)
         try:
             try:
                 import fcntl
 
                 fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: atomic replace still holds
+            except ImportError:  # non-POSIX: see docstring
                 pass
             tokens = {}
             try:
@@ -197,6 +211,10 @@ class HttpTransport:
                     tokens = json.load(f)
             except Exception:
                 pass
+            if not isinstance(tokens, dict):
+                # valid-JSON-but-not-a-dict (corrupt/foreign file):
+                # start fresh rather than crash the post-grant save
+                tokens = {}
             fn(tokens)
             tmp_fd, tmp_path = tempfile.mkstemp(prefix=".sessions_", dir=d)
             try:

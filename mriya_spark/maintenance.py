@@ -50,15 +50,27 @@ def compact_parquet(
     output partitions — and swaps the rewrite in: stage to a sibling
     tmp dir, then two renames. The swap is NOT atomic — a reader in
     the instant between renames sees a missing path, and a crash
-    there leaves the data at the ``__old`` sibling; run in a
-    maintenance window (a transactional format does this swap in
-    metadata instead). Returns before/after file stats.
+    there leaves the data at the ``__old`` sibling (repairable with
+    ``recover_compact``); run in a maintenance window (a transactional
+    format does this swap in metadata instead). Local-filesystem
+    paths only — scheme'd paths are rejected up front. Returns
+    before/after file stats.
 
     Rows are preserved exactly (tested); only the file layout changes.
     On a transactional format this whole function is ``OPTIMIZE``;
     plain parquet pays one full rewrite, which is why real deployments
     compact per-partition on a schedule, not per-batch.
     """
+    if "://" in path or path.startswith("file:"):
+        # the os.rename swap below only works on a local filesystem;
+        # on object stores / HDFS this function would silently corrupt
+        # the dataset — fail fast (a transactional format, or a
+        # distcp-style staged copy, is the right tool there)
+        raise ValueError(
+            f"compact_parquet requires a local filesystem path, got {path!r}; "
+            "for object-store/HDFS datasets use a transactional table format "
+            "(Delta/Iceberg OPTIMIZE) or a staged-copy job"
+        )
     n_before, bytes_before = _dataset_stats(path)
     df = spark.read.parquet(path)
     n_out = max(1, -(-bytes_before // target_file_bytes))
@@ -76,11 +88,38 @@ def compact_parquet(
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # only drop the original once the swapped-in dataset verifies; a
+    # crash before this point is repairable via recover_compact()
     n_after, bytes_after = _dataset_stats(path)
+    if n_after > 0:
+        shutil.rmtree(old, ignore_errors=True)
     return {
         "files_before": n_before,
         "files_after": n_after,
         "bytes_before": bytes_before,
         "bytes_after": bytes_after,
     }
+
+
+def recover_compact(path: str) -> str | None:
+    """Repair a ``compact_parquet`` interrupted between its two
+    renames: the dataset is missing at ``path`` but intact at the
+    ``__old_*`` sibling (and the rewrite at ``__compact_*``). Restores
+    the original, removes stale rewrite staging, and returns the
+    sibling it restored from (``None`` when nothing needed repair)."""
+    base = path.rstrip("/")
+    parent = os.path.dirname(base) or "."
+    name = os.path.basename(base)
+    restored = None
+    if not os.path.exists(path):
+        for f in sorted(os.listdir(parent)):
+            if f.startswith(f"{name}__old_"):
+                os.rename(os.path.join(parent, f), path)
+                restored = f
+                break
+    if os.path.exists(path):
+        # stale staging (from this or any earlier interrupted run)
+        for f in os.listdir(parent):
+            if f.startswith((f"{name}__compact_", f"{name}__old_")):
+                shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
+    return restored

@@ -155,8 +155,12 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(ts)
     gap_s = int(gap_minutes * 60)
+    # interval comparison, not epoch casts: TIMESTAMP_NTZ (how Spark 4
+    # reads un-adjusted parquet timestamps) cannot be cast to a number,
+    # and ts - lag(ts) > INTERVAL works uniformly for NTZ and LTZ
     new_session = (
-        F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w) > gap_s
+        F.col(ts) - F.lag(F.col(ts)).over(w)
+        > F.expr(f"INTERVAL '{gap_s}' SECOND")
     )
     return df.withColumn(
         session_col,

@@ -32,12 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: explicit schema for the events parquet (streaming requires one);
-#: ts is read as long nanos (see catalog.py) and converted after.
+#: explicit schema for the STAGED events files (streaming requires
+#: one). Staging (`stage_events_files`) normalizes ts to TIMESTAMP_NTZ
+#: via catalog.normalize_events_ts, whatever the fixture encoding, so
+#: the stream schema is fixed regardless of the source parquet.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -45,7 +47,9 @@ EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
-_STAGE_ROOT = "/tmp/mriya_spark_stream"
+#: v2: staged files carry ts as TIMESTAMP_NTZ (was long nanos); the
+#: version suffix invalidates stale stagings from older layouts.
+_STAGE_ROOT = "/tmp/mriya_spark_stream_v2"
 
 
 def stage_events_files(
@@ -66,8 +70,10 @@ def stage_events_files(
     out = f"{_STAGE_ROOT}/events_{tag}_{n_files}{suffix}"
     marker = f"{out}/_STAGED"
     if not os.path.exists(marker):
+        from mriya_spark.catalog import normalize_events_ts
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         if time_ordered:
             df = df.repartitionByRange(n_files, "ts")
         else:
@@ -105,8 +111,7 @@ def read_events_stream(
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.load(path)
 
 
 @contextmanager
@@ -183,17 +188,24 @@ def run_until_idle(
     return out
 
 
+def _event_time(events: DataFrame) -> DataFrame:
+    """Watermarks accept only TIMESTAMP (LTZ); the staged ``ts`` is the
+    canonical TIMESTAMP_NTZ. The session tz is pinned to UTC
+    (session.py), so the cast is epoch-identical both ways."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def tumbling_window_counts(events: DataFrame, *, minutes: int = 10) -> DataFrame:
     """Tumbling event-time window aggregate with watermark."""
     return (
-        events.withWatermark("ts", "1 hour")
+        _event_time(events).withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -206,10 +218,13 @@ def sliding_window_counts(
 ) -> DataFrame:
     """Sliding window variant (each event lands in window/slide panes)."""
     return (
-        events.withWatermark("ts", "1 hour")
+        _event_time(events).withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("window.start").alias("window_start"), "n")
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
     )
 
 
@@ -224,14 +239,16 @@ def session_window_stats(
     events). An unbounded deployment passes a watermark to bound state.
     """
     if watermark:
-        events = events.withWatermark("ts", watermark)
+        events = _event_time(events).withWatermark("ts", watermark)
     return (
         events
         .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
             "n_events",
         )
     )
@@ -432,7 +449,9 @@ def dedup_within_watermark(
     all ids forever). Requires roughly event-time-ordered arrival
     (``stage_events_files(time_ordered=True)``); duplicates of an id
     arriving within the watermark window are dropped."""
-    unioned = events_a.unionByName(events_b).withWatermark("ts", watermark)
+    unioned = _event_time(events_a.unionByName(events_b)).withWatermark(
+        "ts", watermark
+    )
     return (
         unioned.dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")

@@ -79,7 +79,7 @@ def test_foreach_batch_upsert_touches_only_batch_buckets(spark, catalog):
     one_user = catalog.table("events").select("user_id").first()["user_id"]
     src = f"/tmp/mriya_spark_stream/test_one_user_{uuid.uuid4().hex[:8]}"
     (
-        spark.read.parquet(f"{SF}/events.parquet")
+        catalog.table("events")
         .filter(F.col("user_id") == one_user)
         .write.mode("overwrite")
         .parquet(src)
@@ -88,7 +88,6 @@ def test_foreach_batch_upsert_touches_only_batch_buckets(spark, catalog):
         spark.readStream.schema(S.EVENTS_RAW_SCHEMA)
         .format("parquet")
         .load(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     S.foreach_batch_upsert(ev2, target, key="user_id", n_buckets=16)
 
