@@ -13,6 +13,7 @@ lakehouse-side half of SURVEY §2.1's sink surface — what Delta/Iceberg
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -61,11 +62,13 @@ def compact_parquet(
     plain parquet pays one full rewrite, which is why real deployments
     compact per-partition on a schedule, not per-batch.
     """
-    if "://" in path or path.startswith("file:"):
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
         # the os.rename swap below only works on a local filesystem;
         # on object stores / HDFS this function would silently corrupt
         # the dataset — fail fast (a transactional format, or a
-        # distcp-style staged copy, is the right tool there)
+        # distcp-style staged copy, is the right tool there). The
+        # guard matches ANY URI scheme prefix, including single-slash
+        # Hadoop forms like ``hdfs:/data/x`` that carry no ``://``.
         raise ValueError(
             f"compact_parquet requires a local filesystem path, got {path!r}; "
             "for object-store/HDFS datasets use a transactional table format "
@@ -103,22 +106,53 @@ def compact_parquet(
 
 def recover_compact(path: str) -> str | None:
     """Repair a ``compact_parquet`` interrupted between its two
-    renames: the dataset is missing at ``path`` but intact at the
-    ``__old_*`` sibling (and the rewrite at ``__compact_*``). Restores
-    the original, removes stale rewrite staging, and returns the
-    sibling it restored from (``None`` when nothing needed repair)."""
+    renames: the dataset is missing at ``path`` (or swapped with an
+    empty, unverified rewrite) but intact at the ``__old_*`` sibling,
+    with the rewrite at ``__compact_*``. Restores the original,
+    removes stale rewrite staging, and returns the sibling it
+    restored from (``None`` when nothing needed restoring).
+
+    Safety invariants: staging is only cleared once a
+    verified-nonempty dataset sits at ``path`` (never delete what may
+    be the sole good copy), and when several crashed runs left
+    multiple ``__old_*`` siblings the one restored is the newest one
+    that actually holds data files, not whichever sorts first."""
     base = path.rstrip("/")
     parent = os.path.dirname(base) or "."
     name = os.path.basename(base)
     restored = None
+    olds = [f for f in os.listdir(parent) if f.startswith(f"{name}__old_")]
+
+    def _best_old() -> str | None:
+        ranked = sorted(
+            olds,
+            key=lambda f: (
+                _dataset_stats(os.path.join(parent, f))[0] > 0,
+                os.path.getmtime(os.path.join(parent, f)),
+            ),
+            reverse=True,
+        )
+        return ranked[0] if ranked else None
+
     if not os.path.exists(path):
-        for f in sorted(os.listdir(parent)):
-            if f.startswith(f"{name}__old_"):
-                os.rename(os.path.join(parent, f), path)
-                restored = f
-                break
-    if os.path.exists(path):
-        # stale staging (from this or any earlier interrupted run)
+        pick = _best_old()
+        if pick is not None:
+            os.rename(os.path.join(parent, pick), path)
+            restored = pick
+            olds.remove(pick)
+    elif olds and _dataset_stats(path)[0] == 0:
+        # the crash left an empty/unverified rewrite swapped in at
+        # ``path``; the only good copy lives at __old_* — swap it
+        # back in rather than letting the cleanup below delete it
+        pick = _best_old()
+        if pick is not None and _dataset_stats(os.path.join(parent, pick))[0] > 0:
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(os.path.join(parent, pick), path)
+            restored = pick
+            olds.remove(pick)
+    if os.path.exists(path) and _dataset_stats(path)[0] > 0:
+        # stale staging (from this or any earlier interrupted run);
+        # safe to drop only now that ``path`` verifies non-empty
         for f in os.listdir(parent):
             if f.startswith((f"{name}__compact_", f"{name}__old_")):
                 shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
