@@ -1,0 +1,48 @@
+"""User-scoped root for derived-artifact caches.
+
+Materialized artifacts that are TRUSTED on re-read (the IVF index, the
+staged streaming fixtures, the seeded mock org) used to live under
+shared, predictable ``/tmp`` paths — on a multi-user host another user
+could pre-create those paths and at best collide, at worst poison
+query results. Everything now lands under ``~/.cache/mriya_spark``
+(override: ``MRIYA_SPARK_CACHE_DIR``), the same user-scoped pattern
+the OAuth token cache adopted in round 4
+(`connector/transport.py:DEFAULT_SESSION_FILE`), with the root held at
+0700 so other local users can neither read nor plant artifacts.
+
+Reference analogue: the reference trusts its cwd session file
+(/root/reference/data_connector.py:24,219-243); same class of derived
+state, same fix.
+"""
+
+from __future__ import annotations
+
+import os
+
+_ENV_VAR = "MRIYA_SPARK_CACHE_DIR"
+
+
+def cache_root() -> str:
+    """The cache root (not created). Env-overridable for tests/CI."""
+    return os.environ.get(_ENV_VAR) or os.path.join(
+        os.path.expanduser("~"), ".cache", "mriya_spark"
+    )
+
+
+def cache_dir(*parts: str) -> str:
+    """Return ``cache_root()/parts...``, creating it (and tightening
+    the root to 0700 — but only when WE created it: chmod'ing a
+    pre-existing user-chosen directory would silently strip
+    deliberately-granted group access)."""
+    root = cache_root()
+    created_root = not os.path.isdir(root)
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if created_root:
+        # makedirs' mode is filtered through the umask; re-tighten
+        try:
+            os.chmod(root, 0o700)
+        except OSError:
+            pass
+    full = os.path.join(root, *parts) if parts else root
+    os.makedirs(full, exist_ok=True)
+    return full

@@ -49,7 +49,12 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 #: v2: staged files carry ts as TIMESTAMP_NTZ (was long nanos); the
 #: version suffix invalidates stale stagings from older layouts.
-_STAGE_ROOT = "/tmp/mriya_spark_stream_v2"
+#: User-scoped (not /tmp): staged fixtures are trusted on re-read, so
+#: a shared predictable path would let another local user pre-plant
+#: poisoned data (r5 verdict). ~/.cache/mriya_spark is 0700.
+from mriya_spark.cachedir import cache_dir as _cache_dir
+
+_STAGE_ROOT = _cache_dir("stream_v2")
 
 
 def stage_events_files(
