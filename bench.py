@@ -57,26 +57,38 @@ def main() -> None:
     for t in ("nation", "lineitem", "orders", "customer", "documents"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    # Each query runs twice: the first execution carries one-time plan
-    # analysis + whole-stage codegen compilation (~2s/query shape, paid
-    # once per JVM no matter the data size); the second is the
-    # steady-state cost that scales with data. Headline = steady state
-    # (the number that extrapolates to 100 TB); cold runs are reported
-    # alongside so nothing is hidden.
+    # Each query runs once cold then WARM_RUNS times warm. The cold
+    # run carries one-time plan analysis + whole-stage codegen
+    # compilation (~2s/query shape, paid once per JVM no matter the
+    # data size); the warm runs are the steady-state cost that scales
+    # with data. Headline = MEDIAN of the warm runs: single-shot warm
+    # timings at this scale carry ±2s session noise (r5 verdict:
+    # pipeline_corpus_curation_lsh swung 3.4->6.2->2.6s across rounds
+    # with no code change), so round-over-round comparisons need a
+    # robust statistic. All raw runs are reported so nothing is hidden.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3"))
     steady: dict[str, float] = {}
     cold: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
-        for run, book in ((0, cold), (1, steady)):
+        timings: list[float] = []
+        for _run in range(1 + warm_runs):
             # drop data cached by operators' internal persist() calls —
             # identical logical plans would otherwise hit the cache and
-            # the second run would measure a cached read, not compute.
+            # the repeat runs would measure a cached read, not compute.
             # release_caches() also clears the scoped-persist registry
             # so no operator's cache scope leaks into the next query.
             release_caches()
             spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            book[name] = round(time.time() - t0, 3)
+            timings.append(round(time.time() - t0, 3))
+        cold[name] = timings[0]
+        warm = sorted(timings[1:])
+        steady[name] = warm[len(warm) // 2] if len(warm) % 2 else round(
+            (warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2, 3
+        )
+        runs[name] = timings
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -88,6 +100,10 @@ def main() -> None:
                 "queries": steady,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "warm_runs_per_query": warm_runs,
+                # runs[name] = [cold, warm1, warm2, ...]; queries[name]
+                # is the median of the warm entries
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # r4 plan-level fix: similarity_ann_ivf probes the
                 # MATERIALIZED index (train-once via _ivf_index_for,
@@ -98,10 +114,11 @@ def main() -> None:
                 # (across processes too, via _centroids.json), so cold
                 # here measures plan/codegen cost, not index build.
                 "notes": (
-                    "r4: similarity_ann_ivf re-registered on the "
-                    "materialized IVF index (train-once, partition-pruned "
-                    "probes) — 8.46s -> ~1.5s warm; index build is "
-                    "one-time setup reused from disk across sessions"
+                    "r6: queries{} is the median of 3 warm runs (raw "
+                    "timings in runs{}) — single-shot warm numbers carried "
+                    "±2s session noise. similarity_ann_ivf probes the "
+                    "materialized IVF index (train-once, partition-pruned); "
+                    "index build is one-time setup reused from disk."
                 ),
             }
         )

@@ -16,7 +16,10 @@ Contract implemented here:
   completed build — cached memory is bounded by one operator's working
   set, however many queries a long-lived session runs;
 - ``release_caches()`` frees the current set explicitly (bench/test
-  teardown, or callers that know the returned frame was materialized).
+  teardown, or callers that know the returned frame was materialized);
+  ``release_caches(all_threads=True)`` additionally frees caches
+  registered by OTHER threads — the teardown escape hatch for pool
+  workers that never submit again (r5 ADVICE).
 
 The previous build's caches are evicted even if its returned frame was
 never collected; that frame stays CORRECT (persist is purely a perf
@@ -33,6 +36,14 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
+#: every thread's live set, keyed by thread id — the cross-thread view
+#: thread-local storage can't give a coordinator/teardown thread. The
+#: values ARE the per-thread ``live`` lists (shared identity, not
+#: copies), so a cross-thread release and the owning thread observe
+#: the same state. Guarded by _registry_lock.
+_live_by_thread: dict[int, list[DataFrame]] = {}
+_registry_lock = threading.Lock()
+
 
 class _ScopeState(threading.local):
     """Per-thread scope bookkeeping: a multi-tenant driver (e.g. a
@@ -46,9 +57,19 @@ class _ScopeState(threading.local):
         #: caches of the last completed outermost build (this thread)
         self.live: list[DataFrame] = []
         self.building: list[DataFrame] = []
+        with _registry_lock:
+            _live_by_thread[threading.get_ident()] = self.live
 
 
 _state = _ScopeState()
+
+
+def _publish_live(live: list[DataFrame]) -> None:
+    """Point this thread's registry slot at ``live`` (list identity is
+    the contract — see _live_by_thread)."""
+    _state.live = live
+    with _registry_lock:
+        _live_by_thread[threading.get_ident()] = live
 
 
 @contextmanager
@@ -64,7 +85,7 @@ def cache_scope() -> Iterator[None]:
     finally:
         _state.depth -= 1
         if _state.depth == 0:
-            _state.live = _state.building
+            _publish_live(_state.building)
             _state.building = []
 
 
@@ -77,12 +98,32 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_caches() -> None:
-    """Unpersist every cache the last completed build registered on
-    the calling thread."""
-    for df in _state.live:
+def _drain(live: list[DataFrame]) -> None:
+    for df in live:
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
-    _state.live = []
+    live.clear()  # in place: the owning thread sees the same (empty) list
+
+
+def release_caches(*, all_threads: bool = False) -> None:
+    """Unpersist every cache the last completed build registered on
+    the calling thread.
+
+    ``all_threads=True`` also drains the live sets of every OTHER
+    thread — for shutdown/teardown from a coordinator thread when pool
+    workers that registered caches will never submit again (their
+    thread-local state is unreachable otherwise, leaking executor
+    memory until session stop). Only safe when no other thread is
+    concurrently running a build."""
+    _drain(_state.live)
+    if all_threads:
+        with _registry_lock:
+            others = [
+                live
+                for tid, live in _live_by_thread.items()
+                if tid != threading.get_ident()
+            ]
+        for live in others:
+            _drain(live)

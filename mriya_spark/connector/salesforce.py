@@ -233,6 +233,15 @@ class _Page(InputPartition):
     limit: int
 
 
+def _validate_wire_schema(schema: StructType) -> None:
+    """Reject unsupported (nested) column types ON THE DRIVER, at
+    reader construction — ``_restore`` raising per-task on executors
+    would surface the same TypeError once per partition, after a job
+    already launched (r5 ADVICE)."""
+    for f in schema.fields:
+        _restore(f.dataType)
+
+
 def _restore(dt):
     """Value restorer for one schema field: the wire is stringly (CSV
     over HTTP; ISO strings in the mock's jsonl), the declared schema is
@@ -297,6 +306,7 @@ class SalesforceMockReader(DataSourceReader):
         self.object = options["object"]
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.pushed: list[dict] = []
+        _validate_wire_schema(schema)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """SupportsPushDownFilters: translate what the wire supports,
@@ -348,6 +358,7 @@ class SalesforceMockStreamReader(SimpleDataSourceStreamReader):
         self.options = options
         self.object = options["object"]
         self.batch_size = int(options.get("stream_batch_size", 1000))
+        _validate_wire_schema(schema)
 
     def initialOffset(self) -> dict:
         return {"pos": 0}

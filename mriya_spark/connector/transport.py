@@ -186,14 +186,36 @@ class HttpTransport:
 
         path = self.params.session_file
         d = os.path.dirname(path) or "."
+        created = not os.path.isdir(d)
         os.makedirs(d, mode=0o700, exist_ok=True)
-        # makedirs only applies the mode to directories it creates (and
-        # as masked by umask); tighten the leaf explicitly so the
-        # private-dir guarantee also holds for pre-existing dirs
-        try:
-            os.chmod(d, 0o700)
-        except OSError:  # not ours (e.g. shared parent) — leave it
-            pass
+        # Tighten to 0700 only for dirs WE created (makedirs' mode is
+        # umask-filtered) or for the default cache location we own; a
+        # caller-chosen pre-existing dir keeps its mode — chmod'ing it
+        # would silently strip deliberately-granted group access or
+        # sticky semantics (r5 ADVICE). Too-permissive non-default
+        # dirs get a warning instead.
+        if created or os.path.realpath(d) == os.path.realpath(
+            os.path.dirname(DEFAULT_SESSION_FILE)
+        ):
+            try:
+                os.chmod(d, 0o700)
+            except OSError:  # not ours (e.g. shared parent) — leave it
+                pass
+        else:
+            import stat as _stat
+            import warnings
+
+            try:
+                mode = _stat.S_IMODE(os.stat(d).st_mode)
+            except OSError:
+                mode = 0
+            if mode & 0o077:
+                warnings.warn(
+                    f"session file directory {d!r} is group/other-"
+                    f"accessible (mode {oct(mode)}); the token file is "
+                    "0600 but a private directory is recommended",
+                    stacklevel=2,
+                )
         # O_NOFOLLOW: if the cache dir was ever shared, a planted
         # symlink at <path>.lock must not redirect the open
         flags = os.O_CREAT | os.O_WRONLY | getattr(os, "O_NOFOLLOW", 0)

@@ -136,3 +136,22 @@ def test_stream_reader_pages_incrementally(spark, tmp_path):
     assert offsets == sorted(offsets)
     assert all(c["limit"] <= 60 for c in pages)
     assert len(pages) >= -(-total // 60)
+
+
+def test_nested_schema_rejected_on_driver_before_job_launch():
+    """r5 ADVICE: the flat-CSV wire can't carry nested types; the
+    rejection must fire at reader CONSTRUCTION (driver side), not
+    per-task on executors after a job already launched."""
+    from pyspark.sql.types import StructType
+
+    from mriya_spark.connector.salesforce import (
+        SalesforceMockReader,
+        SalesforceMockStreamReader,
+    )
+
+    nested = StructType.fromDDL("c_id long, tags array<string>")
+    opts = {"org_dir": "/nonexistent", "object": "Account"}
+    with pytest.raises(TypeError, match="flat CSV"):
+        SalesforceMockReader(nested, opts)
+    with pytest.raises(TypeError, match="flat CSV"):
+        SalesforceMockStreamReader(nested, opts)

@@ -248,6 +248,36 @@ def test_cache_scope_bounds_persisted_intermediates(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
 
 
+def test_release_caches_all_threads_frees_pool_worker_caches(spark):
+    """r5 ADVICE: caches registered by a pool worker thread that never
+    submits again are unreachable through thread-local state; the
+    teardown escape hatch release_caches(all_threads=True) must free
+    them from a coordinator thread."""
+    import threading
+
+    from mriya_spark.caching import cache_scope, release_caches, scoped_persist
+
+    release_caches(all_threads=True)  # isolate
+    built: list = []
+
+    def worker():
+        with cache_scope():
+            df = spark.range(100).selectExpr("id", "id * 2 AS v")
+            scoped_persist(df)
+            df.count()
+            built.append(df)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    (df,) = built
+    assert df.is_cached  # worker's cache is live after the thread died
+    release_caches()  # calling-thread-only: must NOT free it
+    assert df.is_cached
+    release_caches(all_threads=True)
+    assert not df.is_cached
+
+
 def test_simhash_candidate_volume_subquadratic(spark):
     """Blocking must stay sub-quadratic on a big mostly-distinct corpus
     even with a heavy near-dup cluster (hot-bucket guard): with 4x16-bit

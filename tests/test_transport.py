@@ -296,3 +296,26 @@ def test_default_session_file_is_user_scoped():
 
     assert not DEFAULT_SESSION_FILE.startswith("/tmp")
     assert DEFAULT_SESSION_FILE.startswith(os.path.expanduser("~"))
+
+
+def test_preexisting_custom_session_dir_keeps_its_mode(org, tmp_path):
+    """r5 ADVICE: a caller-chosen, PRE-EXISTING session dir must not be
+    chmod'd to 0700 (that would silently strip deliberately-granted
+    group access); instead a too-permissive dir earns a warning. Dirs
+    we create ourselves still come out 0700 (covered above)."""
+    import os
+    import stat
+    import warnings
+    from dataclasses import replace
+
+    state, params = org
+    shared = tmp_path / "deliberately_group_readable"
+    shared.mkdir(mode=0o750)
+    p = replace(params, session_file=str(shared / "s.json"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        HttpTransport(p).get_token()
+    assert stat.S_IMODE(os.stat(shared).st_mode) == 0o750  # untouched
+    assert any("group/other-accessible" in str(x.message) for x in w)
+    # the token FILE itself is still private regardless of the dir
+    assert stat.S_IMODE(os.stat(shared / "s.json").st_mode) == 0o600
