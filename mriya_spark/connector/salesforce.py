@@ -95,6 +95,39 @@ class MockTransport:
     def count(self, obj: str, filters: Sequence[dict]) -> int:
         return sum(1 for r in self.load(obj) if _matches(r, filters))
 
+    def page_index(
+        self, obj: str, filters: Sequence[dict], page_size: int
+    ) -> list[dict]:
+        """One pass over the object computing where each page of the
+        FILTERED rowset begins (byte position + filtered-row offset) —
+        the mock's analogue of the queryLocator cursor a real org
+        returns. Each page's reader then seeks straight to its slice,
+        so total read work across partitions is one file pass, not
+        pages x file (the old offset-slicing re-parsed the whole file
+        per partition: O(P x N) parse at scale)."""
+        self._log(
+            {
+                "op": "page_index",
+                "object": obj,
+                "filters": list(filters),
+                "page_size": page_size,
+            }
+        )
+        pages: list[dict] = []
+        p = self._path(obj)
+        if not os.path.exists(p):
+            return pages
+        n_matched = 0
+        pos = 0
+        with open(p, "rb") as f:
+            for line in f:
+                if _matches(json.loads(line), filters):
+                    if n_matched % page_size == 0:
+                        pages.append({"offset": n_matched, "start_byte": pos})
+                    n_matched += 1
+                pos += len(line)
+        return pages
+
     def query_page(
         self,
         obj: str,
@@ -102,9 +135,13 @@ class MockTransport:
         filters: Sequence[dict],
         offset: int,
         limit: int,
+        start_byte: int | None = None,
     ) -> list[dict]:
         """One page of a filtered, projected scan (≙ one queryMore
-        round trip, `data_connector.py:62-66`)."""
+        round trip, `data_connector.py:62-66`). With ``start_byte``
+        (from ``page_index``) the read seeks to the page's slice and
+        parses only ~``limit`` rows; without it, the legacy full-parse
+        + slice path (used by the stream reader's row offsets)."""
         self._log(
             {
                 "op": "query_page",
@@ -113,8 +150,23 @@ class MockTransport:
                 "filters": list(filters),
                 "offset": offset,
                 "limit": limit,
+                **({} if start_byte is None else {"start_byte": start_byte}),
             }
         )
+        if start_byte is not None:
+            out: list[dict] = []
+            p = self._path(obj)
+            if not os.path.exists(p):
+                return out
+            with open(p, "rb") as f:
+                f.seek(start_byte)
+                for line in f:
+                    r = json.loads(line)
+                    if _matches(r, filters):
+                        out.append({c: r.get(c) for c in columns})
+                        if len(out) >= limit:
+                            break
+            return out
         rows = [r for r in self.load(obj) if _matches(r, filters)]
         page = rows[offset : offset + limit]
         return [{c: r.get(c) for c in columns} for r in page]
@@ -231,6 +283,11 @@ def _translate(filters: list[Filter]) -> tuple[list[dict], list[Filter]]:
 class _Page(InputPartition):
     offset: int
     limit: int
+    #: byte position of the page's first candidate line in the mock
+    #: org file (from ``MockTransport.page_index``); None -> transport
+    #: has no byte cursors (e.g. HTTP) and the reader falls back to
+    #: offset paging
+    start_byte: int | None = None
 
 
 def _validate_wire_schema(schema: StructType) -> None:
@@ -318,25 +375,59 @@ class SalesforceMockReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         """One partition per page (≙ queryMore cursor positions) —
-        fetched in parallel by executors."""
-        total = make_transport(self.options).count(self.object, self.pushed)
+        fetched in parallel by executors. When the transport exposes
+        page cursors (``page_index``), each partition carries the byte
+        position of its slice so its read is a seek + ~page_size-row
+        parse; total read work across all partitions is then ONE pass
+        over the object instead of pages x object (the difference
+        between O(N) and O(N²/page_size) as the org grows)."""
+        transport = make_transport(self.options)
+        if hasattr(transport, "page_index"):
+            index = transport.page_index(self.object, self.pushed, self.page_size)
+            if not index:
+                return [_Page(offset=0, limit=self.page_size, start_byte=0)]
+            return [
+                _Page(offset=pg["offset"], limit=self.page_size,
+                      start_byte=pg["start_byte"])
+                for pg in index
+            ]
+        total = transport.count(self.object, self.pushed)
         n_pages = max(1, -(-total // self.page_size))
         return [
             _Page(offset=i * self.page_size, limit=self.page_size)
             for i in range(n_pages)
         ]
 
-    def read(self, partition: _Page) -> Iterator[tuple]:
+    def read(self, partition: _Page) -> Iterator:
+        """Yield the page as ONE Arrow RecordBatch (columnar, zero
+        per-row pickling between this worker and Spark's Arrow
+        deserializer) rather than row tuples — the wire page is
+        decoded straight into typed arrays."""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         transport = make_transport(self.options)
         cols = [f.name for f in self.schema.fields]  # pruned by Spark
         convs = {f.name: _restore(f.dataType) for f in self.schema.fields}
-        for row in transport.query_page(
-            self.object, cols, self.pushed, partition.offset, partition.limit
-        ):
-            yield tuple(
-                convs[c](row[c]) if row.get(c) is not None else None
-                for c in cols
-            )
+        kw = {} if partition.start_byte is None else {
+            "start_byte": partition.start_byte
+        }
+        rows = transport.query_page(  # list (mock) or stream (HTTP)
+            self.object, cols, self.pushed, partition.offset,
+            partition.limit, **kw,
+        )
+        col_vals: dict[str, list] = {c: [] for c in cols}
+        for r in rows:  # single pass: HTTP pages stream, never re-iter
+            for c in cols:
+                v = r.get(c)
+                col_vals[c].append(convs[c](v) if v is not None else None)
+        arrow_schema = to_arrow_schema(self.schema)
+        arrays = [
+            pa.array(col_vals[c], type=arrow_schema.field(i).type)
+            for i, c in enumerate(cols)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 # ------------------------------------------------------------ streaming

@@ -155,3 +155,22 @@ def test_nested_schema_rejected_on_driver_before_job_launch():
         SalesforceMockReader(nested, opts)
     with pytest.raises(TypeError, match="flat CSV"):
         SalesforceMockStreamReader(nested, opts)
+
+
+def test_paged_scan_uses_byte_cursors_not_full_reparse(spark, org):
+    """Scale shape: partitions() computes one byte-cursor index pass
+    (≙ queryLocator), and every page read seeks to its start_byte —
+    the old offset-slicing re-parsed the whole object per partition
+    (O(pages x rows))."""
+    df = read_object(spark, org, "Account", CUSTOMER_DDL, page_size=40)
+    n = df.filter(F.col("c_acctbal") > 5000).count()
+    assert n > 0
+    calls = MockTransport(org).calls()
+    idx = [c for c in calls if c["op"] == "page_index"]
+    assert idx and idx[-1]["page_size"] == 40
+    assert {f["col"] for f in idx[-1]["filters"]} == {"c_acctbal"}
+    pages = [c for c in calls if c["op"] == "query_page"]
+    assert pages and all("start_byte" in p for p in pages)
+    # cursors are strictly increasing: distinct non-overlapping slices
+    sb = [p["start_byte"] for p in sorted(pages, key=lambda p: p["offset"])]
+    assert sb == sorted(sb) and len(set(sb)) == len(sb)
