@@ -46,10 +46,11 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB — stands in for PIL/ffmpeg decode, which this container
-    lacks. Deterministic pseudo-features from the payload hash so the
-    pipeline shape (schema, batching, partitioning) is fully testable.
-    A real deployment replaces ONLY this function."""
+    """STUB — stands in for PIL/ffmpeg decode when no codec library is
+    installed. Deterministic pseudo-features from the payload hash so
+    the pipeline shape (schema, batching, partitioning) is fully
+    testable. A real deployment replaces ONLY this function (or ships
+    PIL, which ``decoder='auto'`` then picks up at runtime)."""
     h = hashlib.sha256(payload).digest()
     width = 1 + h[0] % 64
     height = 1 + h[1] % 64
@@ -57,29 +58,92 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def decode_stub(df: DataFrame) -> DataFrame:
+def _has_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """Real image decode via PIL (used when the library is present):
+    dimensions from the header, features = a 4x2 grayscale thumbnail
+    normalized to [0,1] (FEATURE_DIM values — a stand-in visual
+    fingerprint; swap in a model embedding for production use).
+    Undecodable payloads return None -> NULL columns downstream (the
+    realistic treatment: filter, don't fail the 100 TB job over one
+    corrupt file)."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            width, height = im.size
+            thumb = im.convert("L").resize((FEATURE_DIM // 2, 2))
+            feats = [round(v / 255.0, 6) for v in thumb.getdata()]
+            return width, height, feats
+    except Exception:
+        return None
+
+
+def decode_payloads(df: DataFrame, decoder: str = "auto") -> DataFrame:
     """Arrow-batched decode stage over ``mapInPandas``.
 
     Real shape: iterator of pandas batches in/out, one task per
-    partition, no driver involvement. Swap ``_fake_decode`` for a real
-    decoder (PIL, torchaudio, pyav) and nothing else changes.
+    partition, no driver involvement. ``decoder``:
+
+    - ``'auto'`` (default): PIL when importable, else the stub —
+      opportunistic real decode without a hard dependency;
+    - ``'pil'``: require the real decoder (ValueError when absent);
+    - ``'stub'``: deterministic fake features (hash-derived).
+
+    The decoder is resolved to a NAME on the driver and looked up
+    inside the batch function, so executors import PIL themselves and
+    nothing un-picklable crosses the boundary.
     """
+    if decoder == "auto":
+        decoder = "pil" if _has_pil() else "stub"
+    if decoder not in ("pil", "stub"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}; expected 'auto', 'pil' or 'stub'"
+        )
+    if decoder == "pil" and not _has_pil():
+        raise ValueError("decoder='pil' requested but PIL is not importable")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _pil_decode if decoder == "pil" else _fake_decode
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["n_bytes"],
-                    "payload_sha": pdf["payload_sha"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "features": [d[2] for d in decoded],
-                }
-            )
+            yield _decode_batch(pdf, fn)
 
     return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+def _decode_batch(pdf: pd.DataFrame, fn) -> pd.DataFrame:
+    """One Arrow batch through ``fn``; a ``None`` decode result (an
+    undecodable payload under a real decoder) becomes NULL
+    width/height/features via pandas nullable ints."""
+    decoded = [fn(p) for p in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": pdf["n_bytes"],
+            "payload_sha": pdf["payload_sha"],
+            "width": pd.array(
+                [d[0] if d else None for d in decoded], dtype="Int32"
+            ),
+            "height": pd.array(
+                [d[1] if d else None for d in decoded], dtype="Int32"
+            ),
+            "features": [d[2] if d else None for d in decoded],
+        }
+    )
+
+
+def decode_stub(df: DataFrame) -> DataFrame:
+    """The deterministic stub decode (back-compat name; the registered
+    ``multimodal_decode`` query uses this so its output is stable in
+    any environment)."""
+    return decode_payloads(df, decoder="stub")
 
 
 def av_segment_plan(

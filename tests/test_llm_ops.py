@@ -404,6 +404,89 @@ def test_multimodal_payload_and_decode(catalog):
         assert again[r.doc_id] == r.features
 
 
+def test_decode_auto_picks_by_library_presence(catalog, monkeypatch):
+    """decoder='auto' resolves to PIL when importable, stub otherwise;
+    'pil' without the library fails loudly; unknown names rejected.
+    In this container PIL is absent, so auto == stub (the honest
+    path stays exercised)."""
+    import pytest
+
+    docs = multimodal.attach_payload(catalog.table("documents").limit(5))
+    if not multimodal._has_pil():
+        auto = {r.doc_id: r.features for r in
+                multimodal.decode_payloads(docs, "auto").collect()}
+        stub = {r.doc_id: r.features for r in
+                multimodal.decode_stub(docs).collect()}
+        assert auto == stub
+        with pytest.raises(ValueError, match="PIL is not importable"):
+            multimodal.decode_payloads(docs, "pil")
+    else:  # pragma: no cover - container has no PIL
+        assert multimodal.decode_payloads(docs, "pil").count() == 5
+    with pytest.raises(ValueError, match="unknown decoder"):
+        multimodal.decode_payloads(docs, "jpegnet")
+
+
+def test_pil_decode_path_with_fake_library(monkeypatch):
+    """Exercise the real-decoder code path without PIL installed: a
+    fake PIL module proves _pil_decode extracts dimensions, produces
+    FEATURE_DIM normalized features, and maps undecodable payloads to
+    None (-> NULL columns via _decode_batch)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    class _FakeImage:
+        size = (640, 480)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self._n = wh[0] * wh[1]
+            return self
+
+        def getdata(self):
+            return [51] * self._n  # 51/255 = 0.2
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _open(buf):
+        if buf.getvalue() == b"corrupt":
+            raise OSError("cannot identify image file")
+        return _FakeImage()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=_open)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+
+    assert multimodal._pil_decode(b"imagebytes") == (
+        640, 480, [0.2] * multimodal.FEATURE_DIM
+    )
+    assert multimodal._pil_decode(b"corrupt") is None
+
+    # NULL shaping for the undecodable payload, through the same batch
+    # helper mapInPandas runs on executors
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "n_bytes": [10, 7],
+            "payload_sha": ["a" * 64, "b" * 64],
+            "payload": [b"imagebytes", b"corrupt"],
+        }
+    )
+    out = multimodal._decode_batch(pdf, multimodal._pil_decode)
+    assert out["width"][0] == 640 and out["height"][0] == 480
+    assert pd.isna(out["width"][1]) and pd.isna(out["height"][1])
+    assert out["features"][0] == [0.2] * multimodal.FEATURE_DIM
+    assert out["features"][1] is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, "x" * 25_000)], ["doc_id", "text"])
     frames = multimodal.frame_sample_plan(multimodal.attach_payload(df), every_n=10)
