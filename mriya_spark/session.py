@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from mriya_spark.cachedir import cache_root as _cache_root
+
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -59,9 +61,12 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", "/tmp/mriya_spark_warehouse")
+        # user-scoped (saveAsTable data is trusted on re-read; shared
+        # predictable /tmp paths are plantable — r5 verdict)
+        .config("spark.sql.warehouse.dir", os.path.join(_cache_root(), "warehouse"))
         .config(
-            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/mriya_spark_derby"
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={os.path.join(_cache_root(), 'derby')}",
         )
         .config("spark.sql.shuffle.spill.compress", "true")
     )

@@ -236,7 +236,16 @@ def test_cache_scope_bounds_persisted_intermediates(spark):
     )
     release_caches()  # isolate from scoped caches earlier tests left
     # baseline-relative: earlier tests may leave RDD-level persists the
-    # registry does not own (e.g. localCheckpoints awaiting GC)
+    # registry does not own (e.g. localCheckpoints awaiting GC). Force
+    # that GC NOW so the baseline doesn't shrink mid-test (flaky in
+    # full-suite runs when a checkpoint from an earlier file was
+    # collected between our two measurements).
+    import gc
+    import time
+
+    gc.collect()  # drop py refs so Spark's ContextCleaner can act
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
     base = spark.sparkContext._jsc.getPersistentRDDs().size()
     p1 = dedup.minhash_lsh_pairs(df, threshold=0.5)
     p1.count()

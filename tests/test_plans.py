@@ -275,3 +275,61 @@ def test_gate_history_tiers_from_synthetic_files(tmp_path):
     assert hist["green_only"] == (2, 2)
     assert hist["rows_only"] == (2, 2)  # no_oracle with rows counts green
     assert "never_recorded" not in hist
+
+
+def test_bucketed_join_has_no_exchange_on_either_side(spark):
+    """The co-located join contract: two tables bucketed 8 ways on the
+    same key, joined on that key, must plan a per-bucket sort-merge
+    join with ZERO shuffle exchanges (broadcast disabled to force the
+    merge path — broadcast would also be shuffle-free but wouldn't
+    prove co-location). The scan must report the bucketed layout."""
+    from mriya_spark.ops.bucketing import bucketed_join, write_bucketed
+
+    left = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS b")
+    for t in ("bkt_plan_left", "bkt_plan_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(left, "bkt_plan_left", buckets=8, bucket_cols=["k"],
+                   sort_cols=["k"])
+    write_bucketed(right, "bkt_plan_right", buckets=8, bucket_cols=["k"],
+                   sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "bkt_plan_left", "bkt_plan_right", on=["k"])
+        plan = executed_plan(j)
+        fmt = formatted(j)
+        assert "SortMergeJoin" in plan
+        assert n_shuffles(plan) == 0, plan
+        assert "Bucketed: true" in fmt
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("bkt_plan_left", "bkt_plan_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_join_bucketed_query_matches_plain_join(spark, queries):
+    """Registered query smoke: bucketed result == plain parquet join
+    (layout must never change results)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.o_orderpriority): (r.revenue, r.n_items)
+        for r in queries["join_bucketed"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {r.o_orderpriority: (r.rev, r.n) for r in plain.collect()}
+    assert got == want
