@@ -169,6 +169,14 @@ def merge_into_sql(
     ``upsert_merge`` (anti-join + union) and this statement are the
     same logical plan — a transactional backend adds snapshot isolation
     and file-level conflict handling, not different semantics.
+
+    ENVIRONMENT-BOUND (closed r6): no Delta/Iceberg wheel exists in
+    the image and the sandbox has no network to vendor one, so the
+    MERGE branch of ``upsert_table`` can only ever exercise its
+    fallback here; ``tests/test_sinks_generator.py`` pins the seam's
+    behavior (statement shape, ``backend='merge'`` raising loudly
+    without a transactional catalog, fallback row-parity) so wiring a
+    real catalog in is a config change, not a code change.
     """
     ins = insert_cols or [key, *update_cols]
     sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)

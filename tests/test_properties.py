@@ -119,3 +119,108 @@ def test_jaccard_pairs_match_model(spark, corpus):
                 continue
             want = round(len(sa & sb) / len(sa | sb), 6)
             assert got.get((i, j)) == want, (a, b)
+
+
+VEC = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(st.lists(VEC, min_size=1, max_size=6))
+@_SETTINGS
+def test_int8_quantization_error_bounded(spark, vecs):
+    """Affine int8 codes must reconstruct every component to within
+    half a quantization step (qrange/255/2), and constant vectors
+    (qrange 0) must not divide by zero."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    x = F.col("embedding")
+    vmin, vmax = F.array_min(x), F.array_max(x)
+    vrange = F.when(vmax == vmin, F.lit(1.0)).otherwise(vmax - vmin)
+    codes = F.transform(
+        x, lambda v: F.floor((v - vmin) / vrange * 255 - 128 + F.lit(0.5))
+    )
+    out = df.select(
+        "embedding",
+        vmin.alias("qmin"),
+        vrange.alias("qrange"),
+        codes.alias("codes"),
+    ).collect()
+    for r in out:
+        step = r.qrange / 255
+        for orig, code in zip(r.embedding, r.codes):
+            assert -128 <= code <= 127
+            recon = (code + 128) * step + r.qmin
+            assert abs(recon - orig) <= step / 2 + 1e-6
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                max_size=50, unique=True))
+@_SETTINGS
+def test_hash_split_is_deterministic_and_stable(spark, ids):
+    """The split is a pure function of the id: recomputing yields the
+    same assignment, and adding MORE ids never changes existing ones
+    (the leak-free property rand() splits lack)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def assign(id_list):
+        df = spark.createDataFrame([(i,) for i in id_list], "doc_id long")
+        tagged = df.select(
+            "doc_id",
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < "f333",
+                "train",
+            ).otherwise("holdout").alias("split"),
+        )
+        return {r.doc_id: r.split for r in tagged.collect()}
+
+    first = assign(ids)
+    again = assign(ids + [max(ids) + 1])
+    assert all(again[i] == first[i] for i in ids)
+    # engine-independent model: python md5 agrees
+    for i in ids:
+        want = (
+            "train"
+            if hashlib.md5(str(i).encode()).hexdigest()[:4] < "f333"
+            else "holdout"
+        )
+        assert first[i] == want
+
+
+EMAILISH = st.from_regex(
+    r"[A-Za-z0-9]{1,8}(\.[A-Za-z0-9]{1,5})?@[A-Za-z0-9]{1,8}\.[a-z]{2,4}",
+    fullmatch=True,
+)
+
+
+@given(st.lists(st.tuples(DOC, EMAILISH), min_size=1, max_size=6))
+@_SETTINGS
+def test_pii_redaction_leaves_no_emails(spark, rows):
+    """After redaction no email-shaped token survives, and non-PII
+    text is untouched."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    df = spark.createDataFrame(
+        [(i, f"{doc} {addr} {doc}") for i, (doc, addr) in enumerate(rows)],
+        "doc_id long, raw string",
+    )
+    out = df.select(
+        "doc_id",
+        F.regexp_replace(F.col("raw"), email, "<EMAIL>").alias("redacted"),
+    ).collect()
+    for r, (doc, _addr) in zip(sorted(out, key=lambda r: r.doc_id), rows):
+        assert not _re.search(email, r.redacted)
+        assert "<EMAIL>" in r.redacted
+        assert r.redacted.startswith(doc + " ") or r.redacted.startswith("<EMAIL>")
