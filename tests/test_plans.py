@@ -333,3 +333,24 @@ def test_join_bucketed_query_matches_plain_join(spark, queries):
     )
     want = {r.o_orderpriority: (r.rev, r.n) for r in plain.collect()}
     assert got == want
+
+
+def test_headline_queries_have_no_row_python(spark, queries):
+    """No bench headline query may contain a row-at-a-time Python eval
+    node (BatchEvalPython): Python in the data path is only sanctioned
+    through Arrow-batched forms (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas). Guards against a future op accidentally
+    registering a plain @udf."""
+    from bench import HEADLINE
+
+    sf = "/root/testdata/sf0.001"
+    audited = 0
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf)
+        df.collect()  # finalize AQE so the audited plan is the real one
+        plan = executed_plan(df)
+        assert "BatchEvalPython" not in plan, f"{name} has row-wise Python"
+        audited += 1
+    assert audited >= 14
