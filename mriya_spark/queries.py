@@ -2222,6 +2222,34 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emissions.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+@register(
+    "stream_stateful_rocksdb",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_rocksdb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful counter executed on the ROCKSDB state store (the
+    provider an unbounded 100 TB deployment uses: state on local disk
+    + changelog, not the JVM heap of the default HDFS-backed store).
+    Same semantics, same oracle as stream_stateful_counter — what
+    changes is only where state lives, proven interchangeable here.
+
+    (The Spark 4 successor stateful API, transformWithStateInPandas,
+    is implemented as ``streaming.stateful_user_totals_tws`` but is
+    ENVIRONMENT-BOUND: its Python state server requires protobuf,
+    which this image lacks — gated test in tests/test_streaming.py.)"""
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    with S.rocksdb_state_store(spark):
+        emissions = S.run_to_memory_sink(
+            S.stateful_user_counts(ev), output_mode="update"
+        )
+    return emissions.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§4 Salesforce-shaped connector (Python DSv2 + mock transport)
 # ---------------------------------------------------------------------------

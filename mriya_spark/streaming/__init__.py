@@ -399,6 +399,89 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state store provider around a query start.
+
+    ``transformWithState`` requires RocksDB (ships in Spark 4); it is
+    also the provider an unbounded 100 TB deployment wants for EVERY
+    stateful query — state spills to local disk + changelog instead of
+    living on the JVM heap like the default HDFS-backed store. The
+    provider is captured into the query's checkpoint at start, so
+    scoping around ``start()`` is exact."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas``
+    — the Spark 4 successor to ``applyInPandasWithState`` used by
+    ``stateful_user_counts``: named state variables on a
+    StatefulProcessorHandle (value/list/map states, timers, TTL)
+    instead of one opaque state tuple. Reference analogue is the same
+    migration-progress bookkeeping (`project_utils.py:8-35`); this is
+    the API a new stateful operator should target.
+
+    Emits (user_id, n_events, sum_value) per key per batch in update
+    mode; n_events is strictly increasing per user, so the emission
+    with max n_events is the final total. Requires the RocksDB state
+    store — run under ``rocksdb_state_store``.
+
+    ENVIRONMENT-BOUND: the TransformWithState Python state server
+    needs ``google.protobuf``, which this image lacks — the gated test
+    (tests/test_streaming.py) runs it wherever protobuf exists; in
+    this container the registered stateful queries are the
+    applyInPandasWithState counter (default + RocksDB providers).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, sum_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment: every micro-batch broadcast-joins the
     (small, static) dimension — the streaming form of the reference's

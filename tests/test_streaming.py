@@ -229,3 +229,70 @@ def test_stream_corpus_ingest_cross_batch_dedup(spark, tmp_path):
     S.stream_corpus_ingest(stream, target)
     got = {r.doc_id for r in spark.read.parquet(target).collect()}
     assert got == {1}  # dup (5) anti-joined away, junk (2) quality-cut
+
+
+def test_stateful_rocksdb_matches_default_provider(spark, catalog):
+    """State-store provider swap must not change results: the per-user
+    counter totals on RocksDB equal the batch GROUP BY (and therefore
+    the default-provider query, which shares the oracle)."""
+    import mriya_spark.streaming as S
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, SF)
+    with S.rocksdb_state_store(spark):
+        emissions = S.run_to_memory_sink(
+            S.stateful_user_counts(ev), output_mode="update"
+        )
+    got = {
+        r.user_id: r.n_events
+        for r in emissions.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in catalog.table("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # conf restored after the scope
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "HDFSBackedStateStoreProvider",
+    )
+
+
+def test_transform_with_state_totals():
+    """Spark 4 transformWithStateInPandas surface — ENVIRONMENT-BOUND:
+    its Python state server imports google.protobuf, absent from this
+    image, so this test self-skips here and runs wherever protobuf
+    ships."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from mriya_spark.session import get_spark
+    import mriya_spark.streaming as S
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="tws_test")
+    ev = S.read_events_stream(spark, SF)
+    with S.rocksdb_state_store(spark):
+        emissions = S.run_to_memory_sink(
+            S.stateful_user_totals_tws(ev), output_mode="update"
+        )
+    last = emissions.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_value")).alias("m")
+    )
+    batch = (
+        spark.read.parquet(S.stage_events_files(spark, SF))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    want = {r.user_id: (r.n, round(r.s, 4)) for r in batch.collect()}
+    got = {
+        r.user_id: (r.m.n_events, round(r.m.sum_value, 4))
+        for r in last.collect()
+    }
+    assert got == want
