@@ -3832,3 +3832,70 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vmax - vmin, 4).alias("qrange"),
         F.concat_ws(",", codes.cast("array<string>")).alias("codes"),
     ).orderBy("vec_id")
+
+
+@register(
+    "variant_shred",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract('{"p":' || props || '}', '$.p.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type: ``parse_json``
+    ONCE into a binary variant, then typed ``variant_get`` path
+    accesses — at 100 TB this beats get_json_object (which re-parses
+    the string per access) and is the engine-native answer to the
+    reference's stringly props columns. The oracle wraps the path in
+    one more level to prove nested traversal, not just top-level."""
+    ev = _cat(spark, sf_dir).table("events")
+    v = ev.select(
+        "event_type",
+        F.parse_json(F.concat(F.lit('{"p":'), F.col("props"), F.lit("}"))).alias(
+            "pv"
+        ),
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("pv"), "$.p.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sketch_topk_freq",
+    """
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item
+    """,
+)
+def sketch_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (Spark 4's bounded-memory
+    frequent-items sketch — the groupBy-free shape for when distinct
+    cardinality explodes; at fixture cardinality the sketch tracks
+    every item exactly, so the exact GROUP BY is a valid oracle).
+    Output re-sorted (count desc, item) on both sides: the sketch's
+    order among equal counts is unspecified."""
+    ev = _cat(spark, sf_dir).table("events")
+    top = ev.agg(
+        F.expr("approx_top_k(event_type, 10, 10000)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return top.select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("est_count"),
+    ).orderBy(F.col("est_count").desc(), "item")
