@@ -1883,19 +1883,41 @@ def _ivf_index_for(
         _IVF_INDEX_CACHE[key] = (path, centroids)
         return path, centroids
 
+    import shutil
+    import uuid as _uuid
+
     from mriya_spark.ops.vector import ivf_write_index
 
     emb = _cat(spark, sf_dir).table("embeddings")
+    # build in a private staging dir, publish with ONE atomic rename:
+    # concurrent builders of the same digest never interleave writes
+    # into the final path (each stages separately; first rename wins,
+    # losers discard their build and adopt the winner's — same params,
+    # same deterministic result), and a crash mid-build leaves only an
+    # unreferenced staging dir the next build sweeps
+    build = f"{path}__build_{_uuid.uuid4().hex[:8]}"
     centroids = ivf_write_index(
-        emb, path, n_centroids=n_centroids, iters=iters, seed=seed
+        emb, build, n_centroids=n_centroids, iters=iters, seed=seed
     )
-    # atomic metadata publish: the meta file is the index's commit
-    # marker — a crash mid-build leaves no (or a torn tmp) meta and
-    # the next call retrains instead of trusting a partial index
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as fh:
+    with open(os.path.join(build, "_centroids.json"), "w") as fh:
         json.dump({"format": 1, "params": params_echo, "centroids": centroids}, fh)
-    os.replace(tmp, meta)
+    # stale/tampered loser from a previous generation? clear the slot
+    # (validation above already refused it) so the rename can land
+    if os.path.isdir(path) and _validated_ivf_meta(path, meta, params_echo) is None:
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(build, path)
+    except OSError:
+        # another process published first — ours is byte-equivalent
+        shutil.rmtree(build, ignore_errors=True)
+        won = _validated_ivf_meta(path, meta, params_echo)
+        if won is not None:
+            centroids = won
+    # sweep crash leftovers from older interrupted builds
+    parent = os.path.dirname(path)
+    for d in os.listdir(parent):
+        if d.startswith(f"{digest}__build_") and d != os.path.basename(build):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     _IVF_INDEX_CACHE[key] = (path, centroids)
     return path, centroids
 
