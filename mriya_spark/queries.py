@@ -3921,3 +3921,32 @@ def sketch_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("long").alias("est_count"),
     ).orderBy(F.col("est_count").desc(), "item")
+
+
+@register(
+    "agg_string_concat",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM customer WHERE c_custkey <= 40)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): collect_list
+    is order-nondeterministic after a shuffle, so the deterministic
+    form is array_sort before the join — the only hash-safe way to
+    emit concatenated groups (same trick DuckDB's ORDER BY inside
+    string_agg provides)."""
+    cust = _cat(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 40)
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
