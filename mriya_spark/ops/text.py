@@ -255,3 +255,55 @@ def lang_group_stats(df: DataFrame) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    context_tokens: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence-packing plan: documents are concatenated in
+    a deterministic per-shard order and split into fixed
+    ``context_tokens`` windows; each doc reports the window span
+    [start_window, end_window] it occupies in its shard's stream
+    (documents may straddle windows — that IS pretraining packing).
+
+    Scale shape: the corpus is hashed into ``shards`` independent
+    packing streams, so the running-total window is partitioned —
+    never a single global sort. One shuffle (by shard), window math
+    entirely in the JVM. Fixture ids are integers so the shard is
+    ``id % shards``; use a hash for arbitrary ids at scale.
+
+    Zero-token docs occupy no tokens: their span is the single window
+    at the current fill position.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    occupied = F.greatest(F.col("n_tokens"), F.lit(1))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor(cum_before / F.lit(float(context_tokens)))
+        .cast("long")
+        .alias("start_window"),
+        F.floor(
+            (cum_before + occupied - 1) / F.lit(float(context_tokens))
+        )
+        .cast("long")
+        .alias("end_window"),
+    )

@@ -3950,3 +3950,37 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             CAST(doc_id % 8 AS INT) AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS start_window,
+           CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 512.0)
+                AS BIGINT) AS end_window
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (`ops/text.py pack_sequences`):
+    per-shard concatenate-and-split into 512-token windows, window
+    span per document. Shard-partitioned running totals — no global
+    sort (the single-partition window trap) at any scale."""
+    from mriya_spark.ops.text import pack_sequences
+
+    return pack_sequences(
+        _cat(spark, sf_dir).table("documents"), context_tokens=512, shards=8
+    ).orderBy("doc_id")

@@ -585,3 +585,32 @@ def test_registered_ivf_query_reuses_materialized_index(spark):
     path2, cents2 = qmod._ivf_index_for(spark, sf)
     assert path2 == path and cents2 == cents
     assert os.stat(meta).st_mtime_ns == stamp
+
+
+def test_pack_sequences_invariants(catalog):
+    """Packing must tile each shard's token stream exactly: spans are
+    within-shard contiguous (each doc starts where the previous left
+    off), end >= start, and a doc spanning w windows has more than
+    (w-1) x context tokens."""
+    from mriya_spark.ops.text import pack_sequences, token_count
+    from pyspark.sql import functions as F
+
+    C = 64  # small window so plenty of docs straddle
+    docs = catalog.table("documents").limit(200)
+    out = pack_sequences(docs, context_tokens=C, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    straddlers = 0
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in rows:
+            assert r.start_window == cum // C, (shard, r)
+            assert r.end_window >= r.start_window
+            span = r.end_window - r.start_window
+            if span:
+                straddlers += 1
+                assert r.n_tokens > span * C - (cum % C)
+            cum += r.n_tokens
+    assert straddlers > 0  # the window size actually forces straddling
