@@ -224,3 +224,68 @@ def test_pii_redaction_leaves_no_emails(spark, rows):
         assert not _re.search(email, r.redacted)
         assert "<EMAIL>" in r.redacted
         assert r.redacted.startswith(doc + " ") or r.redacted.startswith("<EMAIL>")
+
+
+ASOF_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60)),  # (key, ts)
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(ASOF_ROWS, ASOF_ROWS)
+@_SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """asof_join (union+window, one shuffle) must agree with pandas
+    merge_asof in both directions — inclusive match at equal
+    timestamps. Right timestamps are deduped per key: among exact
+    (key, ts) duplicates neither engine defines which row wins."""
+    import pandas as pd
+
+    from mriya_spark.ops.temporal import asof_join
+
+    rdedup = {}
+    for i, (k, ts) in enumerate(rrows):
+        rdedup[(k, ts)] = float(i * 10)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+        "lid long, k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rdedup.items()],
+        "k long, rts long, rv double",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.rv
+            for r in asof_join(
+                left,
+                right,
+                key="k",
+                left_ts="lts",
+                right_ts="rts",
+                right_values={"rv": "rv"},
+                direction=direction,
+            ).collect()
+        }
+        lpd = pd.DataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+            columns=["lid", "k", "lts"],
+        ).sort_values(["lts", "lid"])
+        rpd = pd.DataFrame(
+            [(k, ts, v) for (k, ts), v in rdedup.items()],
+            columns=["k", "rts", "rv"],
+        ).sort_values(["rts", "k"])
+        want_df = pd.merge_asof(
+            lpd,
+            rpd,
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction=direction,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction
