@@ -1,0 +1,108 @@
+"""Data-quality expectations and snapshot diffing.
+
+The reference's migration loop has no validation surface at all — a
+bad mapping silently writes bad rows (its only check is Salesforce
+rejecting a DML call). These are the two validation shapes a
+migration/lakehouse pipeline actually runs:
+
+- ``expectations_summary`` / ``quarantine``: declarative row
+  constraints (DLT-expectations shape) evaluated in ONE conditional
+  aggregation pass — N constraints cost one scan, not N; quarantine
+  splits violating rows out without re-evaluating.
+- ``table_diff``: key-level snapshot diff (added / removed / changed /
+  unchanged) as a single full-outer join — how you prove a migration
+  (or a new pipeline version) moved exactly what it should have.
+
+Both are pure DataFrame expressions: no Python in the row path, one
+shuffle each (the final tiny agg; the full-outer join on the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violates(cond: Column) -> Column:
+    """A row violates an expectation when the predicate is false OR
+    null (SQL three-valued logic would otherwise let nulls pass)."""
+    return ~F.coalesce(cond, F.lit(False))
+
+
+def expectations_summary(
+    df: DataFrame, expectations: dict[str, Column]
+) -> DataFrame:
+    """One row per expectation: (expectation, n_rows, n_violations,
+    passed). Single conditional-aggregation pass over ``df``."""
+    if not expectations:
+        raise ValueError("no expectations given")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(_violates(cond).cast("long")).alias(f"__v_{name}")
+            for name, cond in expectations.items()
+        ],
+    )
+    per_rows = [
+        agg.select(
+            F.lit(name).alias("expectation"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            (F.col(f"__v_{name}") == 0).alias("passed"),
+        )
+        for name in expectations
+    ]
+    out = per_rows[0]
+    for p in per_rows[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("expectation")
+
+
+def quarantine(
+    df: DataFrame, expectations: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): rows failing ANY expectation are quarantined with
+    a ``__failed`` column listing the violated expectation names —
+    the sink for a manual-repair queue. Good rows pass all."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(_violates(cond), F.lit(name))
+                for name, cond in expectations.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("__failed", failed)
+    good = tagged.filter(F.size("__failed") == 0).drop("__failed")
+    bad = tagged.filter(F.size("__failed") > 0)
+    return good, bad
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level snapshot diff: one row per key present in either
+    side, with ``status`` in {added, removed, changed, unchanged}.
+    ``changed`` compares ``compare_cols`` (default: all shared
+    non-key columns) null-safely."""
+    cols = compare_cols or [c for c in old.columns if c != key and c in new.columns]
+    # presence must be detectable even when a compare col is NULL:
+    # use markers instead of value columns
+    o = old.select(F.col(key), F.lit(1).alias("__in_old"),
+                   *[F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select(F.col(key), F.lit(1).alias("__in_new"),
+                   *[F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(F.col(key), status.alias("status"))

@@ -3984,3 +3984,112 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         _cat(spark, sf_dir).table("documents"), context_tokens=512, shards=8
     ).orderBy("doc_id")
+
+
+@register(
+    "quality_expectations",
+    """
+    SELECT 'custkey_not_null' AS expectation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'priority_known',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT COALESCE(
+               o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                   '4-NOT SPECIFIED','5-LOW'), FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN NOT COALESCE(
+               o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                   '4-NOT SPECIFIED','5-LOW'), FALSE)
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_under_200k',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT COALESCE(o_totalprice < 200000, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN NOT COALESCE(o_totalprice < 200000, FALSE)
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    ORDER BY expectation
+    """,
+)
+def quality_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row expectations (`ops/quality.py`): N constraints
+    evaluated in ONE conditional-aggregation scan (not N scans); a
+    failed predicate OR a null counts as a violation. The third
+    constraint is deliberately violated by the fixture so non-zero
+    counts are exercised. The reference validates nothing — this is
+    the missing half of its migration loop."""
+    from mriya_spark.ops.quality import expectations_summary
+
+    orders = _cat(spark, sf_dir).table("orders")
+    return expectations_summary(
+        orders,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "priority_known": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+            "totalprice_under_200k": F.col("o_totalprice") < 200000,
+        },
+    )
+
+
+@register(
+    "table_diff",
+    """
+    WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal FROM customer
+      WHERE c_custkey % 211 = 0)
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (`ops/quality.py table_diff`): old = the customer
+    fixture, new = a deterministic mutation (drop every 97th key,
+    bump every 13th balance, add every 211th under new keys); output
+    status counts. ONE full-outer join on the key — the migration
+    proof the reference never runs. Null-safe compare so NULL->NULL
+    is unchanged."""
+    from mriya_spark.ops.quality import table_diff
+
+    cust = _cat(spark, sf_dir).table("customer")
+    old = cust.select("c_custkey", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 211 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    return (
+        table_diff(old, new, "c_custkey")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

@@ -158,3 +158,54 @@ def test_bucketed_write_enables_shuffle_free_join(spark, catalog, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_quarantine_splits_and_labels_violations(spark):
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.quality import expectations_summary, quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, None), (4, 7.0, "zz")],
+        "id long, v double, tag string",
+    )
+    exp = {
+        "v_positive": F.col("v") > 0,
+        "tag_short": F.length("tag") <= 1,
+    }
+    good, bad = quarantine(df, exp)
+    assert {r.id for r in good.collect()} == {1}
+    labeled = {r.id: sorted(r["__failed"]) for r in bad.collect()}
+    # null v and null tag both violate (failed-OR-null semantics)
+    assert labeled == {
+        2: ["v_positive"],
+        3: ["tag_short", "v_positive"],
+        4: ["tag_short"],
+    }
+    summ = {
+        r.expectation: (r.n_violations, r.passed)
+        for r in expectations_summary(df, exp).collect()
+    }
+    assert summ == {"v_positive": (2, False), "tag_short": (2, False)}
+
+
+def test_table_diff_handles_null_values(spark):
+    """NULL->NULL must be unchanged, NULL->value changed (null-safe
+    compare), and presence is detected even when all compare columns
+    are NULL."""
+    from mriya_spark.ops.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (9, 1.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 4.0), (7, None)], "k long, v double"
+    )
+    got = {r.k: r.status for r in table_diff(old, new, "k").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "unchanged",
+        3: "changed",
+        9: "removed",
+        7: "added",
+    }
