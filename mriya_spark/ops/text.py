@@ -307,3 +307,76 @@ def pack_sequences(
         .cast("long")
         .alias("end_window"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against ``query_terms`` —
+    the lexical-retrieval half of a RAG stack (the dense half is
+    ``ops/vector.py``). Fully relational, no Python in the row path:
+
+    1. tokenize + lowercase, explode to (doc, term) with tf;
+    2. document frequency per query term -> IDF (one tiny aggregate:
+       |query_terms| rows, broadcast back);
+    3. score = sum over matched terms of
+       idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Shuffle budget: one explode->groupBy for tf, one broadcast join;
+    avgdl is a scalar aggregate. At 100 TB the (term, doc) index is
+    the thing you materialize once (like the IVF index) — this is the
+    query-time plan over it. Scores rounded to 4dp for cross-engine
+    hash stability. Only docs matching >=1 term appear.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = [t.lower() for t in query_terms]
+    n_docs_df = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(qt))
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )

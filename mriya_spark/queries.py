@@ -4093,3 +4093,46 @@ def table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+@register(
+    "search_bm25",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS dl,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+    tf AS (
+      SELECT doc_id, dl, t.term, count(*) AS tf
+      FROM docs, unnest(toks) AS t(term)
+      WHERE t.term IN ('hash', 'join', 'stream')
+      GROUP BY doc_id, dl, t.term),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))),
+                 4) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_matched_terms
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY doc_id
+    """,
+)
+def search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (`ops/text.py bm25_scores`): BM25 of every
+    document against a fixed 3-term query — the sparse half of a RAG
+    stack (dense half: similarity_* / pipeline_rag_ingest). One
+    explode->groupBy for term frequencies, broadcast IDF join, scalar
+    avgdl; scores rounded 4dp on both engines."""
+    from mriya_spark.ops.text import bm25_scores
+
+    return bm25_scores(
+        _cat(spark, sf_dir).table("documents"), ["hash", "join", "stream"]
+    ).orderBy("doc_id")

@@ -614,3 +614,32 @@ def test_pack_sequences_invariants(catalog):
                 assert r.n_tokens > span * C - (cum % C)
             cum += r.n_tokens
     assert straddlers > 0  # the window size actually forces straddling
+
+
+def test_bm25_ranking_and_coverage(spark):
+    """More occurrences of a query term rank higher (tf saturation
+    still monotone), longer docs are penalized at equal tf, docs
+    without any term are absent, and multi-term matches accumulate."""
+    from mriya_spark.ops.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat filler words here"),
+            (3, "cat filler words here plus many extra padding tokens now"),
+            (4, "nothing relevant at all"),
+            (5, "cat dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    assert 4 not in out
+    assert out[1].bm25 > out[2].bm25  # higher tf wins
+    assert out[2].bm25 > out[3].bm25  # same tf, longer doc penalized
+    assert out[5].n_matched_terms == 2 and out[1].n_matched_terms == 2
+    assert out[2].n_matched_terms == 1
+    assert out[5].bm25 > out[2].bm25  # two rare-ish terms beat one
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, [])
