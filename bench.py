@@ -123,9 +123,14 @@ def main() -> None:
             timings.append(round(time.time() - t0, 3))
         cold[name] = timings[0]
         warm = sorted(timings[1:])
-        steady[name] = warm[len(warm) // 2] if len(warm) % 2 else round(
-            (warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2, 3
-        )
+        if not warm:  # WARM_RUNS=0: cold-only diagnostic mode
+            steady[name] = timings[0]
+        elif len(warm) % 2:
+            steady[name] = warm[len(warm) // 2]
+        else:
+            steady[name] = round(
+                (warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2, 3
+            )
         runs[name] = timings
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -36,12 +36,15 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-#: every thread's live set, keyed by thread id — the cross-thread view
-#: thread-local storage can't give a coordinator/teardown thread. The
-#: values ARE the per-thread ``live`` lists (shared identity, not
-#: copies), so a cross-thread release and the owning thread observe
-#: the same state. Guarded by _registry_lock.
-_live_by_thread: dict[int, list[DataFrame]] = {}
+#: every live list ever created, one per thread (registered once at
+#: that thread's _ScopeState init; publishes mutate the list IN
+#: PLACE, never replace it) — the cross-thread view thread-local
+#: storage can't give a coordinator/teardown thread. Not keyed by
+#: thread id: idents are explicitly reusable after a thread dies, and
+#: a dict keyed on them would silently drop a dead worker's
+#: still-pinned caches when a new thread recycled the ident. Guarded
+#: by _registry_lock; bounded by the number of threads ever created.
+_all_live_lists: list[list[DataFrame]] = []
 _registry_lock = threading.Lock()
 
 
@@ -58,18 +61,16 @@ class _ScopeState(threading.local):
         self.live: list[DataFrame] = []
         self.building: list[DataFrame] = []
         with _registry_lock:
-            _live_by_thread[threading.get_ident()] = self.live
+            _all_live_lists.append(self.live)
 
 
 _state = _ScopeState()
 
 
 def _publish_live(live: list[DataFrame]) -> None:
-    """Point this thread's registry slot at ``live`` (list identity is
-    the contract — see _live_by_thread)."""
-    _state.live = live
-    with _registry_lock:
-        _live_by_thread[threading.get_ident()] = live
+    """Publish ``live`` as this thread's current set IN PLACE — the
+    registered list object is the contract (see _all_live_lists)."""
+    _state.live[:] = live
 
 
 @contextmanager
@@ -120,10 +121,6 @@ def release_caches(*, all_threads: bool = False) -> None:
     _drain(_state.live)
     if all_threads:
         with _registry_lock:
-            others = [
-                live
-                for tid, live in _live_by_thread.items()
-                if tid != threading.get_ident()
-            ]
+            others = [l for l in _all_live_lists if l is not _state.live]
         for live in others:
             _drain(live)

@@ -422,6 +422,23 @@ class SalesforceMockReader(DataSourceReader):
             for c in cols:
                 v = r.get(c)
                 col_vals[c].append(convs[c](v) if v is not None else None)
+        # naive datetimes must mean LOCAL time here, matching the
+        # tuple path's TimestampType.toInternal semantics (and the
+        # stream reader) — pyarrow would otherwise pin them as UTC
+        # under to_arrow_schema's tz-aware timestamp type, silently
+        # shifting every value by the host's UTC offset
+        import datetime as _dt
+
+        from pyspark.sql.types import TimestampType
+
+        for f in self.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                col_vals[f.name] = [
+                    v.astimezone()
+                    if isinstance(v, _dt.datetime) and v.tzinfo is None
+                    else v
+                    for v in col_vals[f.name]
+                ]
         arrow_schema = to_arrow_schema(self.schema)
         arrays = [
             pa.array(col_vals[c], type=arrow_schema.field(i).type)

@@ -44,10 +44,12 @@ DML_CHUNK_SIZE = 200
 #: Token cache location. The reference keeps its session file in the
 #: process cwd (`data_connector.py:24,219-243`); a shared
 #: world-readable /tmp path would let any local user read live tokens,
-#: so the default is user-scoped and the file is created 0600.
-DEFAULT_SESSION_FILE = os.path.join(
-    os.path.expanduser("~"), ".cache", "mriya_spark", "sessions.json"
-)
+#: so the default is the same user-scoped cache root every other
+#: derived artifact uses (honors MRIYA_SPARK_CACHE_DIR) and the file
+#: is created 0600.
+from mriya_spark.cachedir import cache_root as _cache_root
+
+DEFAULT_SESSION_FILE = os.path.join(_cache_root(), "sessions.json")
 
 
 @dataclass(frozen=True)
@@ -189,14 +191,12 @@ class HttpTransport:
         created = not os.path.isdir(d)
         os.makedirs(d, mode=0o700, exist_ok=True)
         # Tighten to 0700 only for dirs WE created (makedirs' mode is
-        # umask-filtered) or for the default cache location we own; a
-        # caller-chosen pre-existing dir keeps its mode — chmod'ing it
-        # would silently strip deliberately-granted group access or
-        # sticky semantics (r5 ADVICE). Too-permissive non-default
-        # dirs get a warning instead.
-        if created or os.path.realpath(d) == os.path.realpath(
-            os.path.dirname(DEFAULT_SESSION_FILE)
-        ):
+        # umask-filtered); ANY pre-existing dir keeps its mode —
+        # chmod'ing it would silently strip deliberately-granted group
+        # access or sticky semantics (r5 ADVICE), and cachedir applies
+        # the identical policy to the same default root. Too-permissive
+        # pre-existing dirs get a warning instead.
+        if created:
             try:
                 os.chmod(d, 0o700)
             except OSError:  # not ours (e.g. shared parent) — leave it

@@ -101,9 +101,7 @@ def decode_payloads(df: DataFrame, decoder: str = "auto") -> DataFrame:
     inside the batch function, so executors import PIL themselves and
     nothing un-picklable crosses the boundary.
     """
-    if decoder == "auto":
-        decoder = "pil" if _has_pil() else "stub"
-    if decoder not in ("pil", "stub"):
+    if decoder not in ("auto", "pil", "stub"):
         raise ValueError(
             f"unknown decoder {decoder!r}; expected 'auto', 'pil' or 'stub'"
         )
@@ -111,7 +109,14 @@ def decode_payloads(df: DataFrame, decoder: str = "auto") -> DataFrame:
         raise ValueError("decoder='pil' requested but PIL is not importable")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = _pil_decode if decoder == "pil" else _fake_decode
+        # 'auto' resolves PER EXECUTOR, inside the task: on a cluster
+        # with heterogeneous driver/executor images a driver-side
+        # probe would either crash every task (driver has PIL,
+        # executors don't) or silently downgrade the whole job
+        if decoder == "pil" or (decoder == "auto" and _has_pil()):
+            fn = _pil_decode
+        else:
+            fn = _fake_decode
         for pdf in batches:
             yield _decode_batch(pdf, fn)
 

@@ -36,21 +36,24 @@ def expectations_summary(
     passed). Single conditional-aggregation pass over ``df``."""
     if not expectations:
         raise ValueError("no expectations given")
+    # violation columns are addressed by POSITION, not by interpolated
+    # name: an expectation named "orders.custkey" would otherwise be
+    # parsed by F.col as a struct-field access and fail to resolve
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(_violates(cond).cast("long")).alias(f"__v_{name}")
-            for name, cond in expectations.items()
+            F.sum(_violates(cond).cast("long")).alias(f"__v_{i}")
+            for i, cond in enumerate(expectations.values())
         ],
     )
     per_rows = [
         agg.select(
             F.lit(name).alias("expectation"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__v_{name}").alias("n_violations"),
-            (F.col(f"__v_{name}") == 0).alias("passed"),
+            F.col(f"__v_{i}").alias("n_violations"),
+            (F.col(f"__v_{i}") == 0).alias("passed"),
         )
-        for name in expectations
+        for i, name in enumerate(expectations)
     ]
     out = per_rows[0]
     for p in per_rows[1:]:

@@ -574,10 +574,13 @@ def migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.1 sinks: CSV staging + DML merge semantics (S3-S10)
 # ---------------------------------------------------------------------------
 
+from mriya_spark.cachedir import cache_dir as _cache_subdir
 from mriya_spark.cachedir import cache_root as _cache_root_dir
 
-# user-scoped (r5 verdict: no shared predictable /tmp staging)
-_STAGE_DIR = _os.path.join(_cache_root_dir(), "stage")
+# user-scoped (r5 verdict: no shared predictable /tmp staging);
+# created via cache_dir so the 0700 root is established by US even
+# when a vanilla driver session touches this module first
+_STAGE_DIR = _cache_subdir("stage")
 
 
 @register(
@@ -1913,11 +1916,24 @@ def _ivf_index_for(
         won = _validated_ivf_meta(path, meta, params_echo)
         if won is not None:
             centroids = won
-    # sweep crash leftovers from older interrupted builds
+    # sweep crash leftovers from older interrupted builds — but only
+    # STALE ones (>1h): a fresh sibling staging dir is a concurrent
+    # builder still writing, not a leftover
+    import time as _time
+
     parent = os.path.dirname(path)
     for d in os.listdir(parent):
-        if d.startswith(f"{digest}__build_") and d != os.path.basename(build):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        full = os.path.join(parent, d)
+        if (
+            d.startswith(f"{digest}__build_")
+            and d != os.path.basename(build)
+        ):
+            try:
+                stale = _time.time() - os.path.getmtime(full) > 3600
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(full, ignore_errors=True)
     _IVF_INDEX_CACHE[key] = (path, centroids)
     return path, centroids
 
@@ -2177,7 +2193,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 micro-batches (4 files/trigger): enough to exercise the
     # cross-batch merge; each batch costs 2 parquet write+read cycles
     ev = S.read_events_stream(spark, sf_dir, max_files_per_trigger=4)
-    target = _os.path.join(_cache_root_dir(), "stream_v2", f"upsert_target_{_uuid.uuid4().hex[:8]}")
+    target = _os.path.join(_cache_subdir("stream_v2"), f"upsert_target_{_uuid.uuid4().hex[:8]}")
     S.foreach_batch_upsert(ev, target, key="user_id")
     out = spark.read.parquet(target)
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -2218,7 +2234,7 @@ def stream_corpus_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .load(path)
     )
-    target = _os.path.join(_cache_root_dir(), "stream_v2", f"corpus_{_uuid.uuid4().hex[:8]}")
+    target = _os.path.join(_cache_subdir("stream_v2"), f"corpus_{_uuid.uuid4().hex[:8]}")
     S.stream_corpus_ingest(stream, target)
     return spark.read.parquet(target).select(
         "doc_id", "fingerprint", "quality_score"
@@ -2283,7 +2299,7 @@ def _seeded_org(spark: SparkSession, sf_dir: str) -> str:
     from mriya_spark.connector.salesforce import seed_org_from_parquet
 
     tag = sf_dir.rstrip("/").replace("/", "_")
-    org = os.path.join(_cache_root_dir(), "org", tag)
+    org = os.path.join(_cache_subdir("org"), tag)
     if not os.path.exists(f"{org}/Account.jsonl"):
         seed_org_from_parquet(spark, org, "Account", f"{sf_dir}/customer.parquet")
     return org
@@ -2337,7 +2353,7 @@ def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SalesforceMockDataSource)
     org = _seeded_org(spark, sf_dir)
-    dst_org = _os.path.join(_cache_root_dir(), "org", f"dst_{_uuid.uuid4().hex[:8]}")
+    dst_org = _os.path.join(_cache_subdir("org"), f"dst_{_uuid.uuid4().hex[:8]}")
     src = read_object(spark, org, "Account", CUSTOMER_DDL)
     transformed = src.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("old_record_id"),
@@ -2813,7 +2829,7 @@ def mriya_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mriya_spark.pipeline import run_mriya_pipeline
 
-    org = _os.path.join(_cache_root_dir(), "org", f"e2e_{_uuid.uuid4().hex[:8]}")
+    org = _os.path.join(_cache_subdir("org"), f"e2e_{_uuid.uuid4().hex[:8]}")
     out = run_mriya_pipeline(spark, org, n_rows=500).localCheckpoint(eager=True)
     import shutil
 
@@ -3392,19 +3408,36 @@ def _bucketed_twin_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     except OSError:
         mt = 0
     digest = hashlib.md5(f"{src}|{mt}|8".encode()).hexdigest()[:10]
-    lt, ot = f"bkt_lineitem_{digest}", f"bkt_orders_{digest}"
+    # per-PROCESS table names: the in-memory catalog can never reuse
+    # another process's tables anyway (its metadata dies with the
+    # session), so a shared name only creates a delete-vs-read race on
+    # the shared warehouse dir (two processes: one rmtree's the
+    # location the other is mid-query on). pid-suffixed names isolate
+    # live processes; dead pids' leftovers are swept below.
+    pid = _os.getpid()
+    lt, ot = f"bkt_lineitem_{digest}_p{pid}", f"bkt_orders_{digest}_p{pid}"
     cat = _cat(spark, sf_dir)
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    if _os.path.isdir(wh):
+        for d in _os.listdir(wh):
+            if d.startswith("bkt_") and "_p" in d:
+                try:
+                    owner = int(d.rsplit("_p", 1)[1])
+                    _os.kill(owner, 0)  # raises if pid not alive
+                except (ValueError, ProcessLookupError):
+                    shutil.rmtree(_os.path.join(wh, d), ignore_errors=True)
+                except PermissionError:
+                    pass  # alive, owned by another user: leave it
     for t in (lt, ot):
         if not spark.catalog.tableExists(t):
-            # a PREVIOUS session's in-memory catalog wrote this managed
-            # table; the metadata died with it but the warehouse
-            # location survived — clear it or CREATE TABLE refuses
+            # a PREVIOUS run of this same process (fresh in-memory
+            # catalog after session restart) may have left the
+            # location — clear it or CREATE TABLE refuses
             # (LOCATION_ALREADY_EXISTS)
-            import shutil
-
-            wh = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
             loc = _os.path.join(wh, t.lower())
             if _os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)

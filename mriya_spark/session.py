@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import SparkSession
 
+from mriya_spark.cachedir import cache_dir as _cache_dir
 from mriya_spark.cachedir import cache_root as _cache_root
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -39,6 +40,7 @@ def get_spark(
     - parquet timestamps are read as-is (fixtures are timestamp[ms]/[ns];
       Spark truncates ns->us losslessly for these fixtures).
     """
+    _cache_dir()  # establish the 0700 cache root before Spark writes under it
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
