@@ -820,15 +820,19 @@ def window_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(SUM(l_quantity) OVER (
+           SUM(CAST(l_quantity AS BIGINT)) OVER (
              PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
     FROM lineitem
     """,
 )
 def window_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative per-key sum over an ordered frame (ordered prefix →
-    bit-identical summation order in any engine)."""
+    """Cumulative per-key sum over an ordered frame. Quantities are
+    integral in the fixture, so they are summed as BIGINT: exact in
+    any engine. (Double prefix sums are NOT portable even over a total
+    order — DuckDB evaluates running windows with a segment tree, so
+    its float summation ORDER differs from Spark's sequential scan;
+    at sf0.1 a row landed on a round(...,4) boundary — r6.)"""
     from mriya_spark.ops.aggregate import running_agg
 
     df = _cat(spark, sf_dir).table("lineitem")
@@ -836,14 +840,14 @@ def window_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df,
         ["l_suppkey"],
         [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
-        F.col("l_quantity"),
+        F.col("l_quantity").cast("long"),
         col_name="__run",
     )
     return out.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("__run"), 4).alias("running_qty"),
+        F.col("__run").alias("running_qty"),
     )
 
 
@@ -3849,16 +3853,20 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_quantize_int8",
     """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 200)
     SELECT vec_id,
-           round(list_min(embedding), 4) AS qmin,
-           round(list_max(embedding) - list_min(embedding), 4) AS qrange,
-           array_to_string(list_transform(embedding, x ->
-             CAST(floor((x - list_min(embedding)) /
-                  (CASE WHEN list_max(embedding) = list_min(embedding)
+           round(list_min(emb), 4) AS qmin,
+           round(list_max(emb) - list_min(emb), 4) AS qrange,
+           array_to_string(list_transform(emb, x ->
+             CAST(floor((x - list_min(emb)) /
+                  (CASE WHEN list_max(emb) = list_min(emb)
                         THEN 1.0
-                        ELSE list_max(embedding) - list_min(embedding) END)
+                        ELSE list_max(emb) - list_min(emb) END)
                   * 255 - 128 + 0.5) AS INT)), ',') AS codes
-    FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+    FROM e ORDER BY vec_id
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3871,7 +3879,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     same treatment as multimodal_decode). floor(x+0.5) not round():
     identical half-handling in Spark and the DuckDB oracle."""
     emb = _cat(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 200)
-    x = F.col("embedding")
+    # all arithmetic in DOUBLE on both engines: float intermediates
+    # round differently between Spark and DuckDB (sf0.1 mismatch, r6)
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     vmin = F.array_min(x)
     vmax = F.array_max(x)
     vrange = F.when(vmax == vmin, F.lit(1.0)).otherwise(vmax - vmin)
