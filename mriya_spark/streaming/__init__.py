@@ -272,6 +272,68 @@ def dedup_counts(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
     )
 
 
+def merge_upsert_batch(
+    batch: DataFrame,
+    target_path: str,
+    *,
+    key: str = "user_id",
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch's merge into the bucketed parquet target —
+    version-aware: between target and batch rows for the same key, the
+    greater (ts, event_id) wins, so the final state is "latest event
+    per key" regardless of file/batch arrival order, and REPLAYING a
+    batch is a no-op (the exactly-once-on-retry property foreachBatch
+    needs, since Spark re-runs a batch whose commit didn't land —
+    proven in tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+    def keep_latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    latest = keep_latest(batch).withColumn("__bucket", bucket_of)
+    # touched buckets from the RAW batch keys: same bucket set as
+    # `latest` (keep_latest only drops duplicate keys) without
+    # re-running its window reduction for the collect
+    touched = [
+        r["__bucket"]
+        for r in batch.select(bucket_of.alias("__bucket")).distinct().collect()
+    ]
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path).filter(
+            F.col("__bucket").isin(touched)  # dir-pruned scan
+        )
+        merged = keep_latest(target.unionByName(latest))
+    else:
+        merged = latest
+    # stage through tmp (source and sink may not share a path);
+    # tmp holds only the touched buckets' rows
+    tmp = target_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def foreach_batch_upsert(
     events: DataFrame,
     target_path: str,
@@ -294,57 +356,13 @@ def foreach_batch_upsert(
     same signature would front a Delta/Iceberg MERGE, which is this
     exact plan with a transaction log on top).
     """
-    from pyspark.sql import Window
-
     spark = events.sparkSession
     ckpt = f"{_STAGE_ROOT}/ckpt_upsert_{uuid.uuid4().hex[:12]}"
-    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-
-    def keep_latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(key).orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        # version-aware merge: between target and batch rows for the
-        # same key, the greater event time wins — the final state is
-        # "latest event per key" regardless of file/batch arrival order
-        latest = keep_latest(batch).withColumn("__bucket", bucket_of)
-        # touched buckets from the RAW batch keys: same bucket set as
-        # `latest` (keep_latest only drops duplicate keys) without
-        # re-running its window reduction for the collect
-        touched = [
-            r["__bucket"]
-            for r in batch.select(bucket_of.alias("__bucket")).distinct().collect()
-        ]
-        if os.path.exists(target_path):
-            target = spark.read.parquet(target_path).filter(
-                F.col("__bucket").isin(touched)  # dir-pruned scan
-            )
-            merged = keep_latest(target.unionByName(latest))
-        else:
-            merged = latest
-        # stage through tmp (source and sink may not share a path);
-        # tmp holds only the touched buckets' rows
-        tmp = target_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                spark.read.parquet(tmp)
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(target_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-        shutil.rmtree(tmp, ignore_errors=True)
+        merge_upsert_batch(
+            batch, target_path, key=key, n_buckets=n_buckets
+        )
 
     # the clamp also covers merge_batch's inner batch jobs (window +
     # bucket rewrite), which run while the stream is active

@@ -296,3 +296,37 @@ def test_transform_with_state_totals():
         for r in last.collect()
     }
     assert got == want
+
+
+def test_foreachbatch_merge_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once-on-retry: Spark re-runs a foreachBatch whose
+    commit didn't land, so replaying ANY batch (or applying batches
+    out of order) must leave the target in the same final state —
+    guaranteed by the version-aware merge (greater (ts, event_id)
+    wins), not by the checkpoint."""
+    import mriya_spark.streaming as S
+
+    ev = spark.read.parquet(S.stage_events_files(spark, SF)).limit(400)
+    b1 = ev.filter("event_id % 2 = 0")
+    b2 = ev.filter("event_id % 2 = 1")
+    target = str(tmp_path / "upsert_target")
+    S.merge_upsert_batch(b1, target, n_buckets=4)
+    S.merge_upsert_batch(b2, target, n_buckets=4)
+    want = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).collect()
+    )
+    # replay the FIRST batch after the second already applied
+    S.merge_upsert_batch(b1, target, n_buckets=4)
+    got = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == want
+    # replay the last batch too (the common crash-before-commit case)
+    S.merge_upsert_batch(b2, target, n_buckets=4)
+    got2 = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got2 == want
