@@ -4179,3 +4179,41 @@ def search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         _cat(spark, sf_dir).table("documents"), ["hash", "join", "stream"]
     ).orderBy("doc_id")
+
+
+@register(
+    "zorder_curve",
+    """
+    WITH s0 AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_custkey AS BIGINT) & 65535 AS a0,
+             CAST(c_nationkey AS BIGINT) & 65535 AS b0
+      FROM customer),
+    s1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1,
+                     (b0 | (b0 << 8)) & 16711935 AS b1 FROM s0),
+    s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+                     (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+    s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+                     (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+    s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+                     (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+    SELECT c_custkey, c_nationkey,
+           CAST(a4 | (b4 << 1) AS BIGINT) AS zcode
+    FROM s4 ORDER BY c_custkey
+    """,
+)
+def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton code of (custkey, nationkey) (`ops/layout.py`): the sort
+    key a ZORDER layout job writes by, so row-group min/max stats
+    prune range predicates on EITHER column (effectiveness on real
+    parquet stats proven in tests/test_plans.py). Pure JVM bit
+    arithmetic; the oracle replicates the identical magic-number
+    spread."""
+    from mriya_spark.ops.layout import morton_code
+
+    cust = _cat(spark, sf_dir).table("customer")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        morton_code(F.col("c_custkey"), F.col("c_nationkey")).alias("zcode"),
+    ).orderBy("c_custkey")

@@ -354,3 +354,51 @@ def test_headline_queries_have_no_row_python(spark, queries):
         assert "BatchEvalPython" not in plan, f"{name} has row-wise Python"
         audited += 1
     assert audited >= 14
+
+
+def test_zorder_layout_shrinks_rowgroup_rectangles(spark, tmp_path):
+    """The point of the Morton layout: with rows z-ordered on (a, b),
+    every parquet row group covers a small RECTANGLE in (a, b) space,
+    so min/max stats prune range predicates on EITHER column. Compare
+    against an a-sorted layout: equally good on a, useless on b."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.layout import write_zordered
+
+    n = 1 << 14  # uniform 128x128 grid
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("a"),
+        F.floor(F.col("id") / 128).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(grid, zpath, "a", "b", block_bytes=32 * 1024)
+    (
+        grid.orderBy("a", "b").write.mode("overwrite")
+        .option("parquet.block.size", 32 * 1024).parquet(spath)
+    )
+
+    def avg_extent(path, col):
+        import glob
+        import os
+
+        spans, total = [], 0
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            for g in range(meta.num_row_groups):
+                idx = [
+                    i for i in range(meta.num_columns)
+                    if meta.row_group(g).column(i).path_in_schema == col
+                ][0]
+                st = meta.row_group(g).column(idx).statistics
+                spans.append(st.max - st.min)
+                total += 1
+        assert total >= 8, f"too few row groups ({total}) to compare"
+        return sum(spans) / len(spans)
+
+    # z-order: BOTH dims bounded well below the 0..127 full range
+    assert avg_extent(zpath, "a") < 64
+    assert avg_extent(zpath, "b") < 64
+    # lexicographic: b's extent is ~the full domain (no pruning power)
+    assert avg_extent(spath, "b") > 100
