@@ -49,3 +49,33 @@ def transform_pipeline(
         col = value if isinstance(value, Column) else F.lit(value)
         cols.append(col.alias(name))
     return df.select(*cols)
+
+
+def evolve_to_schema(df: DataFrame, target) -> DataFrame:
+    """Conform ``df`` to a target schema — the read-side half of
+    schema evolution on a plain-parquet lake (what Delta does with
+    metadata, done as one projection):
+
+    - missing columns appear as typed NULLs (parquet mergeSchema
+      semantics for files written before the column existed);
+    - present columns are cast to the target type (widenings like
+      int->long are lossless; narrowing is the caller's intent);
+    - extra columns are dropped (projection pruning);
+    - output column ORDER is the target's.
+
+    One stage, no shuffle; safe to apply per-file-era in the same
+    scan. Reference analogue: the mapping DSL's rename/typed-restore
+    surface (`/root/reference/mapping_parser.py:22-25`), which never
+    validated agreement between eras.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(target, str):
+        target = T.StructType.fromDDL(target)
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

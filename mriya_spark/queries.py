@@ -4217,3 +4217,35 @@ def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         morton_code(F.col("c_custkey"), F.col("c_nationkey")).alias("zcode"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "schema_evolution",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name,
+           CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(NULL AS VARCHAR) AS loyalty_tier,
+           c_acctbal AS acctbal
+    FROM customer ORDER BY custkey
+    """,
+)
+def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution as one projection (`ops/transform.py
+    evolve_to_schema`): rename via select-order, widen int->long,
+    add a not-yet-backfilled column as typed NULL, drop the rest —
+    the read-side conform step a plain-parquet lake applies per file
+    era (Delta does this in metadata; same result)."""
+    from mriya_spark.ops.transform import evolve_to_schema
+    from mriya_spark.ops.transform import rename_columns
+
+    cust = rename_columns(
+        _cat(spark, sf_dir).table("customer"),
+        {"custkey": "c_custkey", "name": "c_name",
+         "nationkey": "c_nationkey", "acctbal": "c_acctbal"},
+    )
+    return evolve_to_schema(
+        cust,
+        "custkey bigint, name string, nationkey bigint, "
+        "loyalty_tier string, acctbal double",
+    ).orderBy("custkey")

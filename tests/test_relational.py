@@ -209,3 +209,21 @@ def test_table_diff_handles_null_values(spark):
         9: "removed",
         7: "added",
     }
+
+
+def test_evolve_to_schema_conform_rules(spark):
+    """Missing column -> typed NULL, present column cast to target
+    type, extras dropped, output order = target order."""
+    from mriya_spark.ops.transform import evolve_to_schema
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5, "junk")], "a int, b string, c double, zz string"
+    )
+    out = evolve_to_schema(df, "c double, a bigint, d date, b string")
+    assert [f.name for f in out.schema.fields] == ["c", "a", "d", "b"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "double", "bigint", "date", "string"
+    ]
+    r = out.collect()[0]
+    assert (r.c, r.a, r.d, r.b) == (2.5, 1, None, "x")
+    assert "zz" not in out.columns
