@@ -4249,3 +4249,88 @@ def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey bigint, name string, nationkey bigint, "
         "loyalty_tier string, acctbal double",
     ).orderBy("custkey")
+
+
+@register(
+    "search_hybrid_rrf",
+    r"""
+    WITH dense AS (
+      SELECT c.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                 c.vec_id) AS rd
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id = 0 AND c.vec_id != 0),
+    docs_t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS dl,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs_t),
+    tf AS (
+      SELECT doc_id, dl, t.term, count(*) AS tf
+      FROM docs_t, unnest(toks) AS t(term)
+      WHERE t.term IN ('hash', 'join', 'stream')
+      GROUP BY doc_id, dl, t.term),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(ln((stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY tf.doc_id),
+    sparse AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+      FROM bm),
+    fused AS (
+      SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + d.rd), 0)
+                   + COALESCE(1.0 / (60 + s.rs), 0), 6) AS rrf
+      FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def search_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense cosine ranking (query = doc 0's
+    embedding, brute-force over the corpus) fused with sparse BM25
+    ranking by reciprocal-rank fusion (k=60) — the standard two-tower
+    retrieval recipe; the fixture's doc_id/vec_id spaces align 1:1.
+    The global ROW_NUMBER windows rank RESULT SETS (bounded by
+    top-k/corpus candidates), not raw 100 TB inputs — at scale each
+    ranker emits its own top-k first (similarity_ann_* / an impact-
+    ordered BM25 index) and the fusion joins two k-row lists."""
+    from pyspark.sql import Window
+
+    from mriya_spark.ops.text import bm25_scores
+    from mriya_spark.ops.vector import brute_force_topk
+
+    cat = _cat(spark, sf_dir)
+    emb = cat.table("embeddings")
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=1_000_000
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rd"))
+    sparse = bm25_scores(
+        cat.table("documents"), ["hash", "join", "stream"]
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("rs"),
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.col("rd") + 60), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("rs") + 60), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
