@@ -1,0 +1,80 @@
+"""Iterative graph algorithms: PageRank (power iteration).
+
+Companion to ``ops/dedup.py connected_components`` (min-label
+propagation) — the two canonical Spark iterative shapes. The brief's
+"iterative algorithms" category is genuinely non-SQL-expressible
+(DuckDB's recursive CTEs can't run a fixed-point over floats), so the
+registered query is rows-only with invariants pinned in tests.
+
+Scale shape per iteration: one (src ⨝ rank ⨝ degree) join pipeline and
+one groupBy(dst) shuffle — both on the edge partitioning, nothing
+quadratic; the rank/degree sides are vertex-sized. Lineage is cut with
+``localCheckpoint`` every few rounds (the same guard dedup's label
+propagation uses) so the plan doesn't grow with iterations. Dangling
+mass (vertices without out-edges) is redistributed uniformly each
+round — a bounded scalar the driver aggregates, like the IVF
+centroid collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Ranks after ``iters`` synchronous power iterations over the
+    directed edge set (duplicate edges count as parallel edges).
+    Returns (id, rank); ranks sum to ~1.0 (invariant-tested)."""
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for i in range(iters):
+        with_deg = ranks.join(deg, "id", "left")
+        # mass of dangling vertices, redistributed uniformly (driver
+        # scalar — bounded control point, not a data-plane collect)
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contribs = (
+            edges.join(
+                with_deg.filter(F.col("deg").isNotNull()),
+                edges[src] == F.col("id"),
+            )
+            .select(
+                F.col(dst).alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint()  # cut lineage growth
+    return ranks

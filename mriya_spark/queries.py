@@ -4334,3 +4334,34 @@ def search_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+@register("graph_pagerank", None)  # iterative float fixed-point -> rows-only
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (edges =
+    distinct (o_custkey, l_suppkey) pairs through orders x lineitem).
+    Iterative fixed-point over floats — genuinely non-SQL-expressible,
+    registered rows-only; invariants (mass conservation, hub
+    dominance, determinism of shape) in tests/test_llm_ops.py.
+    Plan: per iteration one edge-partitioned join + one groupBy(dst)
+    shuffle, lineage cut by localCheckpoint (`ops/graph.py`)."""
+    from mriya_spark.ops.graph import pagerank
+
+    cat = _cat(spark, sf_dir)
+    edges = (
+        cat.table("orders")
+        .filter(F.col("o_custkey") < 1000)
+        .join(
+            cat.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=5)
+    # rows-only gate records row count; emit a stable shape (counts
+    # per rank bucket would hide mass errors — keep id + rounded rank)
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")

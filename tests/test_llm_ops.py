@@ -643,3 +643,30 @@ def test_bm25_ranking_and_coverage(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(docs, [])
+
+
+def test_pagerank_invariants(spark):
+    """Mass conservation (sum ranks == 1), hub dominance on a star
+    graph, dangling-mass handling (sink keeps total mass at 1), and
+    uniform rank on a symmetric cycle."""
+    from mriya_spark.ops.graph import pagerank
+
+    # star: everyone points at 0; 0 points nowhere (dangling)
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)], "src long, dst long"
+    )
+    r = {row.id: row.rank for row in pagerank(star, iters=10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert r[0] > max(v for k, v in r.items() if k != 0) * 3
+
+    # 4-cycle: symmetric -> uniform ranks
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rc = [row.rank for row in pagerank(cyc, iters=12).collect()]
+    assert abs(sum(rc) - 1.0) < 1e-6
+    assert max(rc) - min(rc) < 1e-9
+
+    # empty edge set: no vertices, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iters=2).count() == 0
