@@ -29,25 +29,34 @@ def pagerank(
     iters: int = 5,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Ranks after ``iters`` synchronous power iterations over the
     directed edge set (duplicate edges count as parallel edges).
     Returns (id, rank); ranks sum to ~1.0 (invariant-tested)."""
+    # verts and deg are reused EVERY iteration (two joins each round):
+    # checkpoint them once so no round re-derives them from the edges
     verts = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    deg = edges.groupBy(F.col(src).alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = (
+        edges.groupBy(F.col(src).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for i in range(iters):
-        with_deg = ranks.join(deg, "id", "left")
+    for _i in range(iters):
+        # eager-checkpoint the joined frame so ONE materialization
+        # serves both the dangling collect and the contribs join —
+        # otherwise each of them (and the next round) re-executes the
+        # whole un-checkpointed chain, multiplying the dominant
+        # per-iteration shuffle ~2-3x
+        with_deg = ranks.join(deg, "id", "left").localCheckpoint()
         # mass of dangling vertices, redistributed uniformly (driver
         # scalar — bounded control point, not a data-plane collect)
         dangling = (
@@ -75,6 +84,4 @@ def pagerank(
                 * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint()  # cut lineage growth
-    return ranks
+    return ranks.localCheckpoint()

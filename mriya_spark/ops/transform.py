@@ -72,10 +72,15 @@ def evolve_to_schema(df: DataFrame, target) -> DataFrame:
 
     if isinstance(target, str):
         target = T.StructType.fromDDL(target)
+    # case-INSENSITIVE match (Spark's own resolution default): a file
+    # era that wrote 'CustKey' must conform to target 'custkey', not
+    # silently become typed NULLs
+    by_lower = {c.lower(): c for c in df.columns}
     cols = []
     for f in target.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        actual = by_lower.get(f.name.lower())
+        if actual is not None:
+            cols.append(F.col(actual).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

@@ -821,7 +821,8 @@ def window_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            SUM(CAST(l_quantity AS BIGINT)) OVER (
-             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
     FROM lineitem
     """,
@@ -832,14 +833,19 @@ def window_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine. (Double prefix sums are NOT portable even over a total
     order — DuckDB evaluates running windows with a segment tree, so
     its float summation ORDER differs from Spark's sequential scan;
-    at sf0.1 a row landed on a round(...,4) boundary — r6.)"""
+    at sf0.1 a row landed on a round(...,4) boundary — r6.)
+    l_quantity is the final ORDER BY tiebreak: the fixture carries
+    duplicate (l_orderkey, l_linenumber) pairs BY DESIGN (dedup
+    family), so without it the order isn't total and tied rows'
+    running values are assigned engine-arbitrarily."""
     from mriya_spark.ops.aggregate import running_agg
 
     df = _cat(spark, sf_dir).table("lineitem")
     out = running_agg(
         df,
         ["l_suppkey"],
-        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+         F.col("l_quantity")],
         F.col("l_quantity").cast("long"),
         col_name="__run",
     )

@@ -316,22 +316,23 @@ def merge_upsert_batch(
         merged = keep_latest(target.unionByName(latest))
     else:
         merged = latest
-    # stage through tmp (source and sink may not share a path);
-    # tmp holds only the touched buckets' rows
-    tmp = target_path + ".tmp"
+    # stage through a PER-CALL tmp (source and sink may not share a
+    # path, and concurrent merges must never clobber each other's
+    # staging); tmp holds only the touched buckets' rows
+    tmp = f"{target_path}.tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
             spark.read.parquet(tmp)
             .write.mode("overwrite")
+            # writer-level, NOT the session conf: flipping the global
+            # partitionOverwriteMode would race other jobs mid-write
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")
             .parquet(target_path)
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def foreach_batch_upsert(

@@ -227,3 +227,16 @@ def test_evolve_to_schema_conform_rules(spark):
     r = out.collect()[0]
     assert (r.c, r.a, r.d, r.b) == (2.5, 1, None, "x")
     assert "zz" not in out.columns
+
+
+def test_evolve_to_schema_case_insensitive_match(spark):
+    """Case drift across file eras (CustKey vs custkey) must conform,
+    not silently become typed NULLs — Spark's own resolution is
+    case-insensitive by default."""
+    from mriya_spark.ops.transform import evolve_to_schema
+
+    df = spark.createDataFrame([(7, "x")], "CustKey int, Name string")
+    out = evolve_to_schema(df, "custkey bigint, name string")
+    r = out.collect()[0]
+    assert (r.custkey, r.name) == (7, "x")
+    assert [f.name for f in out.schema.fields] == ["custkey", "name"]
