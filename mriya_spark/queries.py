@@ -2936,15 +2936,20 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(l_quantity) OVER w AS next_qty,
            first_value(l_quantity) OVER w AS first_qty
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     """,
 )
 def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = _cat(spark, sf_dir).table("lineitem")
+    # l_quantity tiebreak: the fixture has duplicate (orderkey,
+    # linenumber) pairs by design; without it the order isn't total
+    # and tied rows' neighbors are engine-arbitrary (r6, same class
+    # as the window_running fix)
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
     )
     return li.select(
         "l_suppkey",
@@ -3516,21 +3521,25 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            nth_value(l_quantity, 2) OVER w AS second_qty,
            last_value(l_quantity) OVER (PARTITION BY l_suppkey
-                                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                        ORDER BY l_shipdate, l_orderkey,
+                                                 l_linenumber, l_quantity
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS last_qty
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     """,
 )
 def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nth_value (running frame) + last_value over the full-partition
-    frame — the positional window accessors beyond lead/lag/first."""
+    frame — the positional window accessors beyond lead/lag/first.
+    l_quantity tiebreak makes the order total over the fixture's
+    deliberate (orderkey, linenumber) duplicates (r6)."""
     from pyspark.sql import Window
 
     li = _cat(spark, sf_dir).table("lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return li.select(
