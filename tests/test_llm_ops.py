@@ -227,7 +227,12 @@ def test_simhash_near_identical(spark):
 def test_cache_scope_bounds_persisted_intermediates(spark):
     """Operator-internal persist() frames are scoped: building the next
     operator evicts the previous build's caches, and release_caches()
-    leaves zero persistent RDDs behind (VERDICT r1 item 7)."""
+    frees the current build's (VERDICT r1 item 7). Asserted on the
+    REGISTERED frames themselves (df.is_cached) — global
+    persistent-RDD counts are inherently racy with Spark's async
+    ContextCleaner collecting unrelated localCheckpoint RDDs from
+    earlier tests (full-suite flake, r6)."""
+    from mriya_spark import caching
     from mriya_spark.caching import release_caches
 
     df = spark.createDataFrame(
@@ -235,26 +240,17 @@ def test_cache_scope_bounds_persisted_intermediates(spark):
         ["doc_id", "text"],
     )
     release_caches()  # isolate from scoped caches earlier tests left
-    # baseline-relative: earlier tests may leave RDD-level persists the
-    # registry does not own (e.g. localCheckpoints awaiting GC). Force
-    # that GC NOW so the baseline doesn't shrink mid-test (flaky in
-    # full-suite runs when a checkpoint from an earlier file was
-    # collected between our two measurements).
-    import gc
-    import time
-
-    gc.collect()  # drop py refs so Spark's ContextCleaner can act
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(1.0)
-    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     p1 = dedup.minhash_lsh_pairs(df, threshold=0.5)
     p1.count()
-    n_after_p1 = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert n_after_p1 > base  # this build's caches are live (the point)
+    build1 = list(caching._state.live)
+    assert build1 and all(f.is_cached for f in build1)  # the point
     dedup.simhash_pairs(df).count()  # new scoped build evicts p1's caches
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_after_p1 + 1
+    assert all(not f.is_cached for f in build1)
+    build2 = list(caching._state.live)
+    assert build2 and all(f.is_cached for f in build2)
     release_caches()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
+    assert all(not f.is_cached for f in build2)
+    assert caching._state.live == []
 
 
 def test_release_caches_all_threads_frees_pool_worker_caches(spark):
