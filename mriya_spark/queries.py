@@ -4380,3 +4380,39 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only gate records row count; emit a stable shape (counts
     # per rank bucket would hide mass errors — keep id + rounded rank)
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+@register(
+    "observed_aggregate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT)
+             AS n_large,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    """,
+)
+def observed_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API: audit metrics (row count, large-order count,
+    total) collected AS A SIDE EFFECT of driving the real action — at
+    100 TB this is how a pipeline gets its reconciliation counts
+    without paying a second scan (the reference re-queries Salesforce
+    for its success counts, `project_utils.py:43-54`). The observed
+    frame's own output is unchanged; this query materializes the
+    metrics dict as the result so the oracle can check the numbers."""
+    from pyspark.sql import Observation
+
+    orders = _cat(spark, sf_dir).table("orders")
+    obs = Observation("audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_large"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"])],
+        "n_rows bigint, n_large bigint, total_price double",
+    )
