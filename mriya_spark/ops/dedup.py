@@ -541,6 +541,115 @@ def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
     )
 
 
+def kgram_positions(
+    df: DataFrame, *, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(doc_id, pos, gram) rows: every k-token gram of every document,
+    hashed with xxhash64 over the words directly (no gram string is
+    materialized — same rationale as ``add_shingle_hashes``). Documents
+    shorter than ``k`` tokens emit nothing. ``pos`` is the 0-based
+    token offset of the gram's first word.
+    """
+    grams = ", ".join(f"element_at(__w, i + {j + 1})" for j in range(k))
+    return (
+        df.withColumn("__w", tokens(F.col(text_col)))
+        .filter(F.size("__w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__w) - {k}), "
+                    f"i -> xxhash64({grams}))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    min_span: int | None = None,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact duplicate SPANS of >= ``min_span`` (default ``k``) tokens
+    shared across document pairs — span-level dedup in the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") sense, re-expressed as a blocked inverted-index join
+    instead of a suffix array (suffix arrays don't distribute; a gram
+    equi-join does).
+
+    Pipeline: k-gram positions (``kgram_positions``) -> self-equi-join
+    on the gram hash with ``doc_a < doc_b`` -> matches on the same
+    diagonal (``pa - pb``) that are positionally contiguous collapse
+    into one maximal span via gaps-and-islands (``pa - row_number()``
+    per (pair, diagonal) is constant exactly along a contiguous run).
+
+    Returns (doc_a, doc_b, start_a, start_b, span_tokens): one row per
+    MAXIMAL shared span per diagonal — a shared run of m >= k tokens
+    reports once with ``span_tokens = m``, not as m-k+1 gram matches.
+
+    ``max_gram_df`` is the hot-gram guard (same posture as
+    ``ngram_jaccard_pairs_from_shingles``): a gram appearing in d
+    documents contributes ~d² join rows, so boilerplate k-grams turn
+    the join quadratic at corpus scale. Capped grams are dropped from
+    the index, so a span whose grams are ALL hot disappears and a span
+    with hot interior grams reports as shorter fragments (each cold
+    run of >= min_span tokens still reports with exact offsets) —
+    bounded candidate volume traded for fragment-level recall, the
+    standard Lee-et-al engineering tradeoff. ``None`` = fully exact —
+    the oracle form.
+    """
+    if min_span is None:
+        min_span = k
+    g = kgram_positions(df, text_col=text_col, k=k)
+    if max_gram_df is not None:
+        cold = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+        )
+        g = g.join(cold.select("gram"), on="gram")
+    a = g.alias("a")
+    b = g.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("__sa"),
+            F.min("pb").alias("__sb"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"),
+        )
+        .filter(F.col("__len") >= min_span)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__sa").cast("long").alias("start_a"),
+            F.col("__sb").cast("long").alias("start_b"),
+            F.col("__len").cast("long").alias("span_tokens"),
+        )
+    )
+
+
 def with_simhash64(
     df: DataFrame, text_col: str = "text", *, ngram: int = 2,
     out_col: str = "simhash",

@@ -1643,6 +1643,47 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM corpus),
+    pos0 AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+      FROM words WHERE len(w) >= 8),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM pos0),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+      FROM m)
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pb) AS BIGINT) AS start_b,
+           CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    """,
+)
+def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022 semantics,
+    blocked-join shape): maximal shared runs of >= 8 tokens across
+    document pairs, with exact token offsets. The perturbed corpus
+    plants one (len-1)-token span per (original, copy) pair; natural
+    8-gram repeats in the synthetic text exercise the island grouping.
+    Oracle: identical gram join on the gram STRINGS (Spark joins on
+    xxhash64 of the words — identity-preserving up to 64-bit
+    collisions)."""
+    from mriya_spark.ops.dedup import substring_span_pairs
+
+    return substring_span_pairs(_neardup_corpus(spark, sf_dir), k=8)
+
+
+@register(
     "pipeline_decontaminate",
     r"""
     WITH corpus AS (SELECT doc_id, text FROM documents),

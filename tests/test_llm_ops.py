@@ -141,6 +141,41 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert set(capped) <= set(exact)
 
 
+def test_substring_spans_planted(spark):
+    """A 12-token span planted mid-document in two otherwise-unrelated
+    docs must report ONCE as one maximal span with exact offsets and
+    length — not as 12-8+1 separate gram matches."""
+    span = " ".join(f"s{i}" for i in range(12))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + span + " "
+            + " ".join(f"b{i}" for i in range(7))),
+        (2, " ".join(f"c{i}" for i in range(9)) + " " + span),
+        (3, " ".join(f"z{i}" for i in range(20))),  # no shared grams
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = dedup.substring_span_pairs(df, k=8).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+            for r in rows] == [(1, 2, 5, 9, 12)]
+
+
+def test_substring_spans_hot_gram_cap(spark):
+    """With the hot-gram df cap, a boilerplate-only span shared by all
+    docs stops generating candidates while a rare planted span keeps
+    exact offsets — the bounded-candidate-volume posture."""
+    boiler = " ".join(f"h{i}" for i in range(8))
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = [(i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(8)))
+            for i in range(30)]
+    docs += [(100, span + " tail0 tail1"), (101, "head0 head1 " + span)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = dedup.substring_span_pairs(df, k=8, max_gram_df=5).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+            for r in capped] == [(100, 101, 0, 2, 10)]
+    # uncapped: the boilerplate span produces ~30²/2 pairs on top
+    exact = dedup.substring_span_pairs(df, k=8).collect()
+    assert len(exact) == 30 * 29 // 2 + 1
+
+
 def test_minhash_lsh_recall_vs_exact(catalog, spark):
     docs = catalog.table("documents").select("doc_id", "text")
     perturbed = docs.filter("doc_id < 50").select(
