@@ -70,3 +70,51 @@ def write_zordered(
         .option("parquet.block.size", block_bytes)
         .parquet(path)
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus reshard + intra-shard shuffle — the layout
+    step between packing (``queries.pack_sequences``) and training:
+    a training job wants ``num_shards`` equal-ish shards whose internal
+    order is pseudo-random (decorrelated from ingest order) but fully
+    REPRODUCIBLE, so that run N and run N+1 of the pipeline feed
+    identical batches and a resumed job can seek to (shard, pos).
+
+    Both the shard id and the intra-shard position derive from one md5
+    of (seed, key): shard = first 60 hash bits mod ``num_shards``,
+    order = the next 64 hash bits (independent of the shard bits).
+    Stateless and engine-portable (the split_train_holdout posture) —
+    no rand(), no global sort: the plan is ONE hash exchange on
+    ``shard`` plus an in-partition sort for the row_number, so at
+    100 TB it scales like any single shuffle. Adding documents never
+    reorders rows of other shards' existing (key, order) pairs beyond
+    shifting positions after insertion points.
+
+    Appends ``shard`` (long) and ``pos`` (long, 0-based dense within
+    shard) to the input columns.
+    """
+    from pyspark.sql import Window
+
+    khex = F.md5(
+        F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    out = (
+        df.withColumn("__h", khex)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("__h", 1, 15), 16, 10).cast("long")
+             % num_shards).cast("long"),
+        )
+        .withColumn("__ord", F.substring("__h", 17, 16))
+    )
+    w = Window.partitionBy("shard").orderBy("__ord", key_col)
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h", "__ord")
+    )

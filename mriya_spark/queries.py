@@ -3853,6 +3853,36 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id, md5('42_' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    tagged AS (
+      SELECT doc_id,
+             ('0x' || substr(h, 1, 15))::BIGINT % 16 AS shard,
+             substr(h, 17, 16) AS ord
+      FROM keyed)
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM tagged
+    """,
+)
+def shard_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reshard + intra-shard shuffle: shard id and
+    pseudo-random in-shard position are pure functions of (seed,
+    doc_id) via disjoint md5 bit ranges — reproducible training-batch
+    order with ONE hash exchange and no global sort
+    (``ops.layout.shard_shuffle``)."""
+    from mriya_spark.ops.layout import shard_shuffle
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id")
+    return shard_shuffle(docs, key_col="doc_id", num_shards=16, seed=42)
+
+
+@register(
     "text_pii_redact",
     r"""
     WITH seeded AS (

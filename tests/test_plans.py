@@ -402,3 +402,36 @@ def test_zorder_layout_shrinks_rowgroup_rectangles(spark, tmp_path):
     assert avg_extent(zpath, "b") < 64
     # lexicographic: b's extent is ~the full domain (no pruning power)
     assert avg_extent(spath, "b") > 100
+
+
+def test_shard_shuffle_one_hash_exchange_no_global_sort(spark, queries):
+    """The reshard op is exactly one hash exchange on the shard id
+    plus an in-partition sort for the row_number — no range exchange
+    (global sort) anywhere."""
+    plan = executed_plan(queries["shard_shuffle"](spark, SF))
+    assert n_shuffles(plan) == 1, plan
+    assert "Exchange hashpartitioning(shard" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_shard_shuffle_deterministic_and_balanced(spark):
+    from mriya_spark.ops.layout import shard_shuffle
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = shard_shuffle(df, key_col="doc_id", num_shards=8, seed=1)
+    b = shard_shuffle(df, key_col="doc_id", num_shards=8, seed=1)
+    rows_a = sorted((r.doc_id, r.shard, r.pos) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.shard, r.pos) for r in b.collect())
+    assert rows_a == rows_b  # reproducible run to run
+    by_shard = {}
+    for _, s, p in rows_a:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0-based pos
+        # balanced to within ~4x of ideal at n=2000 (md5 uniformity)
+        assert 2000 / 8 / 2 < len(ps) < 2000 / 8 * 2
+    # a different seed produces a different assignment
+    c = shard_shuffle(df, key_col="doc_id", num_shards=8, seed=2)
+    rows_c = sorted((r.doc_id, r.shard, r.pos) for r in c.collect())
+    assert rows_c != rows_a
