@@ -652,56 +652,79 @@ def substring_span_pairs(
 
 def with_simhash64(
     df: DataFrame, text_col: str = "text", *, ngram: int = 2,
-    out_col: str = "simhash",
+    out_col: str = "simhash", hash_mode: str = "xxhash64", n_bits: int = 64,
 ) -> DataFrame:
-    """Add a 64-bit SimHash column over word ``ngram`` shingles — pure
-    expressions in two projection stages (votes, then bit-pack) so the
-    64-element vote aggregate appears once in the plan, not 64 times.
+    """Add an ``n_bits``-wide SimHash column over word ``ngram``
+    shingles — pure expressions in two projection stages (votes, then
+    bit-pack) so the vote aggregate appears once in the plan, not
+    ``n_bits`` times.
+
+    ``hash_mode='xxhash64'`` (default) hashes the shingle WORDS
+    directly — the production path, no gram string materialized.
+    ``hash_mode='md5_portable'`` derives the per-shingle hash from the
+    first 15 hex chars of ``md5(gram_string)`` (60 usable bits, so pair
+    it with ``n_bits=60``): ~2x more string work, but every engine with
+    md5 computes the IDENTICAL signature — the oracle-checkable form
+    (DuckDB: ``('0x' || substr(md5(g), 1, 15))::BIGINT``).
     """
-    grams = ", ".join(f"element_at(__w, i + {k + 1})" for k in range(ngram))
+    if hash_mode == "xxhash64":
+        one = "xxhash64(concat_ws(' ', __w))"
+        grams = ", ".join(f"element_at(__w, i + {k + 1})" for k in range(ngram))
+        many = f"xxhash64({grams})"
+    elif hash_mode == "md5_portable":
+        one = "cast(conv(substr(md5(concat_ws(' ', __w)), 1, 15), 16, 10) as bigint)"
+        gram_words = ", ".join(
+            f"element_at(__w, i + {k + 1})" for k in range(ngram)
+        )
+        many = (
+            f"cast(conv(substr(md5(concat_ws(' ', {gram_words})), 1, 15), "
+            f"16, 10) as bigint)"
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}: xxhash64|md5_portable")
     hashed = F.expr(
         f"array_distinct(CASE WHEN size(__w) < {ngram} "
-        f"THEN array(xxhash64(concat_ws(' ', __w))) "
-        f"ELSE transform(sequence(0, size(__w) - {ngram}), i -> xxhash64({grams})) "
+        f"THEN array({one}) "
+        f"ELSE transform(sequence(0, size(__w) - {ngram}), i -> {many}) "
         f"END)"
     )
     staged = (
         df.withColumn("__w", tokens(F.col(text_col)))
         .withColumn("__sh", hashed)
         .drop("__w")
-        .withColumn("__votes", _simhash_votes("__sh"))
+        .withColumn("__votes", _simhash_votes("__sh", n_bits=n_bits))
     )
     # pack: bit j set iff votes[j] > 0. Disjoint powers of two, so + IS
     # bitwise-or. Unrolled on purpose: referencing __votes inside a
     # fold lambda counts as ONE reference, so CollapseProject would
     # inline the whole vote aggregate into the lambda body and
-    # re-evaluate it per fold step (64x per row); 64 plain references
+    # re-evaluate it per fold step (n_bits x per row); plain references
     # keep the staged projection materialized once.
     packed = F.expr(
         " + ".join(
             f"if(element_at(__votes, {j + 1}) > 0, shiftleft(1L, {j}), 0L)"
-            for j in range(64)
+            for j in range(n_bits)
         )
     )
     return staged.withColumn(out_col, packed).drop("__sh", "__votes")
 
 
-def _simhash_votes(hashes_col: str = "__sh") -> Column:
+def _simhash_votes(hashes_col: str = "__sh", *, n_bits: int = 64) -> Column:
     """votes[j] = sum over shingle hashes of +-1 by bit j of the hash.
 
     One expr string over a staged array<long> column; the inner
-    zip_with walks all 64 bit positions per shingle hash.
+    zip_with walks all ``n_bits`` bit positions per shingle hash.
     """
     # bit positions unrolled as constant shifts — an inner
-    # transform(sequence(0,63), ...) with a column shift amount is a
+    # transform(sequence(0,n-1), ...) with a column shift amount is a
     # nested interpreted loop per shingle (~8x slower end to end)
     bit_votes = ", ".join(
-        f"if((shiftright(h, {j}) & 1) = 1, 1L, -1L)" for j in range(64)
+        f"if((shiftright(h, {j}) & 1) = 1, 1L, -1L)" for j in range(n_bits)
     )
     return F.expr(
         f"aggregate("
         f"  {hashes_col},"
-        f"  array_repeat(0L, 64),"
+        f"  array_repeat(0L, {n_bits}),"
         f"  (acc, h) -> zip_with(acc, array({bit_votes}), (x, y) -> x + y))"
     )
 
@@ -712,6 +735,8 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    hash_mode: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash candidate pairs (pre-verify) with GUARANTEED recall at
     hamming <= ``max_hamming``.
@@ -749,10 +774,11 @@ def simhash_candidates(
             f"{len(combos)} block combinations (C({n_blocks},{m})) would "
             "explode each row too far; lower n_blocks or max_hamming"
         )
-    width = 64 // n_blocks  # last block absorbs the remainder bits
-    with_h = with_simhash64(df.select("doc_id", text_col), text_col).select(
-        "doc_id", "simhash"
-    )
+    width = n_bits // n_blocks  # last block absorbs the remainder bits
+    with_h = with_simhash64(
+        df.select("doc_id", text_col), text_col,
+        hash_mode=hash_mode, n_bits=n_bits,
+    ).select("doc_id", "simhash")
 
     def _block(i: int) -> Column:
         shifted = F.shiftrightunsigned("simhash", width * i)
@@ -807,6 +833,8 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_chunks: int | None = None,
+    hash_mode: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
 
@@ -817,7 +845,8 @@ def simhash_pairs(
     ``n_chunks`` is the historical name for ``n_blocks``.
     """
     cand = simhash_candidates(
-        df, text_col=text_col, max_hamming=max_hamming, n_blocks=n_chunks
+        df, text_col=text_col, max_hamming=max_hamming, n_blocks=n_chunks,
+        hash_mode=hash_mode, n_bits=n_bits,
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (

@@ -1632,14 +1632,56 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None)  # same: blocking recall -> rows-only
+# Engine-portable SimHash signature: 60 bits, per-shingle hash =
+# first 15 hex chars of md5(gram string) — identical in Spark
+# (conv(substr(md5(g),1,15),16,10)) and DuckDB ('0x'||...)::BIGINT.
+# The oracle is BRUTE-FORCE all-pairs hamming; Spark uses pigeonhole
+# blocking, whose recall at hamming <= max is GUARANTEED (Manku), so
+# the two result sets are equal exactly, not approximately.
+_SIMHASH_SIG_TERMS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+    for j in range(60)
+)
+
+
+@register(
+    "dedup_simhash",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+             END) AS shingles
+      FROM words),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS h
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIMHASH_SIG_TERMS} AS simhash
+            FROM hashed GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming <= 3, 4x16-bit-block
-    pigeonhole blocking — ~65k bucket values per index keeps candidate
-    volume ~4·n²/2¹⁶, see ``ops.dedup.simhash_candidates``)."""
+    """SimHash near-dup pairs (hamming <= 3, 4-block pigeonhole
+    blocking, ``ops.dedup.simhash_candidates``) in the engine-portable
+    60-bit md5 signature form: the DuckDB oracle brute-forces ALL
+    pairs, and because multi-block blocking guarantees recall at the
+    hamming budget, the blocked Spark result must match it exactly —
+    a hash-green correctness row for a blocked candidate generator."""
     from mriya_spark.ops.dedup import simhash_pairs
 
-    return simhash_pairs(_neardup_corpus(spark, sf_dir), text_col="text")
+    return simhash_pairs(
+        _neardup_corpus(spark, sf_dir), text_col="text",
+        hash_mode="md5_portable", n_bits=60,
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register(
