@@ -435,3 +435,35 @@ def test_shard_shuffle_deterministic_and_balanced(spark):
     c = shard_shuffle(df, key_col="doc_id", num_shards=8, seed=2)
     rows_c = sorted((r.doc_id, r.shard, r.pos) for r in c.collect())
     assert rows_c != rows_a
+
+
+def _audit(df):
+    import importlib.util
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(__file__), "..", "tools", "plan_audit.py")
+    spec = importlib.util.spec_from_file_location("plan_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.audit_plan(df)
+
+
+def test_pinned_shuffle_counts_on_expensive_pipelines(spark, queries):
+    """Pin the TRUE shuffle-stage count (distinct executed exchange
+    instances; cache builds once, Reused* zero — tools/plan_audit.py)
+    of the most expensive pipelines. A refactor that adds an Exchange
+    to any of these fails here before it costs a full-corpus shuffle
+    at 100 TB."""
+    expected = {
+        "dedup_minhash_lsh": 1,
+        "pipeline_decontaminate_lsh": 3,
+        "pipeline_corpus_curation_lsh": 4,
+        "search_bm25": 6,
+        "search_hybrid_rrf": 9,
+        "migration_pipeline": 2,
+    }
+    got = {
+        name: _audit(queries[name](spark, SF))["shuffles"]
+        for name in expected
+    }
+    assert got == expected

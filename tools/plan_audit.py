@@ -27,33 +27,84 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+_ARROW_NODES = (
+    "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+    "FlatMapGroupsInPandasWithState", "PythonMapInArrow", "MapInBatch",
+)
+
+
+def _walk_nodes(spark, root) -> list[str]:
+    """Distinct physical-node class names across the EXECUTED DAG.
+
+    The old string count over ``executedPlan().toString()`` overcounted
+    badly: a persisted subtree reprints its whole build plan inline
+    (as innerChildren) under every InMemoryTableScan that reads it, so
+    a pipeline persisting one frame read four times reported the build
+    plan's exchanges 4x. Tree traversal over ``children()`` skips
+    innerChildren naturally; cache-build plans are then added back by
+    recursing through ``InMemoryTableScanExec.relation().cachedPlan()``
+    exactly ONCE per distinct relation (JVM identity), which is exactly
+    once per materialization at runtime. AQE wrappers
+    (AdaptiveSparkPlanExec, *QueryStageExec) unwrap to the final plan;
+    ReusedExchange/ReusedSubquery subtrees are not re-entered (they
+    re-read another stage's output — no new stage runs).
+    """
+    ident = spark._jvm.java.lang.System.identityHashCode
+    seen_caches: set[int] = set()
+    acc: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        acc.append(cls)
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls.startswith("Reused"):
+            return
+        if cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = ident(rel.cacheBuilder())
+            if key not in seen_caches:
+                seen_caches.add(key)
+                walk(rel.cachedPlan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(root)
+    return acc
+
+
 def audit_plan(df) -> dict:
     """Plan-shape facts for one DataFrame (see module docstring)."""
     # AQE finalizes (and codegens) the plan only on execution; drive
     # this DataFrame's own QueryExecution so the audit reads the plan
     # that actually ran, not the pre-adaptive sketch
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    nodes = _walk_nodes(df.sparkSession, df._jdf.queryExecution().executedPlan())
     fmt = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+
+    def n(*prefixes: str) -> int:
+        return sum(1 for c in nodes if c.startswith(prefixes))
+
     return {
-        "shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
-        "broadcasts": plan.count("BroadcastExchange"),
-        # codegen'd operators print as "*(n) Op" in the executed plan
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "shuffles": n("ShuffleExchangeExec"),
+        "broadcasts": n("BroadcastExchangeExec"),
+        "codegen_spans": n("WholeStageCodegenExec"),
         "pushed_filters": sum(1 for p in pushed if p.strip()),
-        "arrow_python": sum(
-            plan.count(n)
-            for n in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
-                      "FlatMapGroupsInPandasWithState", "PythonMapInArrow")
-        ),
-        "row_python": plan.count("BatchEvalPython"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "arrow_python": n(*_ARROW_NODES),
+        "row_python": n("BatchEvalPython"),
+        "sort_merge_joins": n("SortMergeJoinExec"),
+        "broadcast_joins": n("BroadcastHashJoinExec"),
     }
 
 
@@ -89,10 +140,12 @@ def main() -> None:
         "Row-wise Python (`row_python`, BatchEvalPython) must be 0 everywhere —",
         "enforced by `tests/test_plans.py::test_headline_queries_have_no_row_python`.",
         "Streaming entries are audited post-run (the plan of the result frame).",
-        "Counts are raw over the executed-plan print: persisted/cached subtrees",
-        "(InMemoryTableScan) repeat their build plan inline, so multi-stage",
-        "pipelines overcount vs distinct runtime stages — read deltas, not",
-        "absolutes, and see tests/test_plans.py for the per-op invariants.",
+        "Counts are DISTINCT executed plan-node instances (tree traversal, AQE",
+        "final plan): each persisted subtree's build plan counts once per",
+        "materialization — not once per InMemoryTableScan reprint — and Reused",
+        "exchanges/subqueries count zero. `shuffles` therefore equals the number",
+        "of shuffle map stages the run actually paid for; per-query ceilings for",
+        "the most expensive pipelines are pinned in tests/test_plans.py.",
         "",
         "| query | " + " | ".join(cols) + " |",
         "|---|" + "---|" * len(cols),
