@@ -104,6 +104,7 @@ def run_mriya_pipeline(
     n_rows: int = 1000,
     seed: int = 42,
     company_fk: str = "0013B000006M6zSQAS",
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full mriya flow against a mock org; returns the backfill update
     rows (src key -> new dst id), the pipeline's final data product
@@ -121,8 +122,16 @@ def run_mriya_pipeline(
         if os.path.exists(p):
             os.remove(p)
 
-    # stage 2 — generate + bulk insert src rows (`mriya.py:79-86`, G1+S7)
-    data = generator.gen_data(spark, n_rows, "Account", seed=seed)
+    # stage 2 — generate + bulk insert src rows (`mriya.py:79-86`, G1+S7).
+    # ``source_df`` swaps the pseudorandom generator for caller-supplied
+    # rows (ACCOUNT_DDL shape): the pipeline SUFFIX — insert -> extract
+    # -> transform -> load -> backfill — is deterministic, so with a
+    # deterministic source the whole run is oracle-checkable.
+    data = (
+        source_df
+        if source_df is not None
+        else generator.gen_data(spark, n_rows, "Account", seed=seed)
+    )
     (
         data.write.format("salesforce_mock")
         .mode("append")

@@ -2930,6 +2930,71 @@ def mriya_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "mriya_e2e_deterministic",
+    """
+    SELECT c_custkey AS "row_id",
+           'DST-' || CAST(c_custkey AS VARCHAR) AS "row_id_dst_id",
+           c_name AS "Name",
+           'City ' || CAST(c_nationkey AS VARCHAR) AS "Billing_City__c",
+           CAST(c_custkey % 100000 AS BIGINT) AS "Billing_Zip_Code__c",
+           'https://example.com/' || CAST(c_custkey AS VARCHAR) AS "Website",
+           '0013B000006M6zSQAS' AS "Company_Name__c"
+    FROM customer
+    """,
+)
+def mriya_e2e_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's DETERMINISTIC suffix, hash-checked
+    end-to-end: the pseudorandom generator stage (the one reason
+    ``mriya_e2e_pipeline`` is rows-only) is swapped for Account rows
+    derived from the ``customer`` table, then the identical insert ->
+    extract -> transform -> load -> backfill flow runs through the
+    mock-org connector. Output joins the backfill update rows with the
+    LOADED destination rows, so the oracle checks the key plumbing AND
+    every transformed column against a direct SQL restatement."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from mriya_spark.connector.salesforce import read_object
+    from mriya_spark.pipeline import DST_DDL, run_mriya_pipeline
+
+    cust = _cat(spark, sf_dir).table("customer")
+    city = F.concat(F.lit("City "), F.col("c_nationkey").cast("string"))
+    src_rows = cust.select(
+        F.col("c_custkey").alias("row_id"),
+        F.col("c_name").alias("Name"),
+        F.lit("Account").alias("type"),
+        F.concat(F.col("c_mktsegment"), F.lit(" St")).alias("Billing_Address__c"),
+        city.alias("Billing_City__c"),
+        F.col("c_mktsegment").alias("Billing_County__c"),
+        (F.col("c_custkey") % 100000).cast("long").alias("Billing_Zip_Code__c"),
+        F.concat(F.col("c_mktsegment"), F.lit(" St")).alias("Shipping_Address__c"),
+        city.alias("Shipping_City__c"),
+        F.col("c_mktsegment").alias("Shipping_County__c"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("Account_Birthday__c"),
+        F.concat(F.lit("https://example.com/"), F.col("c_custkey").cast("string"))
+        .alias("Website"),
+    )
+    org = _os.path.join(_cache_subdir("org"), f"e2e_det_{_uuid.uuid4().hex[:8]}")
+    try:
+        updates = run_mriya_pipeline(spark, org, source_df=src_rows)
+        loaded = read_object(spark, org, "Accounts__c", DST_DDL)
+        out = (
+            updates.join(
+                loaded,
+                updates["row_id"] == loaded["Old_Record_Id__c"],
+            )
+            .select(
+                "row_id", "row_id_dst_id", "Name", "Billing_City__c",
+                "Billing_Zip_Code__c", "Website", "Company_Name__c",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(org, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # statistical aggregates, arg-extrema, range frames, full sort
 # ---------------------------------------------------------------------------
