@@ -46,3 +46,32 @@ def cache_dir(*parts: str) -> str:
     full = os.path.join(root, *parts) if parts else root
     os.makedirs(full, exist_ok=True)
     return full
+
+
+def sweep_stale(
+    subdir: str, *prefixes: str, max_age_s: float = 3600.0
+) -> None:
+    """Remove uuid-suffixed artifact dirs/files under
+    ``cache_root()/subdir`` whose name starts with any of ``prefixes``
+    and whose mtime is older than ``max_age_s`` (r6 ADVICE: unlike the
+    old /tmp location, ~/.cache has no reboot/tmpwatch cleanup, so
+    repeated bench/test runs would grow it without bound). Same
+    age-gated posture as the IVF ``__build_`` sweep: a FRESH sibling
+    may be a concurrent run still writing — only stale ones go."""
+    import shutil
+    import time
+
+    d = os.path.join(cache_root(), subdir)
+    if not os.path.isdir(d):
+        return
+    now = time.time()
+    for name in os.listdir(d):
+        if not name.startswith(prefixes):
+            continue
+        full = os.path.join(d, name)
+        try:
+            if now - os.path.getmtime(full) <= max_age_s:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(full, ignore_errors=True)

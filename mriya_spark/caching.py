@@ -31,21 +31,41 @@ pairs_from_shingles``) forms one scope, released as one unit.
 from __future__ import annotations
 
 import threading
+import weakref
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-#: every live list ever created, one per thread (registered once at
-#: that thread's _ScopeState init; publishes mutate the list IN
-#: PLACE, never replace it) — the cross-thread view thread-local
-#: storage can't give a coordinator/teardown thread. Not keyed by
-#: thread id: idents are explicitly reusable after a thread dies, and
-#: a dict keyed on them would silently drop a dead worker's
-#: still-pinned caches when a new thread recycled the ident. Guarded
-#: by _registry_lock; bounded by the number of threads ever created.
-_all_live_lists: list[list[DataFrame]] = []
+#: (thread weakref, live list) per thread that ever built a scope
+#: (registered once at that thread's _ScopeState init; publishes
+#: mutate the list IN PLACE, never replace it) — the cross-thread view
+#: thread-local storage can't give a coordinator/teardown thread. Not
+#: keyed by thread id: idents are explicitly reusable after a thread
+#: dies, and a dict keyed on them would silently drop a dead worker's
+#: still-pinned caches when a new thread recycled the ident. The
+#: weakref exists to PRUNE: entries whose thread is gone and whose
+#: list is empty are dropped at registration and after every
+#: all-threads drain, so a long-lived driver spawning transient
+#: threads doesn't accumulate registry entries forever. A dead
+#: thread's NON-empty list is kept — it still pins executor memory
+#: that only release_caches(all_threads=True) can free. Guarded by
+#: _registry_lock.
+_all_live_lists: list[tuple[weakref.ref, list[DataFrame]]] = []
 _registry_lock = threading.Lock()
+
+
+def _thread_dead(ref: weakref.ref) -> bool:
+    t = ref()
+    return t is None or not t.is_alive()
+
+
+def _prune_registry_locked() -> None:
+    """Drop dead-thread empty-list entries (caller holds the lock)."""
+    _all_live_lists[:] = [
+        (ref, live) for ref, live in _all_live_lists
+        if live or not _thread_dead(ref)
+    ]
 
 
 class _ScopeState(threading.local):
@@ -61,7 +81,10 @@ class _ScopeState(threading.local):
         self.live: list[DataFrame] = []
         self.building: list[DataFrame] = []
         with _registry_lock:
-            _all_live_lists.append(self.live)
+            _prune_registry_locked()
+            _all_live_lists.append(
+                (weakref.ref(threading.current_thread()), self.live)
+            )
 
 
 _state = _ScopeState()
@@ -121,6 +144,8 @@ def release_caches(*, all_threads: bool = False) -> None:
     _drain(_state.live)
     if all_threads:
         with _registry_lock:
-            others = [l for l in _all_live_lists if l is not _state.live]
+            others = [l for _, l in _all_live_lists if l is not _state.live]
         for live in others:
             _drain(live)
+        with _registry_lock:
+            _prune_registry_locked()

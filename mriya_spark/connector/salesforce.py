@@ -117,13 +117,24 @@ class MockTransport:
         p = self._path(obj)
         if not os.path.exists(p):
             return pages
+        # fingerprint the file the cursors were computed against: byte
+        # cursors are only valid for THIS exact file content. A
+        # concurrent DML rewrite between planning and an executor's
+        # read would otherwise land seeks mid-line / on wrong rows and
+        # silently return garbled pages (r6 ADVICE) — query_page
+        # compares the fingerprint and falls back to offset paging.
+        st = os.stat(p)
         n_matched = 0
         pos = 0
         with open(p, "rb") as f:
             for line in f:
                 if _matches(json.loads(line), filters):
                     if n_matched % page_size == 0:
-                        pages.append({"offset": n_matched, "start_byte": pos})
+                        pages.append({
+                            "offset": n_matched, "start_byte": pos,
+                            "file_size": st.st_size,
+                            "file_mtime_ns": st.st_mtime_ns,
+                        })
                     n_matched += 1
                 pos += len(line)
         return pages
@@ -136,12 +147,31 @@ class MockTransport:
         offset: int,
         limit: int,
         start_byte: int | None = None,
+        file_size: int | None = None,
+        file_mtime_ns: int | None = None,
     ) -> list[dict]:
         """One page of a filtered, projected scan (≙ one queryMore
         round trip, `data_connector.py:62-66`). With ``start_byte``
         (from ``page_index``) the read seeks to the page's slice and
         parses only ~``limit`` rows; without it, the legacy full-parse
-        + slice path (used by the stream reader's row offsets)."""
+        + slice path (used by the stream reader's row offsets).
+
+        ``file_size``/``file_mtime_ns`` are the planning-time
+        fingerprint from ``page_index``: if the org file changed since
+        (concurrent DML), the byte cursor may point mid-line or at the
+        wrong rows, so the read falls back to offset paging against
+        the CURRENT file — correct, one extra parse pass."""
+        if start_byte is not None and (
+            file_size is not None or file_mtime_ns is not None
+        ):
+            p = self._path(obj)
+            st = os.stat(p) if os.path.exists(p) else None
+            if (
+                st is None
+                or (file_size is not None and st.st_size != file_size)
+                or (file_mtime_ns is not None and st.st_mtime_ns != file_mtime_ns)
+            ):
+                start_byte = None  # stale cursor -> offset paging
         self._log(
             {
                 "op": "query_page",
@@ -288,6 +318,11 @@ class _Page(InputPartition):
     #: has no byte cursors (e.g. HTTP) and the reader falls back to
     #: offset paging
     start_byte: int | None = None
+    #: planning-time file fingerprint (size + mtime) the byte cursor
+    #: is valid against; the executor read falls back to offset paging
+    #: when the org file changed in between (r6 ADVICE)
+    file_size: int | None = None
+    file_mtime_ns: int | None = None
 
 
 def _validate_wire_schema(schema: StructType) -> None:
@@ -388,7 +423,9 @@ class SalesforceMockReader(DataSourceReader):
                 return [_Page(offset=0, limit=self.page_size, start_byte=0)]
             return [
                 _Page(offset=pg["offset"], limit=self.page_size,
-                      start_byte=pg["start_byte"])
+                      start_byte=pg["start_byte"],
+                      file_size=pg.get("file_size"),
+                      file_mtime_ns=pg.get("file_mtime_ns"))
                 for pg in index
             ]
         total = transport.count(self.object, self.pushed)
@@ -411,7 +448,9 @@ class SalesforceMockReader(DataSourceReader):
         cols = [f.name for f in self.schema.fields]  # pruned by Spark
         convs = {f.name: _restore(f.dataType) for f in self.schema.fields}
         kw = {} if partition.start_byte is None else {
-            "start_byte": partition.start_byte
+            "start_byte": partition.start_byte,
+            "file_size": partition.file_size,
+            "file_mtime_ns": partition.file_mtime_ns,
         }
         rows = transport.query_page(  # list (mock) or stream (HTTP)
             self.object, cols, self.pushed, partition.offset,

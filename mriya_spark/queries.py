@@ -575,6 +575,7 @@ def migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from mriya_spark.cachedir import cache_dir as _cache_subdir
+from mriya_spark.cachedir import sweep_stale as _sweep_stale
 from mriya_spark.cachedir import cache_root as _cache_root_dir
 
 # user-scoped (r5 verdict: no shared predictable /tmp staging);
@@ -2286,6 +2287,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 micro-batches (4 files/trigger): enough to exercise the
     # cross-batch merge; each batch costs 2 parquet write+read cycles
     ev = S.read_events_stream(spark, sf_dir, max_files_per_trigger=4)
+    _sweep_stale("stream_v2", "upsert_target_", "ckpt_upsert_")
     target = _os.path.join(_cache_subdir("stream_v2"), f"upsert_target_{_uuid.uuid4().hex[:8]}")
     S.foreach_batch_upsert(ev, target, key="user_id")
     out = spark.read.parquet(target)
@@ -2327,6 +2329,7 @@ def stream_corpus_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .load(path)
     )
+    _sweep_stale("stream_v2", "corpus_")
     target = _os.path.join(_cache_subdir("stream_v2"), f"corpus_{_uuid.uuid4().hex[:8]}")
     S.stream_corpus_ingest(stream, target)
     return spark.read.parquet(target).select(
@@ -2446,6 +2449,7 @@ def connector_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SalesforceMockDataSource)
     org = _seeded_org(spark, sf_dir)
+    _sweep_stale("org", "dst_")
     dst_org = _os.path.join(_cache_subdir("org"), f"dst_{_uuid.uuid4().hex[:8]}")
     src = read_object(spark, org, "Account", CUSTOMER_DDL)
     transformed = src.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -2922,6 +2926,7 @@ def mriya_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mriya_spark.pipeline import run_mriya_pipeline
 
+    _sweep_stale("org", "e2e_")
     org = _os.path.join(_cache_subdir("org"), f"e2e_{_uuid.uuid4().hex[:8]}")
     out = run_mriya_pipeline(spark, org, n_rows=500).localCheckpoint(eager=True)
     import shutil
@@ -2975,6 +2980,7 @@ def mriya_e2e_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://example.com/"), F.col("c_custkey").cast("string"))
         .alias("Website"),
     )
+    _sweep_stale("org", "e2e_")
     org = _os.path.join(_cache_subdir("org"), f"e2e_det_{_uuid.uuid4().hex[:8]}")
     try:
         updates = run_mriya_pipeline(spark, org, source_df=src_rows)

@@ -285,7 +285,17 @@ def merge_upsert_batch(
     per key" regardless of file/batch arrival order, and REPLAYING a
     batch is a no-op (the exactly-once-on-retry property foreachBatch
     needs, since Spark re-runs a batch whose commit didn't land —
-    proven in tests/test_streaming.py)."""
+    proven in tests/test_streaming.py).
+
+    Concurrency contract (r6 ADVICE): the per-call staging dir only
+    protects the STAGING step — two concurrent merges into the same
+    target still race the read-modify-write of a shared bucket (both
+    read the target, both dynamic-overwrite the bucket, the loser's
+    upserts vanish). A target requires a SINGLE writer; Structured
+    Streaming provides exactly that (one foreachBatch invocation at a
+    time per query), matching the no-transactional-MERGE caveat in
+    ``sinks.py``. Fan-in from several streams must union upstream or
+    write disjoint targets."""
     from pyspark.sql import Window
 
     spark = batch.sparkSession
@@ -317,8 +327,9 @@ def merge_upsert_batch(
     else:
         merged = latest
     # stage through a PER-CALL tmp (source and sink may not share a
-    # path, and concurrent merges must never clobber each other's
-    # staging); tmp holds only the touched buckets' rows
+    # path); the unique name keeps STAGING collision-free, but it does
+    # NOT make concurrent merges safe — see the single-writer contract
+    # in the docstring. tmp holds only the touched buckets' rows
     tmp = f"{target_path}.tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     try:
@@ -358,6 +369,9 @@ def foreach_batch_upsert(
     exact plan with a transaction log on top).
     """
     spark = events.sparkSession
+    from mriya_spark.cachedir import sweep_stale
+
+    sweep_stale("stream_v2", "ckpt_upsert_")  # r6 ADVICE: age-gated GC
     ckpt = f"{_STAGE_ROOT}/ckpt_upsert_{uuid.uuid4().hex[:12]}"
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:

@@ -174,3 +174,43 @@ def test_paged_scan_uses_byte_cursors_not_full_reparse(spark, org):
     # cursors are strictly increasing: distinct non-overlapping slices
     sb = [p["start_byte"] for p in sorted(pages, key=lambda p: p["offset"])]
     assert sb == sorted(sb) and len(set(sb)) == len(sb)
+
+
+def test_stale_byte_cursor_falls_back_to_offset_paging(org):
+    """r6 ADVICE: byte cursors are computed at planning time; if the
+    org file is rewritten before an executor's read (concurrent DML),
+    seeks would land mid-line and return garbled rows. The read must
+    detect the stale fingerprint and fall back to offset paging
+    against the current file."""
+    t = MockTransport(org)
+    index = t.page_index("Account", [], 40)
+    assert index and index[1]["start_byte"] > 0
+    pg = index[1]
+    fresh = t.query_page(
+        "Account", ["c_custkey"], [], pg["offset"], 40,
+        start_byte=pg["start_byte"], file_size=pg["file_size"],
+        file_mtime_ns=pg["file_mtime_ns"],
+    )
+    # rewrite the org file: prepend one row, shifting every byte cursor
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(org, "Account.jsonl")
+    with open(p) as f:
+        lines = f.readlines()
+    new_row = _json.loads(lines[0])
+    new_row["c_custkey"] = -1
+    with open(p, "w") as f:
+        f.write(_json.dumps(new_row) + "\n")
+        f.writelines(lines)
+    stale = t.query_page(
+        "Account", ["c_custkey"], [], pg["offset"], 40,
+        start_byte=pg["start_byte"], file_size=pg["file_size"],
+        file_mtime_ns=pg["file_mtime_ns"],
+    )
+    by_offset = t.query_page("Account", ["c_custkey"], [], pg["offset"], 40)
+    assert stale == by_offset  # correct rows from the CURRENT file
+    assert stale != fresh  # the prepended row shifted the page
+    # and the stale call itself was logged as an offset read
+    stale_call = [c for c in t.calls() if c["op"] == "query_page"][-2]
+    assert "start_byte" not in stale_call

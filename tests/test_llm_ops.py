@@ -318,6 +318,38 @@ def test_release_caches_all_threads_frees_pool_worker_caches(spark):
     assert not df.is_cached
 
 
+def test_cache_registry_prunes_dead_thread_entries(spark):
+    """r6 ADVICE: the cross-thread registry must not grow unboundedly —
+    dead threads' entries are pruned once their caches are drained
+    (but retained while still pinning caches, which only the
+    all-threads drain may free)."""
+    import threading
+
+    from mriya_spark import caching
+    from mriya_spark.caching import cache_scope, release_caches, scoped_persist
+
+    release_caches(all_threads=True)  # isolate + prune earlier tests
+
+    def worker():
+        with cache_scope():
+            scoped_persist(spark.range(10).selectExpr("id AS x"))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with caching._registry_lock:
+        dead_pinned = [
+            l for r, l in caching._all_live_lists if caching._thread_dead(r) and l
+        ]
+    assert len(dead_pinned) == 4  # retained: they still pin caches
+    release_caches(all_threads=True)
+    with caching._registry_lock:
+        dead = [1 for r, _ in caching._all_live_lists if caching._thread_dead(r)]
+    assert dead == []  # drained dead entries are pruned
+
+
 def test_simhash_candidate_volume_subquadratic(spark):
     """Blocking must stay sub-quadratic on a big mostly-distinct corpus
     even with a heavy near-dup cluster (hot-bucket guard): with 4x16-bit

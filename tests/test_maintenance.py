@@ -181,3 +181,28 @@ def test_compact_keeps_old_when_rewrite_verifies_empty(spark, workdir, monkeypat
 
     recover_compact(workdir)
     assert _rows(spark, workdir) == original
+
+
+def test_sweep_stale_age_gated(tmp_path, monkeypatch):
+    """r6 ADVICE: uuid-suffixed cache artifacts are GC'd once stale,
+    while fresh siblings (possibly a concurrent run mid-write) and
+    non-matching names are left alone."""
+    import os
+    import time
+
+    from mriya_spark import cachedir
+
+    monkeypatch.setenv("MRIYA_SPARK_CACHE_DIR", str(tmp_path))
+    d = cachedir.cache_dir("stream_v2")
+    old = os.path.join(d, "upsert_target_deadbeef")
+    fresh = os.path.join(d, "upsert_target_cafebabe")
+    other = os.path.join(d, "events_fixture_4")
+    for p in (old, fresh, other):
+        os.makedirs(p)
+    stale_t = time.time() - 7200
+    os.utime(old, (stale_t, stale_t))
+    os.utime(other, (stale_t, stale_t))
+    cachedir.sweep_stale("stream_v2", "upsert_target_", "ckpt_upsert_")
+    assert not os.path.exists(old)  # stale + matching -> swept
+    assert os.path.exists(fresh)  # fresh -> kept
+    assert os.path.exists(other)  # stale but non-matching -> kept
