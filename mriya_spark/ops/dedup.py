@@ -854,3 +854,104 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def substring_self_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    min_span: int | None = None,
+) -> DataFrame:
+    """WITHIN-document repeated spans: maximal runs of >= ``min_span``
+    (default ``k``) tokens that occur at two positions of the SAME
+    document — the intra-doc half of Lee-et-al span dedup (boilerplate
+    paragraphs repeated inside one page), complementing the cross-doc
+    ``substring_span_pairs``. Same gram join + gaps-and-islands shape,
+    restricted to ``doc_id`` equality with ``pos_a < pos_b`` (each
+    repeated run reports once per position pair, earliest copy first).
+    """
+    if min_span is None:
+        min_span = k
+    g = kgram_positions(df, text_col=text_col, k=k)
+    a = g.alias("a")
+    b = g.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+        .withColumn("diag", F.col("pb") - F.col("pa"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "diag").orderBy("pa")
+    isl = m.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "diag", "island")
+        .agg(
+            F.min("pa").alias("__sa"),
+            F.min("pb").alias("__sb"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"),
+        )
+        .filter(F.col("__len") >= min_span)
+        .select(
+            "doc_id",
+            F.col("__sa").cast("long").alias("start_a"),
+            F.col("__sb").cast("long").alias("start_b"),
+            F.col("__len").cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 13,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 App. C):
+    drop every corpus document sharing ANY ``k``-token gram with any
+    reference (eval-set) document — stricter than the Jaccard form in
+    ``decontaminate`` (one leaked quotation is enough) and fully
+    deterministic, so it is oracle-checkable end to end.
+
+    Scale shape: the reference side reduces to DISTINCT gram hashes
+    (an eval set — orders of magnitude smaller than the corpus) and is
+    broadcast when its leaf scan fits the session threshold, so the
+    corpus grams never shuffle; the contaminated-id set aggregates
+    per-partition before the anti-join. ``max_gram_df`` optionally
+    drops grams hotter than the cap ON THE CORPUS SIDE (boilerplate
+    that would flag everything); ``None`` = the exact oracle form.
+    """
+    from mriya_spark.ops.relational import (
+        broadcast_threshold_bytes,
+        estimated_size_bytes,
+    )
+
+    gc = kgram_positions(corpus, text_col=text_col, k=k).select("doc_id", "gram")
+    if max_gram_df is not None:
+        cold = (
+            gc.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+        )
+        gc = gc.join(cold.select("gram"), on="gram")
+    gr = (
+        kgram_positions(reference, text_col=text_col, k=k)
+        .select("gram")
+        .distinct()
+    )
+    if estimated_size_bytes(reference) <= broadcast_threshold_bytes(reference):
+        gr = F.broadcast(gr)
+    dirty = gc.join(gr, on="gram").select("doc_id").distinct()
+    return corpus.join(dirty, on="doc_id", how="left_anti")

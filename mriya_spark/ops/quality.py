@@ -109,3 +109,35 @@ def table_diff(
         .otherwise("changed")
     )
     return j.select(F.col(key), status.alias("status"))
+
+
+def per_group_quota(
+    df,
+    *,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    seed: int = 42,
+):
+    """Deterministic per-group cap — the domain/language mixing step
+    of corpus curation (C4/FineWeb-style: no single domain may exceed
+    its quota of documents). Keeps at most ``quota`` rows per group,
+    chosen by md5 hash order of (seed, key): a pseudo-random but fully
+    reproducible sample, stable across runs and engines (the
+    ``split_train_holdout`` posture — no rand(), no sampling state).
+
+    One hash exchange on ``group_col`` + an in-partition sort for the
+    row_number; no global sort. Skew note: a pathological mega-group
+    still sorts within one task — at 100 TB cap such groups upstream
+    with an approximate count filter, or raise shuffle partitions; the
+    quota itself bounds every group's OUTPUT.
+    Appends ``grp_rank`` (long, 1-based hash rank within the group).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("grp_rank") <= quota)
+    )

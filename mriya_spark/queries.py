@@ -1727,6 +1727,115 @@ def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_self",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text || ' ' || text AS text
+      FROM documents WHERE doc_id < 100),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM corpus),
+    pos0 AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+      FROM words WHERE len(w) >= 8),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM pos0),
+    m AS (
+      SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.doc_id = b.doc_id AND a.pos < b.pos),
+    isl AS (
+      SELECT doc_id, pa, pb, pb - pa AS diag,
+             pa - row_number() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS island
+      FROM m)
+    SELECT doc_id,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pb) AS BIGINT) AS start_b,
+           CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, diag, island
+    """,
+)
+def dedup_substring_self_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated spans (the within-doc half of span
+    dedup): each doc is doubled (text || text), planting one full-length
+    self-repeat per doc; natural internal repeats surface too
+    (``ops.dedup.substring_self_spans``)."""
+    from mriya_spark.ops.dedup import substring_self_spans
+
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    doubled = docs.select(
+        "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+    )
+    return substring_self_spans(doubled, k=8)
+
+
+@register(
+    "pipeline_decontaminate_ngram",
+    r"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    ref AS (
+      SELECT doc_id, ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    wc AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
+    wr AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM ref),
+    gc AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM wc WHERE len(w) >= 8)),
+    gr AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT w, unnest(range(1, len(w) - 6)) AS i
+            FROM wr WHERE len(w) >= 8)),
+    dirty AS (SELECT DISTINCT doc_id FROM gc JOIN gr USING (gram))
+    SELECT c.doc_id, c.text FROM corpus c
+    LEFT JOIN dirty d USING (doc_id) WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style decontamination (Brown et al. 2020 App. C): drop
+    corpus docs sharing ANY 8-token gram with the (perturbed-copy)
+    reference set — the strictest leak scrub, fully deterministic and
+    hash-checked (``ops.dedup.decontaminate_ngram``)."""
+    from mriya_spark.ops.dedup import decontaminate_ngram
+
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    return decontaminate_ngram(corpus, ref, k=8)
+
+
+@register(
+    "sample_group_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS grp_rank
+      FROM documents)
+    SELECT doc_id, lang, CAST(grp_rank AS BIGINT) AS grp_rank
+    FROM ranked WHERE grp_rank <= 30
+    """,
+)
+def sample_group_quota_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sampling (the domain-mixing
+    cap of corpus curation): at most 30 docs per lang, chosen by md5
+    hash order — reproducible across runs and engines, one hash
+    exchange, no global sort (``ops.quality.per_group_quota``)."""
+    from mriya_spark.ops.quality import per_group_quota
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "lang")
+    return per_group_quota(
+        docs, group_col="lang", key_col="doc_id", quota=30, seed=42
+    )
+
+
+@register(
     "pipeline_decontaminate",
     r"""
     WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -733,3 +733,72 @@ def test_pagerank_invariants(spark):
     # empty edge set: no vertices, no crash
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty, iters=2).count() == 0
+
+
+def test_substring_self_spans_planted(spark):
+    """A doc that repeats a 10-token block internally reports one
+    maximal self-span with exact offsets; a repetition-free doc
+    reports nothing."""
+    block = " ".join(f"r{i}" for i in range(10))
+    docs = [
+        (1, block + " mid0 mid1 " + block),
+        (2, " ".join(f"q{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = dedup.substring_self_spans(df, k=8).collect()
+    assert [(r.doc_id, r.start_a, r.start_b, r.span_tokens)
+            for r in rows] == [(1, 0, 12, 10)]
+
+
+def test_decontaminate_ngram_planted_leak(spark):
+    """A corpus doc quoting >= k consecutive reference tokens is
+    dropped; docs with only shorter overlaps survive. The hot-gram cap
+    keeps the planted leak (its grams are rare) while ignoring
+    boilerplate grams shared corpus-wide."""
+    eval_q = " ".join(f"e{i}" for i in range(12))
+    boiler = " ".join(f"b{i}" for i in range(8))
+    corpus = [
+        (1, "clean words only here today " + " ".join(f"c{i}" for i in range(8))),
+        (2, "prefix stuff " + eval_q + " suffix"),          # verbatim leak
+        (3, "short overlap " + " ".join(f"e{i}" for i in range(6))),  # < k
+    ] + [(10 + i, boiler + f" filler{i} " + " ".join(f"u{i}x{j}" for j in range(7)))
+         for i in range(20)]
+    ref = [(100, eval_q + " plus tail"), (101, boiler + " in eval too")]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rdf = spark.createDataFrame(ref, ["doc_id", "text"])
+    clean = {r.doc_id for r in dedup.decontaminate_ngram(cdf, rdf, k=8).collect()}
+    assert 2 not in clean          # verbatim 12-token quote -> dropped
+    assert {1, 3} <= clean         # clean + sub-k overlap survive
+    assert all(10 + i not in clean for i in range(20))  # boilerplate leaks too
+    # capped: the boilerplate gram (df=20 > 5) stops flagging, the
+    # rare verbatim quote still does
+    capped = {
+        r.doc_id
+        for r in dedup.decontaminate_ngram(cdf, rdf, k=8, max_gram_df=5).collect()
+    }
+    assert 2 not in capped
+    assert all(10 + i in capped for i in range(20))
+
+
+def test_per_group_quota_deterministic_and_bounded(spark):
+    from mriya_spark.ops.quality import per_group_quota
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(200)], ["doc_id", "grp"]
+    )
+    a = per_group_quota(df, group_col="grp", key_col="doc_id", quota=10)
+    rows = [(r.doc_id, r.grp, r.grp_rank) for r in a.collect()]
+    by_grp = {}
+    for d, g, rk in rows:
+        by_grp.setdefault(g, []).append(rk)
+    assert set(by_grp) == {"g0", "g1", "g2"}
+    for rks in by_grp.values():
+        assert sorted(rks) == list(range(1, 11))  # dense, quota-bounded
+    b = per_group_quota(df, group_col="grp", key_col="doc_id", quota=10)
+    assert sorted(rows) == sorted(
+        (r.doc_id, r.grp, r.grp_rank) for r in b.collect()
+    )  # reproducible
+    c = per_group_quota(df, group_col="grp", key_col="doc_id", quota=10, seed=7)
+    assert sorted(r.doc_id for r in a.collect()) != sorted(
+        r.doc_id for r in c.collect()
+    )  # seed changes the sample
