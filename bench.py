@@ -104,7 +104,12 @@ def main() -> None:
     # pipeline_corpus_curation_lsh swung 3.4->6.2->2.6s across rounds
     # with no code change), so round-over-round comparisons need a
     # robust statistic. All raw runs are reported so nothing is hidden.
-    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "3"))
+    # 5 warm runs (was 3, r7): the r7 host showed single-run spikes of
+    # 3-8x (2.4s -> 18s on pipeline_corpus_curation_lsh with no code
+    # change, confirmed identical on the r6 tree) — a median of 3 still
+    # reports a spike when 2 of 3 runs land on a noisy window; a median
+    # of 5 needs 3 bad runs to lie.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "5"))
     steady: dict[str, float] = {}
     cold: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -157,7 +162,7 @@ def main() -> None:
                 # (across processes too, via _centroids.json), so cold
                 # here measures plan/codegen cost, not index build.
                 "notes": (
-                    "r6: queries{} is the median of 3 warm runs (raw "
+                    "r7: queries{} is the median of 5 warm runs (raw "
                     "timings in runs{}) — single-shot warm numbers carried "
                     "±2s session noise. similarity_ann_ivf probes the "
                     "materialized IVF index (train-once, partition-pruned); "

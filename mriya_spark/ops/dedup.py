@@ -955,3 +955,170 @@ def decontaminate_ngram(
         gr = F.broadcast(gr)
     dirty = gc.join(gr, on="gram").select("doc_id").distinct()
     return corpus.join(dirty, on="doc_id", how="left_anti")
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs in the ENGINE-PORTABLE form: the
+    per-shingle permuted hash is ``md5('<i>:' || shingle_string)``
+    truncated to 60 bits, so any engine with md5 computes the
+    identical signatures, band buckets, candidate set, and final
+    verified pairs — the oracle-checkable twin of
+    ``minhash_lsh_pairs`` (which keeps the faster xxhash64 family for
+    production; same pipeline shape, same banding, same exact-Jaccard
+    verify, different hash family only).
+
+    The DuckDB oracle brute-forces all pairs and keeps those agreeing
+    on >= 1 band; since banding is a deterministic function of the
+    signature, the blocked Spark result equals it EXACTLY — turning
+    "LSH is rows-only because recall < 1" into a hash-green check of
+    the LSH mechanics themselves (recall is still < 1 vs ground truth;
+    what's checked is that the banded pipeline computes precisely the
+    pairs its math says it computes).
+    """
+    rows_per_band = num_perm // bands
+    sig_exprs = ", ".join(
+        "array_min(transform(__sh, s -> "
+        f"cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint)))"
+        for i in range(num_perm)
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', concat_ws('_', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"cast(element_at(__sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    with cache_scope():
+        sh = scoped_persist(
+            df.select("doc_id", word_shingles(text_col, n).alias("__sh"))
+        )
+        banded = scoped_persist(
+            sh.withColumn("__sig", F.expr(f"array({sig_exprs})"))
+            .select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket")
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verified = (
+            cand.join(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a")),
+                on="doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b")),
+                on="doc_b",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            verified.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+
+def decontaminate_minhash_portable(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Bipartite (corpus-vs-reference) MinHash-LSH decontamination in
+    the engine-portable md5 hash family — the oracle-checkable twin of
+    ``decontaminate(method='minhash_lsh')``, same determinism argument
+    as ``minhash_lsh_pairs_portable``. Returns the clean corpus rows.
+    """
+    rows_per_band = num_perm // bands
+    sig_exprs = ", ".join(
+        "array_min(transform(__sh, s -> "
+        f"cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint)))"
+        for i in range(num_perm)
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', concat_ws('_', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"cast(element_at(__sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+
+    def _banded_portable(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__sig", F.expr(f"array({sig_exprs})"))
+            .select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket")
+        )
+
+    with cache_scope():
+        sh_c = scoped_persist(
+            corpus.select("doc_id", word_shingles(text_col, n).alias("__sh"))
+        )
+        sh_r = scoped_persist(
+            reference.select("doc_id", word_shingles(text_col, n).alias("__sh"))
+        )
+        cand = (
+            _banded_portable(sh_c).alias("a")
+            .join(
+                F.broadcast(_banded_portable(sh_r)).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verified = (
+            cand.join(
+                sh_c.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a")),
+                on="doc_a",
+            )
+            .join(
+                F.broadcast(
+                    sh_r.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
+                ),
+                on="doc_b",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        dirty = (
+            verified.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+        )
+        return corpus.join(dirty, on="doc_id", how="left_anti")

@@ -1633,6 +1633,68 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable MinHash family: permuted shingle hash i is
+# md5('<i>:' || shingle)[:15 hex] — identical in Spark (conv) and
+# DuckDB ('0x'||...). The oracle brute-forces all pairs and keeps
+# those agreeing on >= 1 of the 16 bands, then applies the same exact
+# Jaccard filter — banding is deterministic, so blocked Spark output
+# must equal it exactly.
+_MINHASH_PORTABLE_PERMS = ",\n             ".join(
+    f"list_min(list_transform(shingles, s -> "
+    f"('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT))"
+    for i in range(64)
+)
+_MINHASH_BAND_MATCH = " OR ".join(
+    "(" + " AND ".join(
+        f"a.sig[{b * 4 + r + 1}] = b.sig[{b * 4 + r + 1}]" for r in range(4)
+    ) + ")"
+    for b in range(16)
+)
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM words),
+    sig AS (
+      SELECT doc_id, shingles,
+             [{_MINHASH_PORTABLE_PERMS}] AS sig
+      FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS la, len(b.shingles) AS lb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {_MINHASH_BAND_MATCH})
+    SELECT doc_a, doc_b,
+           round(inter::DOUBLE / (la + lb - inter), 6) AS jaccard
+    FROM cand
+    WHERE round(inter::DOUBLE / (la + lb - inter), 6) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16x4 banded LSH in the engine-portable md5 hash
+    family: signatures, band buckets, candidates, and the exact-Jaccard
+    verify all reproduce bit-for-bit in DuckDB, so the banded pipeline
+    is hash-checked end to end (``ops.dedup.minhash_lsh_pairs_portable``;
+    the xxhash64 production twin ``dedup_minhash_lsh`` stays rows-only
+    by the nature of its hash family, with recall pinned in tests)."""
+    from mriya_spark.ops.dedup import minhash_lsh_pairs_portable
+
+    return minhash_lsh_pairs_portable(
+        _neardup_corpus(spark, sf_dir), text_col="text", n=3, threshold=0.5
+    )
+
+
 # Engine-portable SimHash signature: 60 bits, per-shingle hash =
 # first 15 hex chars of md5(gram string) — identical in Spark
 # (conv(substr(md5(g),1,15),16,10)) and DuckDB ('0x'||...)::BIGINT.
@@ -1885,6 +1947,60 @@ def pipeline_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
     )
     return decontaminate(corpus, ref, threshold=0.5, method="exact")
+
+
+@register(
+    "pipeline_decontaminate_lsh_portable",
+    rf"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    ref AS (
+      SELECT doc_id, ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    wc AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
+    wr AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM ref),
+    shc AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM wc),
+    shr AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM wr),
+    sigc AS (SELECT doc_id, shingles, [{_MINHASH_PORTABLE_PERMS}] AS sig FROM shc),
+    sigr AS (SELECT doc_id, shingles, [{_MINHASH_PORTABLE_PERMS}] AS sig FROM shr),
+    cand AS (
+      SELECT a.doc_id AS doc_a,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS la, len(b.shingles) AS lb
+      FROM sigc a JOIN sigr b ON ({_MINHASH_BAND_MATCH})),
+    dirty AS (
+      SELECT DISTINCT doc_a AS doc_id FROM cand
+      WHERE round(inter::DOUBLE / (la + lb - inter), 6) >= 0.5)
+    SELECT c.doc_id, c.text FROM corpus c
+    LEFT JOIN dirty d USING (doc_id) WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_decontaminate_lsh_portable_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartite MinHash-LSH decontamination, engine-portable md5 hash
+    family: the banded candidate join, Jaccard verify, and anti-join
+    reproduce exactly in DuckDB (brute-force band-match oracle) —
+    hash-green proof of the scale path's mechanics
+    (``ops.dedup.decontaminate_minhash_portable``)."""
+    from mriya_spark.ops.dedup import decontaminate_minhash_portable
+
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    return decontaminate_minhash_portable(corpus, ref, threshold=0.5)
 
 
 @register("pipeline_decontaminate_lsh", None)  # LSH recall < 1 -> rows-only

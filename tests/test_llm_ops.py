@@ -802,3 +802,31 @@ def test_per_group_quota_deterministic_and_bounded(spark):
     assert sorted(r.doc_id for r in a.collect()) != sorted(
         r.doc_id for r in c.collect()
     )  # seed changes the sample
+
+
+def test_minhash_portable_recall_and_subset(catalog, spark):
+    """The portable (md5) LSH twin must behave like LSH: its verified
+    pairs are a subset of the exact-Jaccard pair set with high recall
+    on planted near-dups — and it must be deterministic run to run."""
+    docs = catalog.table("documents").select("doc_id", "text").filter("doc_id < 150")
+    perturbed = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    got1 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs_portable(corpus, threshold=0.5).collect()
+    }
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs_portable(corpus, threshold=0.5).collect()
+    }
+    assert got1 == got2  # deterministic
+    assert got1 <= exact  # verify step keeps only true >= threshold pairs
+    planted = {(d, d + 100000) for d in range(50)} & exact
+    assert len(got1 & planted) >= 0.9 * len(planted)
