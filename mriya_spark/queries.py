@@ -4760,15 +4760,55 @@ def search_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
-@register("graph_pagerank", None)  # iterative float fixed-point -> rows-only
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled power-iteration oracle: PageRank with a FIXED round
+    count is deterministic float math, so DuckDB can replay it as a
+    chain of per-iteration CTEs (dangling-mass scalar + contribution
+    aggregation + rank update — the exact recurrence `ops/graph.py`
+    runs). Hash-safety: ranks round to 6 decimals on both sides; the
+    engines' summation orders differ only at ~1e-16 relative error,
+    ~10 orders of magnitude below the rounding quantum."""
+    ctes = ["""
+    edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 1000),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+    deg AS (SELECT src AS id, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    d{i} AS (
+      SELECT coalesce(sum(r.rank), 0) AS m FROM r{i} r
+      WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.id = r.id)),
+    c{i} AS (
+      SELECT e.dst AS id, sum(r.rank / deg.deg) AS in_mass
+      FROM edges e JOIN r{i} r ON e.src = r.id JOIN deg ON deg.id = e.src
+      GROUP BY e.dst),
+    r{i + 1} AS (
+      SELECT v.id,
+             0.15 / (SELECT n FROM nv)
+             + 0.85 * (coalesce(c.in_mass, 0) + (SELECT m FROM d{i}) / (SELECT n FROM nv))
+               AS rank
+      FROM verts v LEFT JOIN c{i} c USING (id))""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT id, round(rank, 6) AS rank FROM r{iters} ORDER BY id"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle_sql(iters=5))
 def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (edges =
-    distinct (o_custkey, l_suppkey) pairs through orders x lineitem).
-    Iterative fixed-point over floats — genuinely non-SQL-expressible,
-    registered rows-only; invariants (mass conservation, hub
-    dominance, determinism of shape) in tests/test_llm_ops.py.
-    Plan: per iteration one edge-partitioned join + one groupBy(dst)
-    shuffle, lineage cut by localCheckpoint (`ops/graph.py`)."""
+    distinct (o_custkey, l_suppkey) pairs through orders x lineitem),
+    5 synchronous power iterations. Hash-checked since r7: a FIXED
+    iteration count makes the recurrence deterministic, so the oracle
+    unrolls it as chained CTEs (`_pagerank_oracle_sql`); invariants
+    (mass conservation, hub dominance) stay pinned in
+    tests/test_llm_ops.py. Plan: per iteration one edge-partitioned
+    join + one groupBy(dst) shuffle, lineage cut by localCheckpoint
+    (`ops/graph.py`)."""
     from mriya_spark.ops.graph import pagerank
 
     cat = _cat(spark, sf_dir)
