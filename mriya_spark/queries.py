@@ -3608,6 +3608,13 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
         shingles = surv_sh.select("doc_id", "shingles")
         if near_dup == "lsh":
             pairs = dedup.minhash_lsh_pairs_from_shingles(shingles, threshold=threshold)
+        elif near_dup == "lsh_portable":
+            # oracle twin: md5 hash family, shingle strings (the
+            # engine-portable form; re-shingles from text, which only
+            # the hash-check variant pays for)
+            pairs = dedup.minhash_lsh_pairs_portable(
+                survivors.select("doc_id", "text"), n=3, threshold=threshold
+            )
         else:
             pairs = dedup.ngram_jaccard_pairs_from_shingles(shingles, threshold=threshold)
         return (
@@ -3618,6 +3625,79 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
             )
             .select("doc_id", "lang_pred", "n_tokens", "quality_score")
         )
+
+
+@register(
+    "pipeline_corpus_curation_lsh_portable",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM corpus),
+    kept_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    ex AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept_q
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+    survivors AS (SELECT kq.* FROM kept_q kq JOIN ex USING (doc_id)),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM survivors),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM words),
+    sig AS (
+      SELECT doc_id, shingles,
+             [{_MINHASH_PORTABLE_PERMS}] AS sig
+      FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS la, len(b.shingles) AS lb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {_MINHASH_BAND_MATCH}),
+    dropped AS (
+      SELECT DISTINCT doc_b AS doc_id FROM cand
+      WHERE round(inter::DOUBLE / (la + lb - inter), 6) >= 0.6),
+    langd AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))     AS n_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
+      FROM survivors)
+    SELECT s.doc_id,
+           CASE WHEN l.n_en + l.n_de + l.n_es + l.n_fr = 0 THEN 'und'
+                WHEN l.n_de >= l.n_en AND l.n_de >= l.n_es AND l.n_de >= l.n_fr THEN 'de'
+                WHEN l.n_en >= l.n_es AND l.n_en >= l.n_fr THEN 'en'
+                WHEN l.n_es >= l.n_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           s.n_tokens, s.quality_score
+    FROM survivors s
+    JOIN langd l USING (doc_id)
+    LEFT JOIN dropped d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_corpus_curation_lsh_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DAG with its LSH near-dup stage in the engine-
+    portable md5 MinHash family — the whole headline pipeline
+    (quality -> exact dedup -> banded-LSH near-dup -> lang) is
+    hash-checked against one DuckDB twin whose band-match candidate
+    set reproduces Spark\'s exactly (`_curate(near_dup=\'lsh_portable\')`;
+    the xxhash production twin `pipeline_corpus_curation_lsh` stays
+    rows-only by hash family)."""
+    return _curate(
+        _neardup_corpus(spark, sf_dir), near_dup="lsh_portable", threshold=0.6
+    )
 
 
 @register("pipeline_corpus_curation_lsh", None)  # LSH recall < 1 -> rows-only
