@@ -2052,13 +2052,51 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(corpus, threshold=0.99)
 
 
-@register("dedup_embedding_cosine_lsh", None)  # LSH recall < 1 -> rows-only
+def _emb_lsh_oracle_sql() -> str:
+    """Oracle for the sign-bit-LSH embedding dedup: the 4x8 seeded
+    hyperplanes are DETERMINISTIC floats, inlined as SQL literals, so
+    DuckDB recomputes the identical sign-bit buckets (a sign flip
+    would need |dot| ~ 1e-16 — ten orders below any real projection),
+    brute-forces pairs agreeing on >= 1 table, and applies the same
+    rounded exact-cosine filter. The blocked Spark result equals it
+    exactly."""
+    from mriya_spark.ops.vector import hyperplanes
+
+    tables = [hyperplanes(64, 8, 42 + 7919 * t) for t in range(4)]
+    bucket_cols = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in plane)
+            + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        bucket_cols.append(f"{bits} AS b{t}")
+    band_match = " OR ".join(f"a.b{t} = c.b{t}" for t in range(4))
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+      FROM embeddings WHERE vec_id < 20),
+    bkt AS (SELECT vec_id, v, {", ".join(bucket_cols)} FROM corpus)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 6) AS cosine_sim
+    FROM bkt a JOIN bkt c ON a.vec_id < c.vec_id AND ({band_match})
+    WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.99
+    """
+
+
+@register("dedup_embedding_cosine_lsh", _emb_lsh_oracle_sql())
 def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for ``dedup_embedding_cosine``: multi-table
     sign-bit LSH blocking + exact cosine verify within buckets (same
-    planted-copies corpus; recall vs the exact query asserted in
-    tests — identical-direction copies collide in every table, so
-    planted-pair recall is 1.0)."""
+    planted-copies corpus). Hash-checked since r7: the seeded
+    hyperplanes inline into the oracle as literals, so the bucketed
+    candidate set reproduces exactly in DuckDB
+    (``_emb_lsh_oracle_sql``); planted-pair recall additionally pinned
+    in tests."""
     from mriya_spark.ops.vector import cosine_near_dup_pairs_blocked
 
     emb = _cat(spark, sf_dir).table("embeddings")
@@ -2133,10 +2171,47 @@ def embedding_group_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim_idx", F.col("dim_idx").cast("long"))
 
 
-@register("similarity_ann_lsh", None)  # approximate recall -> rows-only
+def _ann_lsh_oracle_sql() -> str:
+    """Oracle for multi-probe LSH top-k: a query probing every bucket
+    within hamming <= 1 of its own is equivalent to joining on
+    ``bit_count(xor(bucket_q, bucket_c)) <= 1``; the seeded planes
+    inline as literals (same argument as ``_emb_lsh_oracle_sql``),
+    so candidates, rounded cosines, and the tie-broken ranking all
+    reproduce exactly."""
+    from mriya_spark.ops.vector import hyperplanes
+
+    planes = hyperplanes(64, 4, 42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bits} AS bkt
+      FROM embeddings)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        c.vec_id) AS rank
+      FROM b q JOIN b c
+        ON c.vec_id != q.vec_id
+       AND bit_count(xor(q.bkt::BIGINT, c.bkt::BIGINT)) <= 1
+      WHERE q.vec_id < 5)
+    WHERE rank <= 10
+    """
+
+
+@register("similarity_ann_lsh", _ann_lsh_oracle_sql())
 def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-10 (6 planes -> ~64x candidate
-    reduction). Recall vs brute force asserted in tests."""
+    """Random-hyperplane multi-probe LSH top-10 (4 planes, probe
+    hamming <= 1 -> 5/16 of the corpus per query). Hash-checked since
+    r7 via inlined-plane oracle (``_ann_lsh_oracle_sql``); recall vs
+    brute force additionally asserted in tests."""
     from mriya_spark.ops.vector import lsh_topk
 
     emb = _cat(spark, sf_dir).table("embeddings")
@@ -3777,18 +3852,67 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spec.build(_neardup_corpus(spark, sf_dir))
 
 
-@register("pipeline_rag_ingest", None)  # hash-embeddings -> rows-only
+def _rag_ingest_oracle_sql() -> str:
+    """Oracle for the full RAG-ingest DAG: chunking (the text_chunking
+    recurrence at 40/8), md5-derived pseudo-embeddings (engine-
+    portable, see pipeline_rag_ingest docstring), inlined-plane LSH
+    buckets, hamming<=1 probe join, rounded-cosine ranking."""
+    from mriya_spark.ops.vector import hyperplanes
+
+    emb_terms = ", ".join(
+        f"('0x' || substr(md5('{d}:' || chunk_text), 1, 15))::BIGINT"
+        f" % 1000 / 500.0 - 1.0"
+        for d in range(16)
+    )
+    planes = hyperplanes(16, 4, 42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return rf"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM documents WHERE doc_id < 200),
+    st AS (
+      SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 32)) AS s
+      FROM words),
+    chunks AS (
+      SELECT doc_id * 10000 + (s // 32) AS vec_id,
+             array_to_string(list_slice(w, s + 1, s + 40), ' ') AS chunk_text
+      FROM st WHERE s < len(w)),
+    emb AS (SELECT vec_id, [{emb_terms}] AS v FROM chunks),
+    bkt AS (SELECT vec_id, v, {bits} AS bkt FROM emb),
+    qv AS (SELECT * FROM bkt ORDER BY vec_id LIMIT 5)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        c.vec_id) AS rank
+      FROM qv q JOIN bkt c
+        ON c.vec_id != q.vec_id
+       AND bit_count(xor(q.bkt::BIGINT, c.bkt::BIGINT)) <= 1)
+    WHERE rank <= 5
+    """
+
+
+@register("pipeline_rag_ingest", _rag_ingest_oracle_sql())
 def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-ingest composition, end to end in one lazy DAG: documents
     -> overlapping token-window chunks (``text.chunk_tokens``) ->
-    deterministic pseudo-embeddings (seeded xxhash features per
+    deterministic pseudo-embeddings (md5-derived features per
     dimension — the stand-in for a model-server pandas_udf, same
-    schema and partitioning) -> hyperplane-LSH top-k of the first
+    schema and partitioning; md5 instead of xxhash64 since r7 so the
+    oracle reproduces them) -> hyperplane-LSH top-k of the first
     5 chunks against the chunk corpus (``vector.lsh_topk``). Every
     stage is scan-local except the ANN bucket join; at scale the
     embed stage swaps to an Arrow-batched model call behind the same
-    column contract. Deterministic but hash-defined -> rows-only;
-    stage invariants are unit-tested individually."""
+    column contract. Hash-checked end to end since r7
+    (``_rag_ingest_oracle_sql``)."""
     from mriya_spark.caching import cache_scope, scoped_persist
     from mriya_spark.ops.text import chunk_tokens
     from mriya_spark.ops.vector import lsh_topk
@@ -3801,7 +3925,8 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     embed = F.expr(
         f"transform(sequence(0, {dim - 1}), "
-        f"d -> pmod(xxhash64(chunk_text, d), 1000) / 500.0 - 1.0)"
+        f"d -> cast(conv(substr(md5(concat(cast(d as string), ':', chunk_text)), "
+        f"1, 15), 16, 10) as bigint) % 1000 / 500.0 - 1.0)"
     )
     with cache_scope():
         # the chunk+embed pipeline feeds the ANN probe, the query
