@@ -125,6 +125,8 @@ def main() -> None:
         "embedding_quantize_int8", "join_salted", "join_asof",
         "search_bm25", "quality_expectations", "table_diff",
         "search_hybrid_rrf", "zorder_curve", "schema_evolution",
+        "dedup_substring", "shard_shuffle", "sample_group_quota",
+        "pipeline_decontaminate_ngram", "graph_pagerank",
     ]
 
     spark = get_spark(app_name="plan_audit")
