@@ -592,9 +592,12 @@ def substring_span_pairs(
     reports once with ``span_tokens = m``, not as m-k+1 gram matches.
 
     ``max_gram_df`` is the hot-gram guard (same posture as
-    ``ngram_jaccard_pairs_from_shingles``): a gram appearing in d
-    documents contributes ~d² join rows, so boilerplate k-grams turn
-    the join quadratic at corpus scale. Capped grams are dropped from
+    ``ngram_jaccard_pairs_from_shingles``): a gram with d OCCURRENCES
+    across the corpus contributes ~d² join rows (occurrence count, not
+    document frequency — unlike shingles, k-gram positions are not
+    deduped per doc, and join cost follows occurrences), so
+    boilerplate k-grams turn the join quadratic at corpus scale.
+    Capped grams are dropped from
     the index, so a span whose grams are ALL hot disappears and a span
     with hot interior grams reports as shorter fragments (each cold
     run of >= min_span tokens still reports with exact offsets) —
@@ -1056,7 +1059,21 @@ def decontaminate_minhash_portable(
     the engine-portable md5 hash family — the oracle-checkable twin of
     ``decontaminate(method='minhash_lsh')``, same determinism argument
     as ``minhash_lsh_pairs_portable``. Returns the clean corpus rows.
+    The reference side broadcasts only when its leaf scan fits the
+    session threshold (same gate as ``decontaminate``).
     """
+    from mriya_spark.ops.relational import (
+        broadcast_threshold_bytes,
+        estimated_size_bytes,
+    )
+
+    ref_small = estimated_size_bytes(reference) <= broadcast_threshold_bytes(
+        reference
+    )
+
+    def _maybe_bc(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if ref_small else d
+
     rows_per_band = num_perm // bands
     sig_exprs = ", ".join(
         "array_min(transform(__sh, s -> "
@@ -1091,7 +1108,7 @@ def decontaminate_minhash_portable(
         cand = (
             _banded_portable(sh_c).alias("a")
             .join(
-                F.broadcast(_banded_portable(sh_r)).alias("b"),
+                _maybe_bc(_banded_portable(sh_r)).alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bucket") == F.col("b.bucket")),
             )
@@ -1107,7 +1124,7 @@ def decontaminate_minhash_portable(
                 on="doc_a",
             )
             .join(
-                F.broadcast(
+                _maybe_bc(
                     sh_r.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
                 ),
                 on="doc_b",
