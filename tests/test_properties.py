@@ -289,3 +289,74 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
             for r in want_df.itertuples()
         }
         assert got == want, direction
+
+
+@given(st.lists(WORDS, min_size=2, max_size=6), st.integers(2, 4))
+@_SETTINGS
+def test_substring_spans_match_model(spark, word_lists, k):
+    """Cross-doc duplicate spans from the blocked k-gram join match a
+    brute-force Python model (every maximal per-diagonal run of
+    matching k-grams, with exact offsets and token length)."""
+    corpus = [" ".join(w) for w in word_lists]
+    df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in dedup.substring_span_pairs(df, k=k).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        return {i: tuple(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    want = set()
+    gs = [grams(t) for t in corpus]
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            matches = {
+                (pa, pb)
+                for pa, ga in gs[a].items()
+                for pb, gb in gs[b].items()
+                if ga == gb
+            }
+            # group per diagonal into maximal contiguous runs
+            by_diag: dict[int, list[int]] = {}
+            for pa, pb in matches:
+                by_diag.setdefault(pa - pb, []).append(pa)
+            for diag, pas in by_diag.items():
+                pas = sorted(pas)
+                run = [pas[0]]
+                for p in pas[1:]:
+                    if p == run[-1] + 1:
+                        run.append(p)
+                    else:
+                        want.add((a, b, run[0], run[0] - diag,
+                                  run[-1] - run[0] + k))
+                        run = [p]
+                want.add((a, b, run[0], run[0] - diag, run[-1] - run[0] + k))
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+       st.integers(2, 6))
+@_SETTINGS
+def test_shard_shuffle_is_permutation_with_dense_pos(spark, ids, n_shards):
+    """shard_shuffle emits every input row exactly once; positions are
+    dense 0..len-1 within each shard; assignment is a pure function of
+    (seed, key) — a disjoint second batch never changes the shard of
+    keys from the first."""
+    from mriya_spark.ops.layout import shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    rows = shard_shuffle(df, key_col="doc_id", num_shards=n_shards, seed=3).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    shard_of = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+        shard_of[r.doc_id] = r.shard
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # growth stability: adding disjoint keys never reassigns shards
+    df2 = spark.createDataFrame([(i,) for i in ids] + [(99_999_991,)], ["doc_id"])
+    rows2 = shard_shuffle(df2, key_col="doc_id", num_shards=n_shards, seed=3).collect()
+    assert all(shard_of[r.doc_id] == r.shard for r in rows2 if r.doc_id in shard_of)
