@@ -17,11 +17,13 @@ Spec form::
         {"type": "quality", "min_score": 0.5},
         {"type": "gopher"},
         {"type": "lang", "keep": ["en", "de"]},
-        {"type": "token_range", "min": 5, "max": 100000}
+        {"type": "token_range", "min": 5, "max": 100000},
+        {"type": "group_quota", "group_col": "lang_pred", "quota": 1000}
       ],
       "dedup": [
         {"type": "exact"},
-        {"type": "minhash_lsh", "threshold": 0.6}   # or "ngram_jaccard"
+        {"type": "minhash_lsh", "threshold": 0.6},  # or "ngram_jaccard"
+        {"type": "substring", "k": 8, "min_span": 16}  # span-level
       ],
       "output": ["doc_id", "lang_pred", "n_tokens", "quality_score"]
     }
@@ -39,8 +41,8 @@ from pyspark.sql import functions as F
 
 from mriya_spark.caching import cache_scope, scoped_persist
 
-_FILTER_TYPES = {"quality", "gopher", "lang", "token_range"}
-_DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard"}
+_FILTER_TYPES = {"quality", "gopher", "lang", "token_range", "group_quota"}
+_DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard", "substring"}
 
 #: columns the scoring projection can emit
 _DERIVED = {"lang_pred", "n_tokens", "quality_score"}
@@ -62,6 +64,12 @@ class CurationSpec:
                 )
             if f["type"] == "lang" and not f.get("keep"):
                 raise ValueError("lang filter needs a non-empty 'keep' list")
+            if f["type"] == "group_quota" and not (
+                f.get("group_col") and int(f.get("quota", 0)) > 0
+            ):
+                raise ValueError(
+                    "group_quota filter needs 'group_col' and a positive 'quota'"
+                )
         for d in dedup:
             if d.get("type") not in _DEDUP_TYPES:
                 raise ValueError(
@@ -119,6 +127,16 @@ class CurationSpec:
             return df.join(keep, on="doc_id", how="left_semi")
         if kind == "lang":
             return df.filter(F.col("lang_pred").isin(list(f["keep"])))
+        if kind == "group_quota":
+            from mriya_spark.ops.quality import per_group_quota
+
+            return per_group_quota(
+                df,
+                group_col=f["group_col"],
+                key_col=f.get("key_col", "doc_id"),
+                quota=int(f["quota"]),
+                seed=int(f.get("seed", 42)),
+            ).drop("grp_rank")
         # token_range
         lo, hi = int(f.get("min", 1)), int(f.get("max", 1 << 31))
         return df.filter(F.col("n_tokens").between(lo, hi))
@@ -135,6 +153,19 @@ class CurationSpec:
                 .filter(F.col("doc_id") == F.col("__keep"))
                 .drop("__keep")
             )
+        if kind == "substring":
+            # span-level: drop the larger doc of any pair sharing a
+            # >= min_span-token run (doc-level removal policy; span
+            # surgery is a text transform upstream of tokenization)
+            pairs = D.substring_span_pairs(
+                df.select("doc_id", text_col),
+                text_col=text_col,
+                k=int(d.get("k", 8)),
+                min_span=d.get("min_span"),
+                max_gram_df=d.get("max_gram_df"),
+            )
+            drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            return df.join(drop, on="doc_id", how="left_anti")
         # near-dup stages: shingle once (scope-cached), drop the larger
         # id of every pair over the threshold
         thr = float(d.get("threshold", 0.6))

@@ -61,3 +61,43 @@ def test_recipe_lsh_subset_of_exact(catalog, spark):
     # LSH may miss candidates (recall < 1) so it can only keep MORE
     assert exact_kept <= lsh_kept
     assert len(exact_kept) > 0
+
+
+def test_recipe_substring_and_group_quota_stages(spark):
+    """r7 DSL additions: span-level dedup drops the larger doc of a
+    >= min_span shared run; group_quota caps docs per group
+    deterministically."""
+    from mriya_spark.curation import CurationSpec
+
+    span = " ".join(f"s{i}" for i in range(12))
+    filler = lambda tag: " ".join(f"{tag}{i}" for i in range(12))
+    docs = [(1, "en", filler("a") + " " + span),
+            (2, "en", span + " " + filler("b")),
+            (3, "en", filler("c")),
+            (4, "de", filler("d"))]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    spec = CurationSpec.from_obj({
+        "filters": [],
+        "dedup": [{"type": "substring", "k": 8, "min_span": 12}],
+        "output": ["doc_id"],
+    })
+    kept = {r.doc_id for r in spec.build(df).collect()}
+    assert kept == {1, 3, 4}  # doc 2 (larger id of the span pair) dropped
+    spec2 = CurationSpec.from_obj({
+        "filters": [{"type": "group_quota", "group_col": "lang", "quota": 1}],
+        "dedup": [],
+        "output": ["doc_id", "lang"],
+    })
+    rows = spec2.build(df).collect()
+    langs = [r.lang for r in rows]
+    assert sorted(langs) == ["de", "en"]  # one per group, deterministic
+    again = spec2.build(df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="group_quota"):
+        CurationSpec.from_obj({
+            "filters": [{"type": "group_quota", "quota": 0}],
+            "dedup": [], "output": ["doc_id"],
+        })
