@@ -3852,6 +3852,96 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spec.build(_neardup_corpus(spark, sf_dir))
 
 
+@register(
+    "curation_recipe_spans",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM corpus),
+    kept_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    langd AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))     AS n_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
+      FROM kept_q),
+    langf AS (
+      SELECT kq.*,
+             CASE WHEN l.n_en + l.n_de + l.n_es + l.n_fr = 0 THEN 'und'
+                  WHEN l.n_de >= l.n_en AND l.n_de >= l.n_es AND l.n_de >= l.n_fr THEN 'de'
+                  WHEN l.n_en >= l.n_es AND l.n_en >= l.n_fr THEN 'en'
+                  WHEN l.n_es >= l.n_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM kept_q kq JOIN langd l USING (doc_id)),
+    kept_g AS (
+      SELECT * FROM (
+        SELECT lf.*,
+               row_number() OVER (
+                 PARTITION BY lang_pred
+                 ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS rn
+        FROM langf lf)
+      WHERE rn <= 30),
+    ex AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept_g
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+    surv AS (SELECT kg.* FROM kept_g kg JOIN ex USING (doc_id)),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM surv),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM words WHERE len(w) >= 8)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+      FROM m),
+    spans AS (
+      SELECT doc_b FROM isl GROUP BY doc_a, doc_b, diag, island
+      HAVING max(pa) - min(pa) + 8 >= 12),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM spans)
+    SELECT s.doc_id, s.lang_pred, s.n_tokens, s.quality_score
+    FROM surv s LEFT JOIN dropped d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    """,
+)
+def curation_recipe_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 recipe stages, gate-checked end to end: quality cut ->
+    deterministic per-language quota (30) -> exact dedup -> span-level
+    substring dedup (>= 12-token shared run drops the larger doc) —
+    all declared in one JSON recipe and compiled by
+    ``mriya_spark.curation`` into a single lazy plan."""
+    from mriya_spark.curation import CurationSpec
+
+    spec = CurationSpec.from_obj(
+        {
+            "filters": [
+                {"type": "quality", "min_score": 0.5},
+                {"type": "group_quota", "group_col": "lang_pred", "quota": 30},
+            ],
+            "dedup": [
+                {"type": "exact"},
+                {"type": "substring", "k": 8, "min_span": 12},
+            ],
+            "output": ["doc_id", "lang_pred", "n_tokens", "quality_score"],
+        }
+    )
+    return spec.build(_neardup_corpus(spark, sf_dir))
+
+
 def _rag_ingest_oracle_sql() -> str:
     """Oracle for the full RAG-ingest DAG: chunking (the text_chunking
     recurrence at 40/8), md5-derived pseudo-embeddings (engine-
