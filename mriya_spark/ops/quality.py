@@ -141,3 +141,36 @@ def per_group_quota(
         df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("grp_rank") <= quota)
     )
+
+
+def weighted_sample(
+    df,
+    *,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Deterministic Bernoulli sampling with PER-ROW keep probability
+    ``weight_col`` (clamped to [0, 1]) — quality-weighted corpus
+    sampling (FineWeb-style soft filtering: high-quality docs kept
+    with high probability, low-quality ones down-weighted instead of
+    hard-cut). The uniform draw is the md5-60bit of (seed, key) scaled
+    to [0, 1), so the sample is a pure function of the key: stable
+    across runs, engines, partitionings, and corpus growth (a doc's
+    fate never changes when its neighbors change — the
+    ``split_train_holdout`` posture, per-row weighted).
+
+    One scan-local filter; no shuffle, no sampling state.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        / float(1 << 60)
+    )
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < w)

@@ -3853,6 +3853,37 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS weight
+      FROM documents)
+    SELECT doc_id, weight FROM q
+    WHERE ('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < weight
+    """,
+)
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (FineWeb-style soft
+    filter): each doc kept with probability = its quality score, the
+    uniform draw a pure md5 function of (seed, doc_id) — reproducible
+    across engines and stable under corpus growth
+    (``ops.quality.weighted_sample``). Scan-local, zero shuffle."""
+    from mriya_spark.ops.quality import weighted_sample
+    from mriya_spark.ops.text import quality_score_col
+
+    docs = _cat(spark, sf_dir).table("documents").select(
+        "doc_id", quality_score_col("text").alias("weight")
+    )
+    return weighted_sample(docs, weight_col="weight", key_col="doc_id", seed=42)
+
+
+@register(
     "curation_recipe_spans",
     rf"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),

@@ -830,3 +830,25 @@ def test_minhash_portable_recall_and_subset(catalog, spark):
     assert got1 <= exact  # verify step keeps only true >= threshold pairs
     planted = {(d, d + 100000) for d in range(50)} & exact
     assert len(got1 & planted) >= 0.9 * len(planted)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from mriya_spark.ops.quality import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else (0.5 if i < 1100 else 0.0))
+         for i in range(1200)],
+        ["doc_id", "w"],
+    )
+    a = sorted(r.doc_id for r in
+               weighted_sample(df, weight_col="w").collect())
+    b = sorted(r.doc_id for r in
+               weighted_sample(df, weight_col="w").collect())
+    assert a == b  # reproducible
+    assert all(i in a for i in range(100))        # weight 1.0 -> always kept
+    assert all(i not in a for i in range(1100, 1200))  # weight 0 -> never
+    mid = sum(1 for i in a if 100 <= i < 1100)
+    assert 400 < mid < 600  # ~half of the 1000 weight-0.5 docs
+    c = sorted(r.doc_id for r in
+               weighted_sample(df, weight_col="w", seed=7).collect())
+    assert a != c  # seed changes the draw
