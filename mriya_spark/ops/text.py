@@ -380,3 +380,68 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_matched_terms"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    smooth_k: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-k
+    bigram LM trained on the corpus itself — the CCNet/perplexity
+    quality signal (gibberish and boilerplate score high-NLL and
+    low-NLL outliers respectively; both tails get filtered). Fully
+    relational: no LM runtime, no Python in the row path.
+
+    Model: p(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·)
+    counts bigrams starting with w1 and V is the corpus vocabulary.
+    Score = mean over a doc's bigrams of -ln p. Docs with < 2 tokens
+    emit nothing (no bigrams, no score).
+
+    Scale shape: one explode -> two count aggregations (bigram and
+    prefix) -> join back on the bigram key -> one per-doc mean. The
+    count tables are vocabulary-sized, not corpus-sized; at 100 TB
+    train the counts on a hash-sample and broadcast them (the same
+    train-once posture as the IVF index). NLL rounded to 4dp for
+    cross-engine hash stability (libm ln differs in the last ulp).
+    """
+    toks = F.expr(
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    bigs = (
+        df.withColumn("__w", toks)
+        .filter(F.size("__w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1), "
+                    "i -> struct(element_at(__w, i) AS w1, "
+                    "element_at(__w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    bc = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c2") + F.lit(smooth_k))
+        / (F.col("c1") + F.lit(smooth_k) * F.col("v"))
+    )
+    return (
+        bigs.join(bc, on=["w1", "w2"])
+        .join(uc, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )

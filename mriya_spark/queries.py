@@ -3853,6 +3853,39 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lm_perplexity",
+    r"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      FROM documents),
+    bigs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM words WHERE len(w) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM bigs GROUP BY 1, 2),
+    uc AS (SELECT w1, count(*) AS c1 FROM bigs GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest(w) AS t FROM words)),
+    scored AS (
+      SELECT b.doc_id,
+             -ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * (SELECT v FROM vocab))) AS nll
+      FROM bigs b JOIN bc USING (w1, w2) JOIN uc USING (w1))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal: mean bigram NLL under an
+    add-k LM whose counts are trained on the corpus itself — fully
+    relational (explode -> two count aggs -> join back -> per-doc
+    mean), no LM runtime (``ops.text.bigram_lm_scores``)."""
+    from mriya_spark.ops.text import bigram_lm_scores
+
+    return bigram_lm_scores(_cat(spark, sf_dir).table("documents"))
+
+
+@register(
     "sample_weighted",
     r"""
     WITH q AS (

@@ -852,3 +852,18 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     c = sorted(r.doc_id for r in
                weighted_sample(df, weight_col="w", seed=7).collect())
     assert a != c  # seed changes the draw
+
+
+def test_bigram_lm_scores_flag_gibberish(spark):
+    """A doc of common (high-count) bigrams scores lower mean NLL than
+    a doc of bigrams seen nowhere else; < 2-token docs emit nothing."""
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(10)]
+    docs += [(100, "zxq vbn qwerty plm okn ijb")]  # all-unique bigrams
+    docs += [(200, "solo")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.bigram_lm_scores(df).collect()}
+    assert 200 not in got  # no bigrams
+    assert got[0].n_bigrams == 5
+    assert got[0].avg_nll < got[100].avg_nll  # repeated text is predictable
+    assert got[0].avg_nll == got[9].avg_nll  # identical docs, same score
