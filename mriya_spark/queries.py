@@ -629,6 +629,51 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jsonl",
+    """
+    SELECT doc_id, text, lang, n_chars FROM documents WHERE n_chars > 100
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source roundtrip — the interchange format most raw text
+    corpora arrive in (and the mock org's wire format): stage a
+    filtered extract as JSON-lines, scan it back with an explicit
+    schema (schema-on-read, no inference job; JSON escaping covers
+    embedded newlines/quotes in ``text``)."""
+    docs = (
+        _cat(spark, sf_dir)
+        .table("documents")
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    path = f"{_STAGE_DIR}/documents_jsonl"
+    docs.write.mode("overwrite").json(path)
+    return spark.read.schema(docs.schema).json(path)
+
+
+@register(
+    "scan_orc",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source roundtrip — the other columnar lake format Spark
+    reads natively (Hive estates): stage a filtered extract as ORC,
+    scan it back. Predicate pushdown and column pruning apply to ORC
+    scans exactly as to parquet."""
+    docs = (
+        _cat(spark, sf_dir)
+        .table("documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )
+    path = f"{_STAGE_DIR}/documents_orc"
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.schema(docs.schema).orc(path)
+
+
+@register(
     "sink_insert",
     """
     SELECT * FROM nation
