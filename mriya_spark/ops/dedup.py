@@ -1139,3 +1139,77 @@ def decontaminate_minhash_portable(
             .distinct()
         )
         return corpus.join(dirty, on="doc_id", how="left_anti")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Span SURGERY (the actual Lee-et-al dedup operation, as opposed
+    to doc-level dropping): delete the LATER copy of every
+    within-document repeated run of >= ``min_span`` tokens and rebuild
+    the text. The earlier copy stays; a doc repeating a paragraph
+    keeps exactly one instance of it.
+
+    Semantics: mask = union over ``substring_self_spans`` rows of the
+    b-side token range [start_b, start_b + span_tokens); output text =
+    the doc's tokens outside the mask, in original order. Documents
+    with no repeats pass through unchanged (n_removed_tokens = 0).
+
+    Shape: the span ranges explode to (doc, pos) and anti-join the
+    doc's token positions — both sides partition on doc_id, one
+    shuffle each — then ONE groupBy(doc) re-assembles the text via a
+    sorted struct collect (tokens ride a single aggregation, not a
+    window).
+    """
+    if min_span is None:
+        min_span = k
+    spans = substring_self_spans(
+        df, text_col=text_col, k=k, min_span=min_span
+    )
+    mask = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        "doc_id",
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = toks.join(mask, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    n_tok = df.select(
+        "doc_id", F.size(tokens(F.col(text_col))).cast("long").alias("__n_tok")
+    )
+    return (
+        n_tok.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n_tok") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )

@@ -1878,6 +1878,65 @@ def dedup_substring_self_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_surgery",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text || ' ' || text AS text
+      FROM documents WHERE doc_id < 100),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM corpus),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM words WHERE len(w) >= 8)),
+    m AS (
+      SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.doc_id = b.doc_id AND a.pos < b.pos),
+    isl AS (
+      SELECT doc_id, pa, pb, pb - pa AS diag,
+             pa - row_number() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS island
+      FROM m),
+    spans AS (
+      SELECT doc_id, min(pb) AS sb, max(pa) - min(pa) + 8 AS len
+      FROM isl GROUP BY doc_id, diag, island
+      HAVING max(pa) - min(pa) + 8 >= 8),
+    mask AS (
+      SELECT DISTINCT doc_id, unnest(range(sb, sb + len)) AS pos FROM spans),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN mask k ON t.doc_id = k.doc_id AND t.pos = k.pos
+      WHERE k.doc_id IS NULL),
+    reb AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id),
+    nt AS (SELECT doc_id, len(w) AS n FROM words)
+    SELECT nt.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           CAST(nt.n - coalesce(reb.nk, 0) AS BIGINT) AS n_removed_tokens
+    FROM nt LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_span_surgery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span SURGERY (Lee et al. 2022's actual operation): delete the
+    later copy of every within-doc repeated run of >= 8 tokens and
+    rebuild the text — each doubled document collapses back to ~one
+    copy (``ops.dedup.remove_repeated_spans``)."""
+    from mriya_spark.ops.dedup import remove_repeated_spans
+
+    docs = _cat(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    doubled = docs.select(
+        "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+    )
+    return remove_repeated_spans(doubled, k=8)
+
+
+@register(
     "pipeline_decontaminate_ngram",
     r"""
     WITH corpus AS (SELECT doc_id, text FROM documents),

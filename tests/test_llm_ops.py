@@ -867,3 +867,15 @@ def test_bigram_lm_scores_flag_gibberish(spark):
     assert got[0].n_bigrams == 5
     assert got[0].avg_nll < got[100].avg_nll  # repeated text is predictable
     assert got[0].avg_nll == got[9].avg_nll  # identical docs, same score
+
+
+def test_remove_repeated_spans_restores_single_copy(spark):
+    """A doubled doc collapses back to exactly one copy; a repeat-free
+    doc passes through untouched; empty text survives."""
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = [(1, base + " " + base), (2, base), (3, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.remove_repeated_spans(df, k=8).collect()}
+    assert got[1].clean_text == base and got[1].n_removed_tokens == 20
+    assert got[2].clean_text == base and got[2].n_removed_tokens == 0
+    assert got[3].clean_text == "" and got[3].n_removed_tokens == 0
