@@ -174,3 +174,64 @@ def weighted_sample(
     )
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(u < w)
+
+
+def temperature_mix(
+    df,
+    *,
+    source_col: str = "source",
+    tau: float = 0.5,
+    budget_frac: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Temperature-based multi-source mixing — the corpus reweighting
+    step before training (multilingual/multi-domain recipes, e.g.
+    mBERT/XLM-R exponent-smoothed sampling): source s with n_s docs is
+    sampled with probability p_s ∝ n_s^tau (tau < 1 upweights small
+    sources), scaled to an overall ``budget_frac`` of the corpus, with
+    per-source keep rate min(1, budget·N·p_s / n_s).
+
+    The draw is the deterministic md5 uniform of (seed, key) — same
+    posture as ``weighted_sample``, with the per-row weight derived
+    from the source's count. Shape: one count aggregation (tiny —
+    one row per source), rates broadcast back, scan-local filter; no
+    per-row shuffle.
+
+    Appends ``mix_rate`` (double, the source's keep rate, rounded 6dp
+    for reporting) to the kept rows.
+    """
+    cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = cnt.agg(
+        F.sum("__n").alias("__tot_n"),
+        F.sum(F.pow("__n", F.lit(tau))).alias("__tot_z"),
+    )
+    rates = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("__tot_n")
+                * (F.pow("__n", F.lit(tau)) / F.col("__tot_z"))
+                / F.col("__n"),
+            ).alias("__rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        / float(1 << 60)
+    )
+    return (
+        df.join(F.broadcast(rates), on=source_col)
+        .filter(u < F.col("__rate"))
+        .withColumn("mix_rate", F.round("__rate", 6))
+        .drop("__rate")
+    )

@@ -3957,6 +3957,45 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_mix",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, source FROM documents WHERE source = 'src0'
+      UNION ALL
+      SELECT doc_id + 20000, source FROM documents WHERE source = 'src0'),
+    cnt AS (SELECT source, count(*) AS n FROM corpus GROUP BY source),
+    tot AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS z FROM cnt),
+    rates AS (
+      SELECT source,
+             least(1.0, 0.5 * nn * (pow(n, 0.5) / z) / n) AS rate
+      FROM cnt, tot)
+    SELECT c.doc_id, c.source, round(r.rate, 6) AS mix_rate
+    FROM corpus c JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('42_' || CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < r.rate
+    """,
+)
+def sample_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multi-source mixing (tau=0.5, half-corpus
+    budget) over a skewed corpus (src0 tripled): small sources keep a
+    HIGHER rate than their share, the deterministic md5 draw keeps the
+    mix reproducible (``ops.quality.temperature_mix``)."""
+    from mriya_spark.ops.quality import temperature_mix
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "source")
+    src0 = docs.filter(F.col("source") == "src0")
+    corpus = (
+        docs.unionByName(src0.select((F.col("doc_id") + 10000).alias("doc_id"), "source"))
+        .unionByName(src0.select((F.col("doc_id") + 20000).alias("doc_id"), "source"))
+    )
+    return temperature_mix(corpus, tau=0.5, budget_frac=0.5).select(
+        "doc_id", "source", "mix_rate"
+    )
+
+
+@register(
     "text_lm_perplexity",
     r"""
     WITH words AS (

@@ -879,3 +879,21 @@ def test_remove_repeated_spans_restores_single_copy(spark):
     assert got[1].clean_text == base and got[1].n_removed_tokens == 20
     assert got[2].clean_text == base and got[2].n_removed_tokens == 0
     assert got[3].clean_text == "" and got[3].n_removed_tokens == 0
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from mriya_spark.ops.quality import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(df, tau=0.5, budget_frac=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.mix_rate)
+    # tau=0.5: p_small = 10/40, p_big = 30/40; rates: small = min(1, .5*1000*.25/100)=1.0
+    # big = .5*1000*.75/900 = ~0.4167
+    assert by_src["small"][0] == 1.0 and len(by_src["small"]) == 100
+    assert abs(by_src["big"][0] - 0.416667) < 1e-6
+    assert 300 < len(by_src["big"]) < 450  # ~0.42 of 900
+    again = temperature_mix(df, tau=0.5, budget_frac=0.5).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
