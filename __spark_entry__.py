@@ -37,22 +37,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.run_migration(spark, "/root/testdata/sf0.001")
 
 
-def _gate_history(root: Path | None = None) -> dict[str, tuple[int, int]]:
+def _gate_history(
+    root: Path | None = None,
+) -> dict[str, tuple[int, int, bool]]:
     """Per-query official-gate record, read from CORRECTNESS_r*.json.
 
     Files are processed in ascending NUMERIC round order (``r10`` after
     ``r9``, not lexicographic), and within that order the newest row
-    wins outright: a green row records ``(2, round)``, a failed row
-    (hash mismatch, schema mismatch, canonicalizer crash) records
-    ``(1, round)`` — so a query that regressed after an earlier green
-    is demoted to the failed tier, and a query that recovered after a
-    failure is promoted. Queries never recorded default to tier 0 at
-    sort time. If no history files are readable (fresh checkout),
-    everything ties at "never recorded" and registration order falls
-    out.
+    wins outright: a green row records tier 2, a failed row (hash
+    mismatch, schema mismatch, canonicalizer crash) records tier 1 —
+    so a query that regressed after an earlier green is demoted to the
+    failed tier, and a query that recovered after a failure is
+    promoted. Queries never recorded default to tier 0 at sort time.
+    If no history files are readable (fresh checkout), everything ties
+    at "never recorded" and registration order falls out.
 
-    Returns ``{name: (tier, round)}`` with tier 1 = newest row failed,
-    2 = newest row green.
+    Returns ``{name: (tier, round, rows_only)}`` with tier 1 = newest
+    row failed, 2 = newest row green; ``rows_only`` marks a green row
+    that was recorded without an oracle (``err == "no_oracle"``) — the
+    sort treats such a query as never-recorded once it GAINS an oracle,
+    so an upgraded query's first hash-checked row lands promptly.
     """
     if root is None:
         root = Path(__file__).resolve().parent
@@ -61,7 +65,7 @@ def _gate_history(root: Path | None = None) -> dict[str, tuple[int, int]]:
         m = re.search(r"r(\d+)", path.name)
         if m:
             rounds.append((int(m.group(1)), path))
-    history: dict[str, tuple[int, int]] = {}
+    history: dict[str, tuple[int, int, bool]] = {}
     for rnd, path in sorted(rounds):
         try:
             rows = json.loads(path.read_text())
@@ -72,26 +76,42 @@ def _gate_history(root: Path | None = None) -> dict[str, tuple[int, int]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = row.get("hash_match") is True or (
+            rows_only = (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )
-            history[name] = (2, rnd) if green else (1, rnd)
+            green = row.get("hash_match") is True or rows_only
+            history[name] = (2 if green else 1, rnd, rows_only and green)
     return history
 
 
+def _gate_sort_key(
+    name: str,
+    history: dict[str, tuple[int, int, bool]],
+    oracles: dict[str, str],
+    reg_index: dict[str, int],
+) -> tuple[int, int, int]:
+    rec = history.get(name)
+    if rec is None:
+        return (0, 0, reg_index[name])
+    tier, rnd, rows_only = rec
+    if rows_only and name in oracles:
+        # upgraded: its official record predates its oracle — the
+        # hash-green flip needs a slot as much as a brand-new query
+        return (0, rnd, reg_index[name])
+    return (tier, rnd, reg_index[name])
+
+
 def _gate_order() -> list[str]:
-    """Registry names ordered (never-recorded, regressed, stalest-green
-    first); registration order breaks ties."""
+    """Registry names ordered (never-recorded or rows-only-upgraded,
+    regressed, stalest-green first); registration order breaks ties."""
     history = _gate_history()
     registry = _registry.queries()
+    oracles = _registry.oracle_sql()
     reg_index = {n: i for i, n in enumerate(registry)}
-
-    def key(n: str):
-        tier, rnd = history.get(n, (0, 0))
-        return (tier, rnd, reg_index[n])
-
-    return sorted(registry, key=key)
+    return sorted(
+        registry, key=lambda n: _gate_sort_key(n, history, oracles, reg_index)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

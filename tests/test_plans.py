@@ -223,18 +223,21 @@ def test_gate_order_is_staleness_first():
 
     assert list(lib_queries()) == list(REGISTRY)
 
-    def tier(n):
-        t, rnd = history.get(n, (0, 0))
-        return (t, rnd)
+    from mriya_spark.queries import oracle_sql as lib_oracles
 
-    tiers = [tier(n) for n in names]
-    assert tiers == sorted(tiers), (
-        "queries() must order by (never-recorded, failed, stalest-green) "
-        f"but got tiers {tiers}"
+    oracles = lib_oracles()
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    keys = [
+        entry_mod._gate_sort_key(n, history, oracles, reg_index)[:2]
+        for n in names
+    ]
+    assert keys == sorted(keys), (
+        "queries() must order by (never-recorded/upgraded, failed, "
+        f"stalest-green) but got keys {keys}"
     )
     # with r1+r2 history present, both tiers must actually occur
-    if any(t == (2, 1) for t in tiers) and any(t == (2, 2) for t in tiers):
-        assert tiers.index((2, 2)) > tiers.index((2, 1))
+    if any(t == (2, 1) for t in keys) and any(t == (2, 2) for t in keys):
+        assert keys.index((2, 2)) > keys.index((2, 1))
 
 
 def test_gate_history_tiers_from_synthetic_files(tmp_path):
@@ -270,11 +273,20 @@ def test_gate_history_tiers_from_synthetic_files(tmp_path):
     }))
 
     hist = entry_mod._gate_history(root=tmp_path)
-    assert hist["green_then_failed"] == (1, 10)  # regressed -> failed tier
-    assert hist["failed_then_green"] == (2, 10)  # recovered -> green tier
-    assert hist["green_only"] == (2, 2)
-    assert hist["rows_only"] == (2, 2)  # no_oracle with rows counts green
+    assert hist["green_then_failed"] == (1, 10, False)  # regressed -> failed
+    assert hist["failed_then_green"] == (2, 10, False)  # recovered -> green
+    assert hist["green_only"] == (2, 2, False)
+    assert hist["rows_only"] == (2, 2, True)  # no_oracle green, flagged
     assert "never_recorded" not in hist
+    # a rows-only query that GAINS an oracle sorts with the
+    # never-recorded tier (its hash-green flip needs a slot); without
+    # an oracle it stays a stale-green tier-2 entry
+    reg_index = {"rows_only": 0, "green_only": 1}
+    assert entry_mod._gate_sort_key(
+        "rows_only", hist, {"rows_only": "SELECT 1"}, reg_index
+    )[0] == 0
+    assert entry_mod._gate_sort_key("rows_only", hist, {}, reg_index)[0] == 2
+    assert entry_mod._gate_sort_key("green_only", hist, {}, reg_index)[0] == 2
 
 
 def test_bucketed_join_has_no_exchange_on_either_side(spark):
