@@ -2741,6 +2741,38 @@ def stream_corpus_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_neardup_ingest", None)  # xxhash LSH + arrival order -> rows-only
+def stream_neardup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup over a multi-batch document stream:
+    per batch, MinHash-LSH within the batch, then a band-index join
+    against everything already ingested (partition-pruned on band,
+    bucket-pruned by row-group stats), exact-Jaccard verify, append
+    survivors + their band rows. The staged corpus plants perturbed
+    copies in LATER batches, so the cross-batch screen must drop them
+    (``streaming.stream_neardup_ingest``; replay idempotence + planted
+    recall pinned in tests/test_streaming.py). Rows-only: xxhash LSH
+    family + batch-arrival semantics."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+
+    path = S.stage_neardup_docs(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    _sweep_stale("stream_v2", "neardup_target_")
+    target = _os.path.join(
+        _cache_subdir("stream_v2"), f"neardup_target_{_uuid.uuid4().hex[:8]}"
+    )
+    S.stream_neardup_ingest(stream, target, threshold=0.5)
+    return spark.read.parquet(target).select("doc_id").orderBy("doc_id")
+
+
 @register(
     "stream_stateful_counter",
     """

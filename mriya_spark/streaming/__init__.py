@@ -671,3 +671,216 @@ def stream_corpus_ingest(
         q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return target_path
+
+
+def stream_neardup_ingest(
+    docs: DataFrame,
+    target_path: str,
+    *,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """Incremental NEAR-dup corpus building — the streaming form of
+    MinHash-LSH dedup: each micro-batch is deduped within itself, then
+    LSH-screened against everything already ingested, and survivors
+    are appended together with their band index. The batch never
+    touches more of the historical corpus than the (band, bucket)
+    cells it collides with:
+
+    1. within-batch: banded MinHash pairs + exact-Jaccard verify, drop
+       the larger doc_id (``minhash_lsh_pairs_from_shingles``);
+    2. vs target: the batch's band rows equi-join the PERSISTED band
+       index — partition-pruned on ``band`` (16 dirs) and
+       row-group-pruned on ``bucket`` — then exact Jaccard against the
+       stored shingle arrays of just the collided docs;
+    3. append survivors' (original columns + shingles) to the doc
+       store and their band rows to ``{target}_bands``.
+
+    Replay idempotence falls out of the semantics: a re-run batch's
+    docs collide with their own stored copies at jaccard 1.0 >=
+    threshold and are dropped, so neither store grows (proven in
+    tests). Single writer per target, as ``merge_upsert_batch``.
+
+    At 100 TB: the band index is the only thing the batch joins — it
+    is (doc_id, band, bucket) triples, ~100 bytes/doc, and the shingle
+    fetch reads only collided docs' rows. The doc store appends;
+    nothing rewrites.
+    """
+    spark = docs.sparkSession
+    ckpt = f"{_STAGE_ROOT}/ckpt_neardup_{uuid.uuid4().hex[:12]}"
+
+    def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
+        neardup_ingest_batch(
+            batch, target_path, threshold=threshold, n=n,
+            num_perm=num_perm, bands=bands, seed=seed,
+        )
+
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            docs.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return target_path
+
+
+def neardup_ingest_batch(
+    batch: DataFrame,
+    target_path: str,
+    *,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """One micro-batch of ``stream_neardup_ingest`` (module-level so
+    tests can replay batches directly, like ``merge_upsert_batch``).
+    Idempotent under replay: a re-run batch's docs collide with their
+    own stored copies at jaccard 1.0 and are dropped."""
+    from mriya_spark.ops.dedup import (
+        _banded,
+        add_shingle_hashes,
+        minhash_lsh_pairs_from_shingles,
+        minhash_signature,
+    )
+
+    spark = batch.sparkSession
+    index_path = f"{target_path}_bands"
+    sh = add_shingle_hashes(batch, n=n).persist()
+    try:
+        shingles = sh.select("doc_id", "shingles")
+        in_pairs = minhash_lsh_pairs_from_shingles(
+            shingles, num_perm=num_perm, bands=bands,
+            threshold=threshold, seed=seed,
+        )
+        dropped = in_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        keep = sh.join(dropped, on="doc_id", how="left_anti").persist()
+        banded_new = _banded(
+            keep.select(
+                "doc_id",
+                minhash_signature(
+                    "shingles", num_perm=num_perm, seed=seed
+                ).alias("sig"),
+            ),
+            num_perm=num_perm, bands=bands,
+        ).persist()
+        if os.path.exists(index_path):
+            # bounded control point: the batch's distinct buckets
+            # (<= batch_docs x bands values) drive the pruned read
+            buckets = [
+                r["bucket"]
+                for r in banded_new.select("bucket").distinct().collect()
+            ]
+            idx = (
+                spark.read.parquet(index_path)
+                .filter(F.col("bucket").isin(buckets))
+            )
+            cand = (
+                banded_new.alias("a")
+                .join(
+                    idx.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_new"),
+                    F.col("b.doc_id").alias("doc_old"),
+                )
+                .dropDuplicates(["doc_new", "doc_old"])
+            )
+            old_sh = (
+                spark.read.parquet(target_path)
+                .select(
+                    F.col("doc_id").alias("doc_old"),
+                    F.col("shingles").alias("sh_old"),
+                )
+                .join(
+                    cand.select("doc_old").distinct(), on="doc_old"
+                )
+            )
+            verified = (
+                cand.join(
+                    keep.select(
+                        F.col("doc_id").alias("doc_new"),
+                        F.col("shingles").alias("sh_new"),
+                    ),
+                    on="doc_new",
+                )
+                .join(old_sh, on="doc_old")
+            )
+            inter = F.size(F.array_intersect("sh_new", "sh_old"))
+            union = F.size("sh_new") + F.size("sh_old") - inter
+            dup_vs_target = (
+                verified.filter(
+                    F.round(inter / union, 6) >= threshold
+                )
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct()
+            )
+            keep2 = keep.join(dup_vs_target, on="doc_id", how="left_anti")
+        else:
+            keep2 = keep
+        keep2.write.mode("append").parquet(target_path)
+        (
+            banded_new.join(
+                keep2.select("doc_id"), on="doc_id", how="left_semi"
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(index_path)
+        )
+    finally:
+        sh.unpersist()
+        try:
+            keep.unpersist()
+            banded_new.unpersist()
+        except Exception:
+            pass
+
+
+def stage_neardup_docs(
+    spark: SparkSession, sf_dir: str, *, n_files: int = 4
+) -> str:
+    """Stage a corpus with KNOWN cross-batch near-dups: originals
+    (doc_id < 150) in the early files, first-word-dropped copies of
+    doc_id < 50 (ids +1e6) in the late files (id-ordered ranges +
+    monotone mtimes) — so the stream meets every original before its
+    near-dup copy and ``stream_neardup_ingest`` must drop the copies
+    against the already-ingested target."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"{_STAGE_ROOT}/neardup_docs_{tag}_{n_files}"
+    marker = f"{out}/_STAGED"
+    if not os.path.exists(marker):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "text")
+        )
+        perturbed = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 50)
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+            )
+        )
+        corpus = docs.unionByName(perturbed)
+        corpus.repartitionByRange(n_files, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(out)
+        import time as _time
+
+        parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+        base = _time.time() - len(parts) * 10
+        for i, fname in enumerate(parts):
+            os.utime(os.path.join(out, fname), (base + i * 10, base + i * 10))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

@@ -330,3 +330,54 @@ def test_foreachbatch_merge_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     )
     assert got2 == want
+
+
+def test_neardup_ingest_drops_cross_batch_copies(spark, tmp_path):
+    """Near-dup copies arriving in a LATER batch must be dropped by
+    the band-index screen against already-ingested docs; within-batch
+    near-dups resolve to the smaller id."""
+    import mriya_spark.streaming as S
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 80"
+    ).select("doc_id", "text")
+    perturbed = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id < 30")
+        .selectExpr(
+            "doc_id + 1000000 AS doc_id",
+            r"ltrim(regexp_replace(text, '^\\S+\\s*', '')) AS text",
+        )
+    )
+    target = str(tmp_path / "neardup_target")
+    S.neardup_ingest_batch(base, target, threshold=0.5)
+    S.neardup_ingest_batch(perturbed, target, threshold=0.5)
+    kept = sorted(r.doc_id for r in spark.read.parquet(target).collect())
+    copies_kept = [d for d in kept if d >= 1_000_000]
+    # >= 90% of planted copies are screened out (LSH recall at j>=0.5)
+    assert len(copies_kept) <= 3, copies_kept
+    assert len([d for d in kept if d < 1_000_000]) >= 70
+
+
+def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed batch must be a no-op: every replayed doc
+    collides with its own stored copy at jaccard 1.0 and is dropped,
+    so neither the doc store nor the band index grows."""
+    import mriya_spark.streaming as S
+
+    b1 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 40"
+    ).select("doc_id", "text")
+    b2 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id >= 40 AND doc_id < 80"
+    ).select("doc_id", "text")
+    target = str(tmp_path / "replay_target")
+    S.neardup_ingest_batch(b1, target, threshold=0.5)
+    S.neardup_ingest_batch(b2, target, threshold=0.5)
+    want_docs = sorted(r.doc_id for r in spark.read.parquet(target).collect())
+    want_bands = spark.read.parquet(target + "_bands").count()
+    S.neardup_ingest_batch(b1, target, threshold=0.5)  # crash-retry replay
+    got_docs = sorted(r.doc_id for r in spark.read.parquet(target).collect())
+    got_bands = spark.read.parquet(target + "_bands").count()
+    assert got_docs == want_docs
+    assert got_bands == want_bands
