@@ -81,6 +81,38 @@ def _rand_timestamp(seed: int, lo: datetime = DATE_MIN, hi: datetime = DATE_MAX)
     )
 
 
+def _uniform_portable(seed: int) -> Column:
+    """Engine-portable uniform in [0, 1): md5-60bit of (seed, row id)
+    scaled — any engine with md5 reproduces the identical draw (the
+    ``ops.quality.weighted_sample`` construction)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.lit(str(seed)), F.col("__id").cast("string"))
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        / float(1 << 60)
+    )
+
+
+def _rand_int_portable(seed: int, lo: int = INT_MIN, hi: int = INT_MAX) -> Column:
+    return (F.floor(_uniform_portable(seed) * (hi - lo)).cast("long") + lo)
+
+
+def _rand_timestamp_portable(
+    seed: int, lo: datetime = DATE_MIN, hi: datetime = DATE_MAX
+) -> Column:
+    lo_s = int(lo.timestamp())
+    hi_s = int(hi.timestamp())
+    return F.timestamp_seconds(
+        F.floor(_uniform_portable(seed) * (hi_s - lo_s)).cast("long") + lo_s
+    )
+
+
 def gen_data(
     spark: SparkSession,
     n: int,
@@ -91,6 +123,7 @@ def gen_data(
     *,
     seed: int = 42,
     num_partitions: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """G1 — generate ``n`` rows for ``object_name``.
 
@@ -98,6 +131,12 @@ def gen_data(
     (`test_data_generator.py:50-70`): ObjectName marker > default >
     prefix+random > random-by-type. Fully distributed: ``spark.range``
     partitions the id space, every column is a codegen'd expression.
+
+    ``portable=True`` swaps the int/timestamp draws from Spark's
+    ``rand(seed)`` (XorShift — reproducible but engine-internal) to
+    md5-derived uniforms, so the identical rows regenerate in any
+    engine with md5/sha256 — the hash-checkable form (strings already
+    are: sha2 of (row id, seed)).
     """
     data_struct = data_struct if data_struct is not None else ACCOUNT_STRUCT
     defaults = defaults if defaults is not None else ACCOUNT_DEFAULTS
@@ -118,9 +157,9 @@ def gen_data(
         elif ctype == "text":
             col = _rand_string(col_seed)
         elif ctype == "int":
-            col = _rand_int(col_seed)
+            col = (_rand_int_portable if portable else _rand_int)(col_seed)
         elif ctype == "date":
-            col = _rand_timestamp(col_seed)
+            col = (_rand_timestamp_portable if portable else _rand_timestamp)(col_seed)
         else:
             raise ValueError(f"unknown column type {ctype!r} for {name!r}")
         cols.append(col.alias(name))

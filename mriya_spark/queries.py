@@ -834,6 +834,78 @@ def generate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen_data(spark, 1000, "Account", seed=42)
 
 
+def _generate_rows_portable_oracle(n: int = 1000, seed: int = 42) -> str:
+    """Oracle that REGENERATES the portable generator's rows in DuckDB
+    by mirroring ``gen_data``'s per-column dispatch: sha256-hex strings
+    (identical on both engines), md5-60bit uniforms for ints and
+    timestamps. Built from the same ACCOUNT_* constants, so a schema
+    change updates both sides together."""
+    from mriya_spark.generator import (
+        ACCOUNT_DEFAULTS,
+        ACCOUNT_PREFIXES,
+        ACCOUNT_STRUCT,
+        DATE_MAX,
+        DATE_MIN,
+        INT_MAX,
+        INT_MIN,
+        OBJECT_NAME_MARKER,
+        RAND_STR_LEN,
+    )
+
+    def u(col_seed: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{col_seed}_' || CAST(i AS VARCHAR)), 1, 15))"
+            f"::BIGINT / {float(1 << 60)!r})"
+        )
+
+    def rstr(col_seed: int) -> str:
+        return (
+            f"upper(substr(sha256(CAST(i AS VARCHAR) || '{col_seed}'), "
+            f"1, {RAND_STR_LEN}))"
+        )
+
+    lo_s, hi_s = int(DATE_MIN.timestamp()), int(DATE_MAX.timestamp())
+    cols = ['i AS "row_id"']
+    for idx, (name, ctype) in enumerate(ACCOUNT_STRUCT.items()):
+        cs = seed * 1000 + idx
+        if ctype == OBJECT_NAME_MARKER:
+            expr = "'Account'"
+        elif name in ACCOUNT_DEFAULTS:
+            expr = f"'{ACCOUNT_DEFAULTS[name]}'"
+        elif name in ACCOUNT_PREFIXES:
+            expr = f"'{ACCOUNT_PREFIXES[name]}' || {rstr(cs)}"
+        elif ctype == "text":
+            expr = rstr(cs)
+        elif ctype == "int":
+            expr = (
+                f"CAST(floor({u(cs)} * {INT_MAX - INT_MIN}) AS BIGINT) + {INT_MIN}"
+            )
+        else:  # date
+            expr = (
+                f"make_timestamp((CAST(floor({u(cs)} * {hi_s - lo_s}) AS BIGINT)"
+                f" + {lo_s}) * 1000000)"
+            )
+        cols.append(f'{expr} AS "{name}"')
+    sel = ",\n           ".join(cols)
+    return (
+        f"WITH base AS (SELECT unnest(range(0, {n})) AS i)\n"
+        f"    SELECT {sel}\n    FROM base"
+    )
+
+
+@register("generate_rows_portable", _generate_rows_portable_oracle())
+def generate_rows_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 in the engine-portable hash family: the same schema-driven
+    generator with md5-derived int/timestamp draws, REGENERATED
+    value-for-value by the DuckDB oracle — the generator's dispatch,
+    seeding, and distribution plumbing are hash-checked, while the
+    production twin (``generate_rows``) keeps Spark-native ``rand``
+    and stays rows-only."""
+    from mriya_spark.generator import gen_data
+
+    return gen_data(spark, 1000, "Account", seed=42, portable=True)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 extended aggregation surface: windows, rollup/cube, pivot, having
 # ---------------------------------------------------------------------------
