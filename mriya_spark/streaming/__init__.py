@@ -772,15 +772,13 @@ def neardup_ingest_batch(
             num_perm=num_perm, bands=bands,
         ).persist()
         if os.path.exists(index_path):
-            # bounded control point: the batch's distinct buckets
-            # (<= batch_docs x bands values) drive the pruned read
-            buckets = [
-                r["bucket"]
-                for r in banded_new.select("bucket").distinct().collect()
-            ]
-            idx = (
-                spark.read.parquet(index_path)
-                .filter(F.col("bucket").isin(buckets))
+            # prune the index read to the batch's touched buckets via a
+            # broadcast semi-join (batch-sized build side, no driver
+            # round-trip, no IN-list bloat at large trigger sizes)
+            idx = spark.read.parquet(index_path).join(
+                F.broadcast(banded_new.select("bucket").distinct()),
+                on="bucket",
+                how="left_semi",
             )
             cand = (
                 banded_new.alias("a")
