@@ -153,7 +153,9 @@ def test_blocked_neardup_candidates_are_equi_joins(spark, queries):
     is O(n^2) again. Only the exact oracle twin (dedup_embedding_cosine,
     dedup_ngram_jaccard's shared-shingle join) may keep a theta join."""
     for name in ("dedup_minhash_lsh", "dedup_simhash",
-                 "dedup_embedding_cosine_lsh"):
+                 "dedup_embedding_cosine_lsh", "dedup_substring",
+                 "pipeline_decontaminate_ngram",
+                 "dedup_minhash_lsh_portable"):
         plan = executed_plan(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
