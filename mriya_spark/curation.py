@@ -18,7 +18,8 @@ Spec form::
         {"type": "gopher"},
         {"type": "lang", "keep": ["en", "de"]},
         {"type": "token_range", "min": 5, "max": 100000},
-        {"type": "group_quota", "group_col": "lang_pred", "quota": 1000}
+        {"type": "group_quota", "group_col": "lang_pred", "quota": 1000},
+        {"type": "weighted_sample", "weight_col": "quality_score"}
       ],
       "dedup": [
         {"type": "exact"},
@@ -41,7 +42,7 @@ from pyspark.sql import functions as F
 
 from mriya_spark.caching import cache_scope, scoped_persist
 
-_FILTER_TYPES = {"quality", "gopher", "lang", "token_range", "group_quota"}
+_FILTER_TYPES = {"quality", "gopher", "lang", "token_range", "group_quota", "weighted_sample"}
 _DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard", "substring"}
 
 #: columns the scoring projection can emit
@@ -137,6 +138,15 @@ class CurationSpec:
                 quota=int(f["quota"]),
                 seed=int(f.get("seed", 42)),
             ).drop("grp_rank")
+        if kind == "weighted_sample":
+            from mriya_spark.ops.quality import weighted_sample
+
+            return weighted_sample(
+                df,
+                weight_col=f.get("weight_col", "quality_score"),
+                key_col=f.get("key_col", "doc_id"),
+                seed=int(f.get("seed", 42)),
+            )
         # token_range
         lo, hi = int(f.get("min", 1)), int(f.get("max", 1 << 31))
         return df.filter(F.col("n_tokens").between(lo, hi))

@@ -101,3 +101,23 @@ def test_recipe_substring_and_group_quota_stages(spark):
             "filters": [{"type": "group_quota", "quota": 0}],
             "dedup": [], "output": ["doc_id"],
         })
+
+
+def test_recipe_weighted_sample_stage(spark):
+    """Soft quality filter in the DSL: keep probability = the derived
+    quality score; weight-0 docs never survive, weight-1 always do."""
+    from mriya_spark.curation import CurationSpec
+
+    good = "the cat and the dog of a house sat on the mat with a friend today"
+    docs = [(i, good) for i in range(20)] + [(100 + i, "@@ @@ @@") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spec = CurationSpec.from_obj({
+        "filters": [{"type": "weighted_sample"}],
+        "dedup": [],
+        "output": ["doc_id", "quality_score"],
+    })
+    rows = spec.build(df).collect()
+    assert all(r.doc_id < 100 for r in rows)  # zero-score docs all dropped
+    assert len(rows) >= 10  # high-score docs mostly kept
+    again = spec.build(df).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
