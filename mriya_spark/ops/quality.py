@@ -235,3 +235,45 @@ def temperature_mix(
         .withColumn("mix_rate", F.round("__rate", 6))
         .drop("__rate")
     )
+
+
+def table_profile(df, columns: list[str] | None = None):
+    """ANALYZE-style one-pass column profile: nulls, distinct count,
+    min/max (computed on the native type, then rendered as strings so
+    heterogeneous columns share one output schema) — the data-profiling summary every migration/curation run
+    wants before trusting a source.
+
+    ONE aggregation pass computes every metric for every column
+    (4 x n_cols agg expressions, map-side partial), then the wide row
+    unpivots driver-side into (column, metric...) rows — no second
+    scan, no per-column job. Profile numeric columns you care about
+    exactly as integers/strings; float min/max formatting is
+    engine-specific, so cast floats upstream if the profile must be
+    engine-portable.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__t_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    rows = [
+        (
+            c,
+            int(wide[f"__t_{c}"] - wide[f"__nn_{c}"]),
+            int(wide[f"__d_{c}"]),
+            wide[f"__mn_{c}"],
+            wide[f"__mx_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows, "column string, n_nulls long, n_distinct long, "
+              "min_str string, max_str string"
+    )

@@ -242,3 +242,49 @@ def salted_join(
     replicated_r = right.crossJoin(F.broadcast(salts))
     out = salted_l.join(replicated_r, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def fuzzy_join_blocked(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    col: str,
+    id_col: str,
+    max_dist: int = 2,
+    block_len: int = 4,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution
+    primitive: pairs from ``a`` x ``b`` whose ``col`` values are within
+    ``max_dist`` Levenshtein edits, found WITHOUT an all-pairs compare.
+
+    Blocking: candidates must agree on the first ``block_len``
+    characters AND sit within ``max_dist`` of each other's length (a
+    necessary condition for the distance bound, so the length predicate
+    loses nothing) — both are equi-/band-join keys, so the compare
+    volume is the sum of block sizes squared, not |a| x |b|. Prefix
+    blocking misses pairs whose edits hit the first ``block_len``
+    chars; classic multi-pass blocking (run again on suffix or soundex
+    keys and union) recovers them — the single-pass form is the
+    building block.
+
+    Output: (id_a, id_b, dist), ``a``-side id first.
+    """
+    ka = a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(col).alias("__va"),
+        F.substring(F.col(col), 1, block_len).alias("__blk"),
+        F.length(F.col(col)).alias("__la"),
+    )
+    kb = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(col).alias("__vb"),
+        F.substring(F.col(col), 1, block_len).alias("__blk"),
+        F.length(F.col(col)).alias("__lb"),
+    )
+    return (
+        ka.join(kb, on="__blk")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .withColumn("dist", F.levenshtein("__va", "__vb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

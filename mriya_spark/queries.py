@@ -4133,6 +4133,79 @@ def text_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fuzzy_blocked",
+    """
+    WITH a AS (
+      SELECT c_custkey AS id_a, c_name AS va,
+             substr(c_name, 1, 16) AS blk, length(c_name) AS la
+      FROM customer WHERE c_custkey <= 500),
+    b AS (
+      SELECT c_custkey + 1000000 AS id_b,
+             substr(c_name, 1, length(c_name) - 1) AS vb,
+             substr(substr(c_name, 1, length(c_name) - 1), 1, 16) AS blk,
+             length(c_name) - 1 AS lb
+      FROM customer WHERE c_custkey <= 500)
+    SELECT id_a, id_b, CAST(levenshtein(va, vb) AS BIGINT) AS dist
+    FROM a JOIN b USING (blk)
+    WHERE abs(la - lb) <= 2 AND levenshtein(va, vb) <= 2
+    """,
+)
+def join_fuzzy_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution between two systems' customer lists (side B =
+    names with the last character lost): prefix+length blocking turns
+    the edit-distance compare into an equi-join, Levenshtein verifies
+    (``ops.relational.fuzzy_join_blocked``)."""
+    from mriya_spark.ops.relational import fuzzy_join_blocked
+
+    cust = _cat(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 500)
+    a = cust.select("c_custkey", "c_name")
+    b = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("c_name"),
+    )
+    return fuzzy_join_blocked(
+        a, b, col="c_name", id_col="c_custkey", max_dist=2, block_len=16
+    )
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'c_custkey' AS column,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_str,
+           CAST(max(c_custkey) AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(count(*) - count(c_name) AS BIGINT),
+           CAST(count(DISTINCT c_name) AS BIGINT),
+           min(c_name), max(c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(count(*) - count(c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(count(*) - count(c_mktsegment) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           min(c_mktsegment), max(c_mktsegment) FROM customer
+    """,
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style source profile (nulls / distinct / min / max per
+    column) in ONE aggregation pass over the table — the trust-check
+    every migration runs before extracting a source
+    (``ops.quality.table_profile``)."""
+    from mriya_spark.ops.quality import table_profile
+
+    cust = _cat(spark, sf_dir).table("customer")
+    return table_profile(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+@register(
     "sample_weighted",
     r"""
     WITH q AS (

@@ -240,3 +240,40 @@ def test_evolve_to_schema_case_insensitive_match(spark):
     r = out.collect()[0]
     assert (r.custkey, r.name) == (7, "x")
     assert [f.name for f in out.schema.fields] == ["custkey", "name"]
+
+
+def test_fuzzy_join_blocked_finds_near_names_not_far(spark):
+    from mriya_spark.ops.relational import fuzzy_join_blocked
+
+    a = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Globex Industries"), (3, "Initech LLC")],
+        ["id", "name"],
+    )
+    b = spark.createDataFrame(
+        [(10, "Acme Corporatio"),    # 1 deletion
+         (20, "Globex Industriez"),  # 1 substitution
+         (30, "Umbrella Corp"),      # unrelated
+         (40, "Acme Inc")],          # same prefix, too far
+        ["id", "name"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_blocked(
+            a, b, col="name", id_col="id", max_dist=2, block_len=4
+        ).collect()
+    }
+    assert got == {(1, 10): 1, (2, 20): 1}
+
+
+def test_table_profile_counts_and_extremes(spark):
+    from mriya_spark.ops.quality import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", 5.0), (2, None, 7.0)],
+        "k long, s string, v double",
+    )
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert prof["k"].n_nulls == 0 and prof["k"].n_distinct == 2
+    assert prof["k"].min_str == "1" and prof["k"].max_str == "2"
+    assert prof["s"].n_nulls == 1 and prof["s"].min_str == "a"
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
