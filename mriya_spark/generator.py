@@ -83,20 +83,10 @@ def _rand_timestamp(seed: int, lo: datetime = DATE_MIN, hi: datetime = DATE_MAX)
 
 def _uniform_portable(seed: int) -> Column:
     """Engine-portable uniform in [0, 1): md5-60bit of (seed, row id)
-    scaled — any engine with md5 reproduces the identical draw (the
-    ``ops.quality.weighted_sample`` construction)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws("_", F.lit(str(seed)), F.col("__id").cast("string"))
-                ),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("double")
-        / float(1 << 60)
-    )
+    scaled (`mriya_spark.portable.md5_uniform`)."""
+    from mriya_spark.portable import md5_uniform
+
+    return md5_uniform(seed, F.col("__id"))
 
 
 def _rand_int_portable(seed: int, lo: int = INT_MIN, hi: int = INT_MAX) -> Column:

@@ -566,6 +566,35 @@ def kgram_positions(
     )
 
 
+def _maximal_spans(m: DataFrame, part_cols: list[str], *, k: int, min_span: int) -> DataFrame:
+    """Collapse per-position k-gram matches into MAXIMAL spans: within
+    each (part_cols, diag) group, positionally contiguous matches share
+    ``pa - row_number()`` (gaps-and-islands), and each island reports
+    once with its start offsets and token length. Shared by the
+    cross-doc and intra-doc span dedups so the span definition cannot
+    drift between them (r7 review finding). ``m`` needs columns
+    part_cols + pa + pb + diag."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols, "diag").orderBy("pa")
+    isl = m.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy(*part_cols, "diag", "island")
+        .agg(
+            F.min("pa").alias("__sa"),
+            F.min("pb").alias("__sb"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"),
+        )
+        .filter(F.col("__len") >= min_span)
+        .select(
+            *part_cols,
+            F.col("__sa").cast("long").alias("start_a"),
+            F.col("__sb").cast("long").alias("start_b"),
+            F.col("__len").cast("long").alias("span_tokens"),
+        )
+    )
+
+
 def substring_span_pairs(
     df: DataFrame,
     *,
@@ -631,26 +660,7 @@ def substring_span_pairs(
         )
         .withColumn("diag", F.col("pa") - F.col("pb"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    isl = m.withColumn("island", F.col("pa") - F.row_number().over(w))
-    return (
-        isl.groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(
-            F.min("pa").alias("__sa"),
-            F.min("pb").alias("__sb"),
-            (F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"),
-        )
-        .filter(F.col("__len") >= min_span)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("__sa").cast("long").alias("start_a"),
-            F.col("__sb").cast("long").alias("start_b"),
-            F.col("__len").cast("long").alias("span_tokens"),
-        )
-    )
+    return _maximal_spans(m, ["doc_a", "doc_b"], k=k, min_span=min_span)
 
 
 def with_simhash64(
@@ -675,6 +685,12 @@ def with_simhash64(
         grams = ", ".join(f"element_at(__w, i + {k + 1})" for k in range(ngram))
         many = f"xxhash64({grams})"
     elif hash_mode == "md5_portable":
+        if n_bits > 60:
+            raise ValueError(
+                f"md5_portable provides 60 usable hash bits; n_bits={n_bits} "
+                "would pack permanently-zero sign bits and silently widen "
+                "every blocking bucket — pass n_bits<=60"
+            )
         one = "cast(conv(substr(md5(concat_ws(' ', __w)), 1, 15), 16, 10) as bigint)"
         gram_words = ", ".join(
             f"element_at(__w, i + {k + 1})" for k in range(ngram)
@@ -893,25 +909,7 @@ def substring_self_spans(
         )
         .withColumn("diag", F.col("pb") - F.col("pa"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id", "diag").orderBy("pa")
-    isl = m.withColumn("island", F.col("pa") - F.row_number().over(w))
-    return (
-        isl.groupBy("doc_id", "diag", "island")
-        .agg(
-            F.min("pa").alias("__sa"),
-            F.min("pb").alias("__sb"),
-            (F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"),
-        )
-        .filter(F.col("__len") >= min_span)
-        .select(
-            "doc_id",
-            F.col("__sa").cast("long").alias("start_a"),
-            F.col("__sb").cast("long").alias("start_b"),
-            F.col("__len").cast("long").alias("span_tokens"),
-        )
-    )
+    return _maximal_spans(m, ["doc_id"], k=k, min_span=min_span)
 
 
 def decontaminate_ngram(
@@ -960,6 +958,42 @@ def decontaminate_ngram(
     return corpus.join(dirty, on="doc_id", how="left_anti")
 
 
+def _portable_minhash_exprs(num_perm: int, bands: int) -> tuple[str, str]:
+    """The md5-family signature and band-struct SQL expression strings
+    shared by the portable MinHash twins — one definition, so the pair
+    form, bipartite form, and the oracle constants in ``queries.py``
+    cannot drift (r7 review finding). Expects an ``__sh`` array<string>
+    shingle column and emits a ``__sig`` array for the band structs.
+    """
+    rows_per_band = num_perm // bands
+    sig_exprs = ", ".join(
+        "array_min(transform(__sh, s -> "
+        f"cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint)))"
+        for i in range(num_perm)
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', concat_ws('_', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"cast(element_at(__sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig_exprs, band_structs
+
+
+def _banded_portable_rows(df: DataFrame, sig_exprs: str, band_structs: str) -> DataFrame:
+    """(doc_id, band, bucket) rows from a ``(doc_id, __sh)`` frame via
+    the portable expression strings."""
+    return (
+        df.withColumn("__sig", F.expr(f"array({sig_exprs})"))
+        .select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     *,
@@ -986,30 +1020,13 @@ def minhash_lsh_pairs_portable(
     what's checked is that the banded pipeline computes precisely the
     pairs its math says it computes).
     """
-    rows_per_band = num_perm // bands
-    sig_exprs = ", ".join(
-        "array_min(transform(__sh, s -> "
-        f"cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint)))"
-        for i in range(num_perm)
-    )
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', concat_ws('_', {parts}))".format(
-            b=b,
-            parts=", ".join(
-                f"cast(element_at(__sig, {b * rows_per_band + r + 1}) as string)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
+    sig_exprs, band_structs = _portable_minhash_exprs(num_perm, bands)
     with cache_scope():
         sh = scoped_persist(
             df.select("doc_id", word_shingles(text_col, n).alias("__sh"))
         )
         banded = scoped_persist(
-            sh.withColumn("__sig", F.expr(f"array({sig_exprs})"))
-            .select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
-            .select("doc_id", "bb.band", "bb.bucket")
+            _banded_portable_rows(sh, sig_exprs, band_structs)
         )
         a = banded.alias("a")
         b = banded.alias("b")
@@ -1074,29 +1091,10 @@ def decontaminate_minhash_portable(
     def _maybe_bc(d: DataFrame) -> DataFrame:
         return F.broadcast(d) if ref_small else d
 
-    rows_per_band = num_perm // bands
-    sig_exprs = ", ".join(
-        "array_min(transform(__sh, s -> "
-        f"cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10) as bigint)))"
-        for i in range(num_perm)
-    )
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', concat_ws('_', {parts}))".format(
-            b=b,
-            parts=", ".join(
-                f"cast(element_at(__sig, {b * rows_per_band + r + 1}) as string)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
+    sig_exprs, band_structs = _portable_minhash_exprs(num_perm, bands)
 
     def _banded_portable(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("__sig", F.expr(f"array({sig_exprs})"))
-            .select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb"))
-            .select("doc_id", "bb.band", "bb.bucket")
-        )
+        return _banded_portable_rows(df, sig_exprs, band_structs)
 
     with cache_scope():
         sh_c = scoped_persist(

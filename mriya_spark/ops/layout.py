@@ -101,11 +101,10 @@ def shard_shuffle(
     """
     from pyspark.sql import Window
 
-    khex = F.md5(
-        F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string"))
-    )
+    from mriya_spark.portable import md5_hex
+
     out = (
-        df.withColumn("__h", khex)
+        df.withColumn("__h", md5_hex(seed, F.col(key_col)))
         .withColumn(
             "shard",
             (F.conv(F.substring("__h", 1, 15), 16, 10).cast("long")

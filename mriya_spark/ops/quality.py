@@ -135,7 +135,9 @@ def per_group_quota(
     """
     from pyspark.sql import Window
 
-    h = F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string")))
+    from mriya_spark.portable import md5_hex
+
+    h = md5_hex(seed, F.col(key_col))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
@@ -162,16 +164,9 @@ def weighted_sample(
 
     One scan-local filter; no shuffle, no sampling state.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("double")
-        / float(1 << 60)
-    )
+    from mriya_spark.portable import md5_uniform
+
+    u = md5_uniform(seed, F.col(key_col))
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(u < w)
 
@@ -219,16 +214,9 @@ def temperature_mix(
             ).alias("__rate"),
         )
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("double")
-        / float(1 << 60)
-    )
+    from mriya_spark.portable import md5_uniform
+
+    u = md5_uniform(seed, F.col(key_col))
     return (
         df.join(F.broadcast(rates), on=source_col)
         .filter(u < F.col("__rate"))

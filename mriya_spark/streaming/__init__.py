@@ -742,8 +742,17 @@ def neardup_ingest_batch(
 ) -> None:
     """One micro-batch of ``stream_neardup_ingest`` (module-level so
     tests can replay batches directly, like ``merge_upsert_batch``).
-    Idempotent under replay: a re-run batch's docs collide with their
-    own stored copies at jaccard 1.0 and are dropped."""
+
+    Idempotent under replay at EVERY crash point, not just after a
+    full commit: the LSH screen drops docs whose stored copy exists
+    (self-match at jaccard 1.0), a doc_id anti-join against the doc
+    store additionally drops exact-id survivors of a half-committed
+    attempt, and the band index is appended BEFORE the doc rows — so
+    a crash between the two writes can only leave duplicate band rows
+    (benign: candidate pairs are de-duplicated), never duplicate
+    documents, and a doc present without its bands cannot occur.
+    Single writer per target, as ``merge_upsert_batch``."""
+    from mriya_spark.caching import cache_scope
     from mriya_spark.ops.dedup import (
         _banded,
         add_shingle_hashes,
@@ -753,24 +762,58 @@ def neardup_ingest_batch(
 
     spark = batch.sparkSession
     index_path = f"{target_path}_bands"
-    sh = add_shingle_hashes(batch, n=n).persist()
+    pinned: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        df.persist()
+        pinned.append(df)
+        return df
+
+    sh = _pin(add_shingle_hashes(batch, n=n))
     try:
+        _neardup_batch_body(
+            spark, sh, _pin, target_path, index_path,
+            threshold=threshold, num_perm=num_perm, bands=bands, seed=seed,
+        )
+    finally:
+        for df_ in pinned:
+            df_.unpersist()
+
+
+def _neardup_batch_body(
+    spark, sh, _pin, target_path, index_path, *, threshold, num_perm,
+    bands, seed,
+):
+    from mriya_spark.caching import cache_scope
+    from mriya_spark.ops.dedup import (
+        _banded,
+        minhash_lsh_pairs_from_shingles,
+        minhash_signature,
+    )
+
+    # cache_scope: minhash_lsh_pairs_from_shingles scope-persists its
+    # banded frame internally; without a scope per batch, each
+    # micro-batch would pin one more cached frame on the streaming
+    # thread forever (r7 review finding)
+    with cache_scope():
         shingles = sh.select("doc_id", "shingles")
         in_pairs = minhash_lsh_pairs_from_shingles(
             shingles, num_perm=num_perm, bands=bands,
             threshold=threshold, seed=seed,
         )
         dropped = in_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        keep = sh.join(dropped, on="doc_id", how="left_anti").persist()
-        banded_new = _banded(
-            keep.select(
-                "doc_id",
-                minhash_signature(
-                    "shingles", num_perm=num_perm, seed=seed
-                ).alias("sig"),
-            ),
-            num_perm=num_perm, bands=bands,
-        ).persist()
+        keep = _pin(sh.join(dropped, on="doc_id", how="left_anti"))
+        banded_new = _pin(
+            _banded(
+                keep.select(
+                    "doc_id",
+                    minhash_signature(
+                        "shingles", num_perm=num_perm, seed=seed
+                    ).alias("sig"),
+                ),
+                num_perm=num_perm, bands=bands,
+            )
+        )
         if os.path.exists(index_path):
             # prune the index read to the batch's touched buckets via a
             # broadcast semi-join (batch-sized build side, no driver
@@ -825,7 +868,15 @@ def neardup_ingest_batch(
             keep2 = keep.join(dup_vs_target, on="doc_id", how="left_anti")
         else:
             keep2 = keep
-        keep2.write.mode("append").parquet(target_path)
+        if os.path.exists(target_path):
+            # exact-id survivors of a half-committed earlier attempt
+            # (docs landed, crash before their bands): never re-append
+            existing = spark.read.parquet(target_path).select("doc_id")
+            keep2 = keep2.join(existing, on="doc_id", how="left_anti")
+        keep2 = _pin(keep2)
+        # bands BEFORE docs: the inter-write crash window then leaves
+        # only re-appended band rows (deduped at candidate
+        # generation), never a doc without its index entries
         (
             banded_new.join(
                 keep2.select("doc_id"), on="doc_id", how="left_semi"
@@ -834,13 +885,7 @@ def neardup_ingest_batch(
             .partitionBy("band")
             .parquet(index_path)
         )
-    finally:
-        sh.unpersist()
-        try:
-            keep.unpersist()
-            banded_new.unpersist()
-        except Exception:
-            pass
+        keep2.write.mode("append").parquet(target_path)
 
 
 def stage_neardup_docs(

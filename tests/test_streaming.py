@@ -381,3 +381,53 @@ def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
     got_bands = spark.read.parquet(target + "_bands").count()
     assert got_docs == want_docs
     assert got_bands == want_bands
+
+
+def test_neardup_ingest_survives_interwrite_crash(spark, tmp_path):
+    """Crash between the two appends (bands committed, docs not): the
+    retried batch must append its docs exactly once, and the duplicate
+    band rows left behind must not break later screening."""
+    import mriya_spark.streaming as S
+    from mriya_spark.ops.dedup import (
+        _banded,
+        add_shingle_hashes,
+        minhash_signature,
+    )
+    from pyspark.sql import functions as F
+
+    b1 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 40"
+    ).select("doc_id", "text")
+    b2 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id >= 40 AND doc_id < 80"
+    ).select("doc_id", "text")
+    target = str(tmp_path / "crash_target")
+    S.neardup_ingest_batch(b1, target, threshold=0.5)
+    # simulate the crash window: b2's band rows land, its docs don't
+    sh2 = add_shingle_hashes(b2, n=3)
+    (
+        _banded(
+            sh2.select(
+                "doc_id", minhash_signature("shingles").alias("sig")
+            ),
+            num_perm=64, bands=16,
+        )
+        .write.mode("append").partitionBy("band").parquet(target + "_bands")
+    )
+    # retry of b2 (what foreachBatch does after the crash)
+    S.neardup_ingest_batch(b2, target, threshold=0.5)
+    docs = spark.read.parquet(target)
+    ids = [r.doc_id for r in docs.collect()]
+    assert sorted(ids) == sorted(set(ids))  # no duplicate documents
+    assert {d for d in ids if 40 <= d < 80}  # b2's docs did land
+    # later near-dups of b2 are still screened despite duplicate bands
+    b3 = b2.filter("doc_id < 50").select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    S.neardup_ingest_batch(b3, target, threshold=0.5)
+    kept3 = [
+        r.doc_id for r in spark.read.parquet(target).collect()
+        if r.doc_id >= 2_000_000
+    ]
+    assert len(kept3) <= 1, kept3  # LSH screens the copies

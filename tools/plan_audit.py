@@ -71,6 +71,15 @@ def _walk_nodes(spark, root) -> list[str]:
                 seen_caches.add(key)
                 walk(rel.cachedPlan())
             return
+        # expression-side subquery plans (scalar/IN subqueries) run as
+        # their own jobs but are NOT in children() — walk them too so
+        # their exchanges count as paid-for stages
+        try:
+            sit = node.subqueries().iterator()
+            while sit.hasNext():
+                walk(sit.next())
+        except Exception:
+            pass
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())
