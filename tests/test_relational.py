@@ -277,3 +277,31 @@ def test_table_profile_counts_and_extremes(spark):
     assert prof["k"].min_str == "1" and prof["k"].max_str == "2"
     assert prof["s"].n_nulls == 1 and prof["s"].min_str == "a"
     assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+
+
+def test_fuzzy_join_blocked_edges(spark):
+    """Empty sides and block-boundary edits: a pair whose single edit
+    falls inside the block prefix is the documented single-pass recall
+    loss (found by a second pass on a different key, not silently
+    claimed)."""
+    from mriya_spark.ops.relational import fuzzy_join_blocked
+
+    a = spark.createDataFrame([(1, "abcdef")], ["id", "name"])
+    b_hit = spark.createDataFrame([(2, "abcdeX")], ["id", "name"])   # edit after block
+    b_miss = spark.createDataFrame([(3, "Xbcdef")], ["id", "name"])  # edit inside block
+    empty = spark.createDataFrame([], "id long, name string")
+    got = fuzzy_join_blocked(a, b_hit, col="name", id_col="id",
+                             max_dist=1, block_len=4).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 1)]
+    assert fuzzy_join_blocked(a, b_miss, col="name", id_col="id",
+                              max_dist=1, block_len=4).count() == 0
+    assert fuzzy_join_blocked(a, empty, col="name", id_col="id").count() == 0
+
+
+def test_table_profile_empty_frame(spark):
+    from mriya_spark.ops.quality import table_profile
+
+    df = spark.createDataFrame([], "k long, s string")
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert prof["k"].n_nulls == 0 and prof["k"].n_distinct == 0
+    assert prof["k"].min_str is None and prof["s"].max_str is None
