@@ -938,10 +938,11 @@ def window_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS BIGINT)) OVER (
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_qty
     FROM lineitem
     """,
 )
