@@ -499,6 +499,87 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_portable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe mechanics with FIXED (caller-supplied) unit centroids,
+    every float op JVM-side in index order — the cross-engine-exact
+    twin of ``ivf_topk``'s probe path, value-checkable in any engine
+    that evaluates dot products as a sequential fold (the construction
+    the hash-green LSH oracle family already relies on).
+
+    Differences from the production path, and why:
+
+    - centroids are literals, not a trained quantizer: Lloyd
+      iterations are float-order-dependent and engine-bound, so the
+      trained path stays rows-only; with the quantizer pinned, cell
+      assignment -> nprobe pruning -> candidate join -> rank is exact.
+    - cell assignment is ``array_position(dots, array_max(dots))``
+      over 16 sequential-fold dots (first index wins ties), NOT the
+      numpy-matmul pandas UDF (``_centroid_udf``): a batched matmul
+      may reduce in a different float order than a sequential scan.
+    - vectors are NOT unit-normalized before assignment: with unit
+      centroids, argmax dot == argmax cosine, and skipping the
+      normalizing divide removes a whole class of cross-engine
+      last-ulp hazards.
+
+    Plan shape is the one that matters at scale: assignment is
+    scan-local (no shuffle), the probe join is an equi-join on cell
+    with the tiny exploded query side broadcast, ranking is one
+    shuffle on query_id.
+    """
+    dots = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.array_position(dots, F.array_max(dots)).alias("cell"),
+    )
+    q_dots = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(dots).alias("cid0", "d"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("d").desc(), F.col("cid0")
+    )
+    q = (
+        q_dots.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id", "q_vec", (F.col("cid0") + 1).cast("long").alias("cell")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,

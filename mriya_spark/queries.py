@@ -2571,6 +2571,74 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_portable_oracle_sql(
+    *, dim: int = 64, n_centroids: int = 16, nprobe: int = 4, k: int = 10,
+    seed: int = 7,
+) -> str:
+    """Oracle for the fixed-centroid IVF probe: inline the seeded unit
+    centroids as literals (the ``_ann_lsh_oracle_sql`` argument —
+    identical doubles on both sides, sequential-fold dot products),
+    assign cell = first-index argmax dot (``list_indexof(dots,
+    list_max(dots))`` == Spark ``array_position(dots,
+    array_max(dots))``, both first-wins on ties), probe each query's
+    ``nprobe`` best cells via a ranked parallel-unnest of the dots
+    list, then the exact candidate join + rounded-cosine ranking."""
+    from mriya_spark.ops.vector import _unit_py, hyperplanes
+
+    cents = [_unit_py(p) for p in hyperplanes(dim, n_centroids, seed)]
+    dots = "[" + ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "])"
+        for c in cents
+    ) + "]"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, v, {dots} AS dots
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, v AS c_vec,
+             CAST(list_indexof(dots, list_max(dots)) AS BIGINT) AS cell
+      FROM base),
+    probes AS (
+      SELECT query_id, q_vec, cell FROM (
+        SELECT vec_id AS query_id, v AS q_vec, cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM (SELECT vec_id, v,
+                     unnest(dots) AS d,
+                     CAST(unnest(range(1, {n_centroids + 1})) AS BIGINT) AS cid
+              FROM base WHERE vec_id < 5))
+      WHERE rn <= {nprobe})
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.q_vec, c.c_vec), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.q_vec, c.c_vec), 6) DESC,
+                        c.neighbor_id) AS rank
+      FROM corpus c JOIN probes q ON c.cell = q.cell
+      WHERE c.neighbor_id != q.query_id)
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_ann_ivf_portable", _ann_ivf_portable_oracle_sql())
+def similarity_ann_ivf_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe mechanics hash-checked end to end: seeded unit
+    centroids inlined on both sides, cell assignment -> nprobe pruning
+    -> candidate equi-join -> rounded-cosine rank all exact SQL (see
+    ``ops.vector.ivf_portable_topk``). The float-k-means production
+    path (``similarity_ann_ivf``) stays rows-only by design — Lloyd
+    training is engine-bound; everything downstream of the quantizer
+    is value-checked here."""
+    from mriya_spark.ops.vector import _unit_py, hyperplanes, ivf_portable_topk
+
+    cents = [_unit_py(p) for p in hyperplanes(64, 16, 7)]
+    emb = _cat(spark, sf_dir).table("embeddings")
+    return ivf_portable_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cents, k=10, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # north-star: multimodal column plumbing (ops.multimodal)
 # ---------------------------------------------------------------------------

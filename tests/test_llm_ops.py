@@ -438,6 +438,57 @@ def test_ivf_topk_recall_and_determinism(catalog):
     assert {(r.query_id, r.neighbor_id) for r in again} == approx_set
 
 
+def test_ivf_portable_matches_python_model(catalog):
+    """The fixed-centroid portable probe reproduces a pure-Python
+    sequential-fold model exactly: cell assignment (first-wins argmax
+    dot), nprobe probe set, candidate membership, and ranking."""
+    emb = catalog.table("embeddings")
+    cents = [vector._unit_py(p) for p in vector.hyperplanes(64, 16, 7)]
+    got = vector.ivf_portable_topk(
+        emb, emb.filter("vec_id < 5"), cents, k=10, nprobe=4
+    ).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    cell = {}
+    dots_by_id = {}
+    for r in rows:
+        dots = [seq_dot(r.embedding, c) for c in cents]
+        dots_by_id[r.vec_id] = dots
+        cell[r.vec_id] = dots.index(max(dots)) + 1
+    import math
+
+    expect = {}
+    for qid in [r.vec_id for r in rows if r.vec_id < 5]:
+        probe = {
+            cid + 1
+            for cid in sorted(
+                range(16), key=lambda i: (-dots_by_id[qid][i], i)
+            )[:4]
+        }
+        qv = next(r.embedding for r in rows if r.vec_id == qid)
+        qn = math.sqrt(seq_dot(qv, qv))
+        cands = []
+        for r in rows:
+            if r.vec_id == qid or cell[r.vec_id] not in probe:
+                continue
+            cn = math.sqrt(seq_dot(r.embedding, r.embedding))
+            cos = round(seq_dot(qv, r.embedding) / (qn * cn), 6)
+            cands.append((cos, r.vec_id))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, nid) in enumerate(cands[:10], start=1):
+            expect[(qid, nid)] = (cos, rank)
+
+    assert {(r.query_id, r.neighbor_id): (r.cosine_sim, r.rank) for r in got} \
+        == expect
+
+
 def test_ivf_train_deterministic_unit_centroids(catalog):
     emb = catalog.table("embeddings")
     c1 = vector.ivf_train(emb, n_centroids=4, iters=2)
