@@ -57,7 +57,16 @@ def sweep_stale(
     old /tmp location, ~/.cache has no reboot/tmpwatch cleanup, so
     repeated bench/test runs would grow it without bound). Same
     age-gated posture as the IVF ``__build_`` sweep: a FRESH sibling
-    may be a concurrent run still writing — only stale ones go."""
+    may be a concurrent run still writing — only stale ones go.
+
+    Staleness of a DIRECTORY is judged by the newest mtime among the
+    dir itself and its immediate children, not the top-level mtime
+    alone: a live Structured Streaming checkpoint writes into
+    ``offsets/``/``commits/`` subdirs without refreshing the parent's
+    mtime, and a long-running concurrent query must not have its
+    checkpoint swept mid-run (r7 ADVICE). Plain files are removed with
+    ``os.remove`` — ``rmtree(ignore_errors=True)`` silently no-ops on
+    them (r7 ADVICE)."""
     import shutil
     import time
 
@@ -70,8 +79,24 @@ def sweep_stale(
             continue
         full = os.path.join(d, name)
         try:
-            if now - os.path.getmtime(full) <= max_age_s:
+            newest = os.path.getmtime(full)
+            if os.path.isdir(full):
+                for child in os.listdir(full):
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(full, child)),
+                        )
+                    except OSError:
+                        continue
+            if now - newest <= max_age_s:
                 continue
         except OSError:
             continue
-        shutil.rmtree(full, ignore_errors=True)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            try:
+                os.remove(full)
+            except OSError:
+                pass

@@ -814,8 +814,14 @@ def _neardup_batch_body(
                 num_perm=num_perm, bands=bands,
             )
         )
-        if os.path.exists(index_path):
-            # prune the index read to the batch's touched buckets via a
+        if os.path.exists(index_path) and os.path.exists(target_path):
+            # both guards matter: a crash between the band write and
+            # the doc write on the FIRST batch leaves the index without
+            # a doc store — the orphan band rows reference docs that
+            # never landed, so there is nothing to screen against and
+            # the replay must fall through to re-append (their band
+            # rows duplicate, which candidate dedup absorbs).
+            # Prune the index read to the batch's touched buckets via a
             # broadcast semi-join (batch-sized build side, no driver
             # round-trip, no IN-list bloat at large trigger sizes)
             idx = spark.read.parquet(index_path).join(

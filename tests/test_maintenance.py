@@ -206,3 +206,35 @@ def test_sweep_stale_age_gated(tmp_path, monkeypatch):
     assert not os.path.exists(old)  # stale + matching -> swept
     assert os.path.exists(fresh)  # fresh -> kept
     assert os.path.exists(other)  # stale but non-matching -> kept
+
+
+def test_sweep_stale_files_and_live_checkpoints(tmp_path, monkeypatch):
+    """r7 ADVICE: (a) stale plain FILES are collected too (rmtree
+    silently no-ops on them); (b) a directory whose top-level mtime is
+    stale but whose children are fresh — the shape of a LIVE streaming
+    checkpoint writing into offsets/ — is NOT swept."""
+    import os
+    import time
+
+    from mriya_spark import cachedir
+
+    monkeypatch.setenv("MRIYA_SPARK_CACHE_DIR", str(tmp_path))
+    d = cachedir.cache_dir("stream_v2")
+    stale_t = time.time() - 7200
+
+    stale_file = os.path.join(d, "ckpt_upsert_leftover.tmp")
+    with open(stale_file, "w") as fh:
+        fh.write("x")
+    os.utime(stale_file, (stale_t, stale_t))
+
+    live_ckpt = os.path.join(d, "ckpt_upsert_live")
+    offsets = os.path.join(live_ckpt, "offsets")
+    os.makedirs(offsets)
+    with open(os.path.join(offsets, "0"), "w") as fh:
+        fh.write("{}")
+    # top-level dir mtime is stale, but offsets/ keeps being touched
+    os.utime(live_ckpt, (stale_t, stale_t))
+
+    cachedir.sweep_stale("stream_v2", "ckpt_upsert_")
+    assert not os.path.exists(stale_file)  # stale file -> removed
+    assert os.path.exists(live_ckpt)  # live checkpoint -> kept

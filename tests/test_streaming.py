@@ -431,3 +431,39 @@ def test_neardup_ingest_survives_interwrite_crash(spark, tmp_path):
         if r.doc_id >= 2_000_000
     ]
     assert len(kept3) <= 1, kept3  # LSH screens the copies
+
+
+def test_neardup_ingest_survives_first_batch_interwrite_crash(spark, tmp_path):
+    """Crash between the two appends on the FIRST batch: the band
+    index exists but the doc store does not. The replay must not
+    crash reading the absent doc store (r7 advice) and must land
+    every first-batch survivor exactly once."""
+    import mriya_spark.streaming as S
+    from mriya_spark.ops.dedup import (
+        _banded,
+        add_shingle_hashes,
+        minhash_signature,
+    )
+
+    b1 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 40"
+    ).select("doc_id", "text")
+    target = str(tmp_path / "first_crash_target")
+    # simulate the crash window: b1's band rows land, its docs don't,
+    # and no doc store exists yet
+    sh1 = add_shingle_hashes(b1, n=3)
+    (
+        _banded(
+            sh1.select(
+                "doc_id", minhash_signature("shingles").alias("sig")
+            ),
+            num_perm=64, bands=16,
+        )
+        .write.mode("append").partitionBy("band").parquet(target + "_bands")
+    )
+    assert not __import__("os").path.exists(target)
+    # retry of b1 (what foreachBatch does after the crash)
+    S.neardup_ingest_batch(b1, target, threshold=0.5)
+    ids = [r.doc_id for r in spark.read.parquet(target).collect()]
+    assert sorted(ids) == sorted(set(ids))  # no duplicate documents
+    assert len(ids) >= 35  # the batch's survivors landed
