@@ -1020,46 +1020,63 @@ def minhash_lsh_pairs_portable(
     what's checked is that the banded pipeline computes precisely the
     pairs its math says it computes).
     """
-    sig_exprs, band_structs = _portable_minhash_exprs(num_perm, bands)
     with cache_scope():
         sh = scoped_persist(
             df.select("doc_id", word_shingles(text_col, n).alias("__sh"))
         )
-        banded = scoped_persist(
-            _banded_portable_rows(sh, sig_exprs, band_structs)
+        return minhash_lsh_pairs_portable_from_shingles(
+            sh, num_perm=num_perm, bands=bands, threshold=threshold
         )
-        a = banded.alias("a")
-        b = banded.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
+
+
+def minhash_lsh_pairs_portable_from_shingles(
+    sh: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Portable LSH pairs from a pre-shingled ``(doc_id, __sh)``
+    frame (array<string> shingles) — the md5-family analogue of
+    ``minhash_lsh_pairs_from_shingles``, shared by the batch twin
+    above and the streaming portable ingest. ``sh`` is referenced
+    three times; callers hand in a persisted frame."""
+    sig_exprs, band_structs = _portable_minhash_exprs(num_perm, bands)
+    banded = scoped_persist(
+        _banded_portable_rows(sh, sig_exprs, band_structs)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        verified = (
-            cand.join(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a")),
-                on="doc_a",
-            )
-            .join(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b")),
-                on="doc_b",
-            )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        return (
-            verified.withColumn("jaccard", F.round(inter / union, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a")),
+            on="doc_a",
         )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b")),
+            on="doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def decontaminate_minhash_portable(

@@ -2914,6 +2914,134 @@ def stream_neardup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select("doc_id").orderBy("doc_id")
 
 
+def _stream_neardup_portable_oracle_sql(
+    *, threshold: float = 0.5, bands: int = 16, rows_per_band: int = 4
+) -> str:
+    """Oracle for the PORTABLE streaming near-dup ingest: the batch
+    recurrence unrolled over the four fixed staged ranges
+    (``streaming.PORTABLE_NEARDUP_BATCH_RANGES``). A doc survives its
+    batch iff (a) no smaller-id doc IN THE SAME BATCH shares a band
+    and verifies at jaccard >= threshold (the within-batch screen
+    drops every ``doc_b`` of a verified pair), and (b) no ALREADY
+    ACCUMULATED survivor shares a band and verifies (the band-index
+    screen; portable buckets are injective concat strings, so bucket
+    equality == signature-slice equality and candidate generation has
+    no collisions to model). Survivors accumulate batch by batch —
+    exactly ``_neardup_batch_body``'s order of operations."""
+
+    def band(x: str, y: str) -> str:
+        return " OR ".join(
+            "(" + " AND ".join(
+                f"{x}.sig[{b * rows_per_band + r + 1}] = "
+                f"{y}.sig[{b * rows_per_band + r + 1}]"
+                for r in range(rows_per_band)
+            ) + ")"
+            for b in range(bands)
+        )
+
+    def jacc(x: str, y: str) -> str:
+        inter = f"len(list_intersect({x}.shingles, {y}.shingles))"
+        return (
+            f"round({inter}::DOUBLE / (len({x}.shingles) + "
+            f"len({y}.shingles) - {inter}), 6) >= {threshold}"
+        )
+
+    # NOT EXISTS with a correlated ``list_intersect(a.shingles,
+    # d.shingles)`` fails to bind in DuckDB (the outer list column is
+    # invisible inside the list function), so the recurrence is
+    # hand-decorrelated: each screen is an explicit JOIN producing a
+    # dropped-id set, survivors are a NOT IN against it.
+    def within(k: int) -> str:
+        return (
+            f"SELECT DISTINCT d.doc_id FROM sig d JOIN sig a "
+            f"ON d.batch = {k} AND a.batch = {k} "
+            f"AND a.doc_id < d.doc_id AND ({band('a', 'd')}) "
+            f"AND {jacc('a', 'd')}"
+        )
+
+    def vs_acc(k: int, acc: str) -> str:
+        return (
+            f"SELECT DISTINCT d.doc_id FROM sig d JOIN {acc} o "
+            f"ON d.batch = {k} AND ({band('o', 'd')}) AND {jacc('o', 'd')}"
+        )
+
+    return rf"""
+    WITH corpus AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id < 75 THEN 1 WHEN doc_id < 150 THEN 2
+                  WHEN doc_id < 1000025 THEN 3 ELSE 4 END AS batch
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
+            FROM documents WHERE doc_id < 50)),
+    words AS (
+      SELECT doc_id, batch,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      FROM corpus),
+    sh AS (
+      SELECT doc_id, batch,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             END) AS shingles
+      FROM words),
+    sig AS (
+      SELECT doc_id, batch, shingles,
+             [{_MINHASH_PORTABLE_PERMS}] AS sig
+      FROM sh),
+    s1 AS (
+      SELECT * FROM sig WHERE batch = 1
+        AND doc_id NOT IN ({within(1)})),
+    s2 AS (
+      SELECT * FROM sig WHERE batch = 2
+        AND doc_id NOT IN ({within(2)})
+        AND doc_id NOT IN ({vs_acc(2, 's1')})),
+    acc2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    s3 AS (
+      SELECT * FROM sig WHERE batch = 3
+        AND doc_id NOT IN ({within(3)})
+        AND doc_id NOT IN ({vs_acc(3, 'acc2')})),
+    acc3 AS (SELECT * FROM acc2 UNION ALL SELECT * FROM s3),
+    s4 AS (
+      SELECT * FROM sig WHERE batch = 4
+        AND doc_id NOT IN ({within(4)})
+        AND doc_id NOT IN ({vs_acc(4, 'acc3')}))
+    SELECT doc_id FROM (
+      SELECT doc_id FROM acc3 UNION ALL SELECT doc_id FROM s4)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "stream_neardup_ingest_portable", _stream_neardup_portable_oracle_sql()
+)
+def stream_neardup_ingest_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup ingest FINAL STATE, hash-checked: fixed
+    staged batches (``stage_neardup_docs_fixed``) + the md5-portable
+    LSH family make the surviving corpus a pure function of (docs,
+    batch boundaries), which the oracle unrolls as a four-step
+    screen-then-append recurrence in DuckDB. The xxhash production
+    twin (``stream_neardup_ingest``) stays rows-only by hash family;
+    its replay idempotence and crash windows are pinned in tests."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+
+    path = S.stage_neardup_docs_fixed(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    _sweep_stale("stream_v2", "neardup_target_")
+    target = _os.path.join(
+        _cache_subdir("stream_v2"), f"neardup_target_p{_uuid.uuid4().hex[:8]}"
+    )
+    S.stream_neardup_ingest_portable(stream, target, threshold=0.5)
+    return spark.read.parquet(target).select("doc_id").orderBy("doc_id")
+
+
 @register(
     "stream_stateful_counter",
     """

@@ -773,7 +773,106 @@ def neardup_ingest_batch(
     try:
         _neardup_batch_body(
             spark, sh, _pin, target_path, index_path,
-            threshold=threshold, num_perm=num_perm, bands=bands, seed=seed,
+            threshold=threshold,
+            **_xxhash_lsh_family(num_perm=num_perm, bands=bands,
+                                 threshold=threshold, seed=seed),
+        )
+    finally:
+        for df_ in pinned:
+            df_.unpersist()
+
+
+def _xxhash_lsh_family(*, num_perm, bands, threshold, seed):
+    """Production LSH family for the ingest body: xxhash64 shingle
+    hashes + xxhash64 band buckets (fast, engine-bound)."""
+    from mriya_spark.ops.dedup import (
+        _banded,
+        minhash_lsh_pairs_from_shingles,
+        minhash_signature,
+    )
+
+    def pairs_fn(shingles):
+        return minhash_lsh_pairs_from_shingles(
+            shingles, num_perm=num_perm, bands=bands,
+            threshold=threshold, seed=seed,
+        )
+
+    def band_fn(df):
+        return _banded(
+            df.select(
+                "doc_id",
+                minhash_signature(
+                    "shingles", num_perm=num_perm, seed=seed
+                ).alias("sig"),
+            ),
+            num_perm=num_perm, bands=bands,
+        )
+
+    return {"pairs_fn": pairs_fn, "band_fn": band_fn}
+
+
+def _portable_lsh_family(*, num_perm, bands, threshold):
+    """Engine-portable LSH family (md5 signature draws, injective
+    string buckets) — every downstream decision reproduces in any
+    engine with md5, so the ingest recurrence becomes oracle-checkable
+    (``queries.stream_neardup_ingest_portable``)."""
+    from mriya_spark.ops.dedup import (
+        _banded_portable_rows,
+        _portable_minhash_exprs,
+        minhash_lsh_pairs_portable_from_shingles,
+    )
+
+    sig_exprs, band_structs = _portable_minhash_exprs(num_perm, bands)
+
+    def pairs_fn(shingles):
+        return minhash_lsh_pairs_portable_from_shingles(
+            shingles.select("doc_id", F.col("shingles").alias("__sh")),
+            num_perm=num_perm, bands=bands, threshold=threshold,
+        )
+
+    def band_fn(df):
+        return _banded_portable_rows(
+            df.select("doc_id", F.col("shingles").alias("__sh")),
+            sig_exprs, band_structs,
+        )
+
+    return {"pairs_fn": pairs_fn, "band_fn": band_fn}
+
+
+def neardup_ingest_batch_portable(
+    batch: DataFrame,
+    target_path: str,
+    *,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> None:
+    """``neardup_ingest_batch`` in the engine-portable md5 LSH family:
+    array<string> word shingles, md5 signature draws, injective band
+    buckets. Identical control flow (same ``_neardup_batch_body``) —
+    only the hash family differs, which is exactly what makes the
+    multi-batch recurrence expressible in the DuckDB oracle."""
+    from mriya_spark.ops.dedup import word_shingles
+
+    spark = batch.sparkSession
+    index_path = f"{target_path}_bands"
+    pinned: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        df.persist()
+        pinned.append(df)
+        return df
+
+    sh = _pin(
+        batch.withColumn("shingles", word_shingles("text", n))
+    )
+    try:
+        _neardup_batch_body(
+            spark, sh, _pin, target_path, index_path,
+            threshold=threshold,
+            **_portable_lsh_family(num_perm=num_perm, bands=bands,
+                                   threshold=threshold),
         )
     finally:
         for df_ in pinned:
@@ -781,39 +880,21 @@ def neardup_ingest_batch(
 
 
 def _neardup_batch_body(
-    spark, sh, _pin, target_path, index_path, *, threshold, num_perm,
-    bands, seed,
+    spark, sh, _pin, target_path, index_path, *, threshold, pairs_fn,
+    band_fn,
 ):
     from mriya_spark.caching import cache_scope
-    from mriya_spark.ops.dedup import (
-        _banded,
-        minhash_lsh_pairs_from_shingles,
-        minhash_signature,
-    )
 
-    # cache_scope: minhash_lsh_pairs_from_shingles scope-persists its
-    # banded frame internally; without a scope per batch, each
-    # micro-batch would pin one more cached frame on the streaming
-    # thread forever (r7 review finding)
+    # cache_scope: pairs_fn scope-persists its banded frame
+    # internally; without a scope per batch, each micro-batch would
+    # pin one more cached frame on the streaming thread forever
+    # (r7 review finding)
     with cache_scope():
         shingles = sh.select("doc_id", "shingles")
-        in_pairs = minhash_lsh_pairs_from_shingles(
-            shingles, num_perm=num_perm, bands=bands,
-            threshold=threshold, seed=seed,
-        )
+        in_pairs = pairs_fn(shingles)
         dropped = in_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         keep = _pin(sh.join(dropped, on="doc_id", how="left_anti"))
-        banded_new = _pin(
-            _banded(
-                keep.select(
-                    "doc_id",
-                    minhash_signature(
-                        "shingles", num_perm=num_perm, seed=seed
-                    ).alias("sig"),
-                ),
-                num_perm=num_perm, bands=bands,
-            )
-        )
+        banded_new = _pin(band_fn(keep))
         if os.path.exists(index_path) and os.path.exists(target_path):
             # both guards matter: a crash between the band write and
             # the doc write on the FIRST batch leaves the index without
@@ -892,6 +973,103 @@ def _neardup_batch_body(
             .parquet(index_path)
         )
         keep2.write.mode("append").parquet(target_path)
+
+
+#: explicit batch boundaries for the PORTABLE streaming near-dup twin.
+#: ``repartitionByRange`` (the production staging) picks split points by
+#: sampling, which no SQL oracle can reproduce — so the portable twin
+#: stages one file per FIXED doc_id range, making the batch sequence
+#: part of the oracle contract (originals 0-149 in two batches, the
+#: +1e6 perturbed copies of docs 0-49 in two later ones).
+PORTABLE_NEARDUP_BATCH_RANGES = (
+    (0, 75),
+    (75, 150),
+    (1_000_000, 1_000_025),
+    (1_000_025, 1_000_050),
+)
+
+
+def stage_neardup_docs_fixed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the near-dup corpus as explicit fixed-range batch files
+    (one parquet file per ``PORTABLE_NEARDUP_BATCH_RANGES`` entry,
+    monotone mtimes + lexicographic names, so ``maxFilesPerTrigger=1``
+    replays the exact batch sequence the oracle unrolls). The corpus
+    rows are built with the same Spark expressions as
+    ``stage_neardup_docs``; only the batching differs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"{_STAGE_ROOT}/neardup_fixed_{tag}"
+    marker = f"{out}/_STAGED"
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "text")
+        )
+        perturbed = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 50)
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+            )
+        )
+        # the staged fixture is ~200 rows by construction — a bounded
+        # control-plane materialization, not a data-plane collect
+        pdf = docs.unionByName(perturbed).toPandas()
+        import time as _time
+
+        base = _time.time() - len(PORTABLE_NEARDUP_BATCH_RANGES) * 10
+        for i, (lo, hi) in enumerate(PORTABLE_NEARDUP_BATCH_RANGES):
+            part = pdf[(pdf.doc_id >= lo) & (pdf.doc_id < hi)].sort_values(
+                "doc_id"
+            )
+            fpath = os.path.join(out, f"batch_{i}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False), fpath
+            )
+            os.utime(fpath, (base + i * 10, base + i * 10))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def stream_neardup_ingest_portable(
+    docs: DataFrame,
+    target_path: str,
+    *,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """``stream_neardup_ingest`` with the engine-portable md5 LSH
+    family (``neardup_ingest_batch_portable``): same foreachBatch
+    machinery, same per-batch screen-then-append recurrence — and with
+    fixed staged batches the surviving corpus is a pure function of
+    (docs, batch boundaries) that a SQL oracle can unroll."""
+    spark = docs.sparkSession
+    ckpt = f"{_STAGE_ROOT}/ckpt_neardup_{uuid.uuid4().hex[:12]}"
+
+    def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
+        neardup_ingest_batch_portable(
+            batch, target_path, threshold=threshold, n=n,
+            num_perm=num_perm, bands=bands,
+        )
+
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            docs.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return target_path
 
 
 def stage_neardup_docs(
