@@ -35,6 +35,12 @@ HEADLINE = [
     "pipeline_decontaminate_lsh",    # bipartite MinHash decontamination
     "connector_scan_pushdown",       # DSv2 pushdown through the connector
     "stream_tumbling_window",        # micro-batch windowed agg (streaming)
+    # r8 additions: the r7 operator families get a perf trend line
+    "dedup_substring",       # k-gram diagonal islands (Lee-et-al spans)
+    "dedup_span_surgery",    # span dedup + within-doc text rebuild
+    "shard_shuffle",         # deterministic reshard: ONE hash exchange
+    "join_fuzzy_blocked",    # prefix+length-blocked Levenshtein join
+    "sample_temperature_mix",  # temperature-smoothed source mixing
 ]
 
 
@@ -162,11 +168,18 @@ def main() -> None:
                 # (across processes too, via _centroids.json), so cold
                 # here measures plan/codegen cost, not index build.
                 "notes": (
-                    "r7: queries{} is the median of 5 warm runs (raw "
-                    "timings in runs{}) — single-shot warm numbers carried "
-                    "±2s session noise. similarity_ann_ivf probes the "
+                    "queries{} is the median of 5 warm runs (raw timings "
+                    "in runs{}). similarity_ann_ivf probes the "
                     "materialized IVF index (train-once, partition-pruned); "
-                    "index build is one-time setup reused from disk."
+                    "index build is one-time setup reused from disk. "
+                    "r8 interleaved A/B (r6 tip vs r7 tip, 4 alternating "
+                    "full-suite sessions + 3 isolated sessions for the one "
+                    "outlier): warm totals r6 12.53 vs r7 12.73 (+1.5%), "
+                    "every per-query min within ±10% except orderby_topk, "
+                    "which disappears when benched in isolation — the "
+                    "recorded r6->r7 +19% was HOST drift (r6's own tree "
+                    "re-benches 21% slower today), not a code regression. "
+                    "Method: SCALE.md 'Measurement discipline'."
                 ),
             }
         )
