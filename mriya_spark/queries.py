@@ -2661,6 +2661,50 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_payload(_cat(spark, sf_dir).table("documents")).drop("payload")
 
 
+@register(
+    "multimodal_decode_portable",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha,
+           CAST(1 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 64
+                AS INTEGER) AS width,
+           CAST(1 + ('0x' || substr(sha256(text), 3, 2))::BIGINT % 64
+                AS INTEGER) AS height,
+           CAST(d.i AS BIGINT) AS dim_idx,
+           round(('0x' || substr(sha256(text), 5 + 2 * d.i, 2))::BIGINT
+                 / 255.0, 6) AS value
+    FROM documents, (SELECT unnest(range(0, 8)) AS i) d
+    """,
+)
+def multimodal_decode_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode plumbing, hash-checked: the stub decoder
+    is a pure function of the payload bytes (width/height = sha256
+    bytes 0-1 mod 64 + 1, features = bytes 2-9 scaled /255 rounded to
+    6 decimals — ``ops.multimodal._fake_decode``), so DuckDB
+    recomputes it from hex digits of ``sha256(text)``. What this
+    value-checks is the REAL part — Arrow batch iteration, the decode
+    schema, null handling, the posexplode — end to end. Features ride
+    the production ``array<float>`` schema; the registered projection
+    posexplodes and re-rounds through DOUBLE (float32 error ~1e-8 is
+    far inside the 5e-7 rounding radius, so the 6-decimal value
+    round-trips exactly; a raw float->double cast would NOT hash-match
+    a double-computed oracle). ``multimodal_decode`` itself stays
+    rows-only purely for back-compat of its flattened-CSV projection —
+    the decode path is the same code."""
+    from mriya_spark.ops.multimodal import attach_payload, decode_stub
+
+    decoded = decode_stub(attach_payload(_cat(spark, sf_dir).table("documents")))
+    return decoded.select(
+        "doc_id", "n_bytes", "payload_sha", "width", "height",
+        F.posexplode("features").alias("dim_idx", "value"),
+    ).select(
+        "doc_id", "n_bytes", "payload_sha", "width", "height",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 @register("multimodal_decode", None)  # stubbed decoder -> rows-only
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage (decoder STUBBED — no
