@@ -3558,6 +3558,105 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL-portable constants: m=256 buckets from the top of a 60-bit md5
+#: draw, 52-bit rho window. The estimate scale constant alpha*m²*2^53
+#: is computed ONCE here and inlined as the identical double literal
+#: on both sides, so the only float ops are one division, one
+#: comparison, and (in the small-range branch) one ln — each a single
+#: correctly-rounded operation on identical operands.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_SCALE = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+
+
+def _hll_portable_oracle_sql() -> str:
+    """Oracle for the md5-family HLL: registers are exact integers
+    (bucket = h mod 256, rho = leading zeros of the remaining 52 bits
+    + 1 via binary-string length — both engines agree on bin()/conv
+    semantics including the rest=0 edge), the harmonic denominator is
+    the EXACT BIGINT sum of 2^(53-M) (no float summation order to
+    diverge), and the estimate is a single rounded division."""
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS segment,
+             ('0x' || substr(md5('9_' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders),
+    rho AS (
+      SELECT segment, h % {_HLL_M} AS bucket,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END AS r
+      FROM vals),
+    regs AS (SELECT segment, bucket, max(r) AS m FROM rho GROUP BY 1, 2),
+    allregs AS (
+      SELECT segment, bucket, m FROM regs
+      UNION ALL
+      SELECT '__merged', bucket, max(m) FROM regs GROUP BY bucket),
+    agg AS (
+      SELECT segment,
+             CAST(sum(1::BIGINT << (53 - m))
+                  + ({_HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s_int,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS n_empty
+      FROM allregs GROUP BY segment)
+    SELECT segment,
+           round(CASE WHEN {_HLL_SCALE!r} / s_int <= {2.5 * _HLL_M}
+                       AND n_empty > 0
+                      THEN {_HLL_M} * ln({_HLL_M} / CAST(n_empty AS DOUBLE))
+                      ELSE {_HLL_SCALE!r} / s_int END, 4) AS est_distinct,
+           s_int, n_empty
+    FROM agg
+    """
+
+
+@register("sketch_hll_portable", _hll_portable_oracle_sql())
+def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL in the engine-portable md5 hash family: one
+    sketch per segment plus their merge (per-bucket max — the
+    associative merge the 100 TB rollup relies on), value-checked to
+    the bit. ``s_int`` is the exact integer harmonic denominator, so a
+    single flipped register bit anywhere fails the hash; the float
+    estimate is one rounded division (or one ln in the small-range
+    branch) on identical operands. The Datasketches production twin
+    (``sketch_hll_mergeable``) stays rows-only — its register layout
+    is library-internal; accuracy vs exact is pinned in tests."""
+    from mriya_spark.portable import md5_long60
+
+    o = _cat(spark, sf_dir).table("orders").select(
+        F.col("o_orderpriority").alias("segment"), "o_custkey"
+    )
+    h = md5_long60(9, F.col("o_custkey"))
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    regs = (
+        o.select("segment", (h % _HLL_M).alias("bucket"), rho.alias("r"))
+        .groupBy("segment", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("__merged").alias("segment"), "bucket", "m")
+    )
+    allregs = regs.unionByName(merged)
+    agg = allregs.groupBy("segment").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m)"))
+            + (_HLL_M - F.count(F.lit(1)))
+            * F.lit(1 << 53).cast("long")
+        ).cast("long").alias("s_int"),
+        (_HLL_M - F.count(F.lit(1))).cast("long").alias("n_empty"),
+    )
+    est_raw = F.lit(_HLL_SCALE) / F.col("s_int")
+    est = F.when(
+        (est_raw <= 2.5 * _HLL_M) & (F.col("n_empty") > 0),
+        _HLL_M * F.log(_HLL_M / F.col("n_empty").cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        "segment", F.round(est, 4).alias("est_distinct"), "s_int", "n_empty"
+    )
+
+
 @register(
     "udaf_geomean",
     """

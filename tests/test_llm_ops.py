@@ -658,6 +658,23 @@ def test_hll_sketch_estimate_accuracy(catalog, spark):
     assert abs(out.est_distinct_custkeys - exact) / exact < 0.05
 
 
+def test_hll_portable_estimate_accuracy_and_merge(catalog, spark):
+    """The md5-family HLL must estimate within the standard error
+    envelope (~1.04/sqrt(256) ~ 6.5%; allow 3 sigma) and its merged
+    sketch must dominate every per-segment register sum (merging can
+    only raise registers, so s_int can only shrink)."""
+    from mriya_spark.queries import queries
+
+    rows = queries()["sketch_hll_portable"](spark, "/root/testdata/sf0.001").collect()
+    by_seg = {r.segment: r for r in rows}
+    merged = by_seg.pop("__merged")
+    exact = catalog.table("orders").select("o_custkey").distinct().count()
+    assert abs(merged.est_distinct - exact) / exact < 0.20
+    for r in by_seg.values():
+        assert merged.s_int <= r.s_int
+        assert merged.n_empty <= r.n_empty
+
+
 def test_ivf_indexed_matches_inmemory_and_prunes(catalog, spark, tmp_path):
     """The materialized IVF layout must return the identical result
     set as the in-memory form (same centroids, same probe policy) and
