@@ -288,3 +288,99 @@ def fuzzy_join_blocked(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+#: Bloom screen defaults: 32768-bit filter in 63-bit words (520 full
+#: words + remainder; bit 63 is never used because ``1 << 63``
+#: overflows BIGINT in engines with checked shifts, where Spark's
+#: Java semantics would silently wrap — 63-bit words keep every word
+#: positive and every shift portable), 3 md5-family probes. Fixed so
+#: the DuckDB oracle can recompute the identical filter; at ~2300 ref
+#: keys (sf0.1) the false-positive rate is ~(1 - e^(-3n/m))^3 ~ 0.8%.
+BLOOM_BITS = 32768
+BLOOM_WORD_BITS = 63
+BLOOM_K = 3
+BLOOM_SEED = 21
+
+
+def bloom_build(
+    ref: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> list[int]:
+    """Build a Bloom filter over ``ref[key_col]`` as ``n_bits/64``
+    64-bit words (md5-family bit positions, ``mriya_spark.portable``).
+
+    One partial-aggregated groupBy on word index (<= n_bits/64
+    groups), then a bounded driver collect of the word list — the
+    same "broadcast scalar" control-point pattern as the IVF
+    centroids. ``bit_or`` is order-independent, so the words are
+    deterministic under any partitioning, and the md5 draws make them
+    identical in any engine — which is the point: the filter an
+    overnight Spark job builds can be re-derived and VERIFIED in SQL.
+    """
+    from mriya_spark.portable import md5_long60
+
+    n_words = -(-n_bits // BLOOM_WORD_BITS)
+    pos = ref.select(
+        F.explode(
+            F.array(
+                *[
+                    (md5_long60(seed + i, F.col(key_col)) % n_bits)
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    ).select(
+        F.expr("p div 63").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").alias("m"),
+    )
+    rows = pos.groupBy("w").agg(F.expr("bit_or(m)").alias("bits")).collect()
+    words = [0] * n_words
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_screen(
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    *,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+    out_col: str = "bloom_pass",
+) -> DataFrame:
+    """Append a scan-local Bloom membership column: true iff all
+    ``k`` probe bits are set in the inlined filter.
+
+    No join, no shuffle, no broadcast exchange — the 512-word filter
+    rides the task as a constant-folded array literal, exactly how a
+    runtime-filter pushdown reaches a 100 TB probe-side scan. False
+    positives are inherent (callers that need exactness follow with
+    the real join on the ~FP-rate-sized survivor set — the filter's
+    job is to make that join's input small without shuffling the
+    probe side)."""
+    from mriya_spark.portable import md5_long60
+
+    n_bits = BLOOM_BITS
+    df = probe.withColumn(
+        "__bloom", F.array(*[F.lit(int(w)).cast("long") for w in words])
+    )
+    pcols = []
+    for i in range(k):
+        df = df.withColumn(
+            f"__p{i}", md5_long60(seed + i, F.col(key_col)) % n_bits
+        )
+        pcols.append(f"__p{i}")
+    pred = " AND ".join(
+        f"((shiftright(element_at(__bloom, cast(__p{i} div 63 as int) + 1), "
+        f"cast(__p{i} % 63 as int)) & 1) = 1)"
+        for i in range(k)
+    )
+    return df.withColumn(out_col, F.expr(pred)).drop("__bloom", *pcols)
+
+

@@ -3558,6 +3558,84 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_screen_oracle_sql() -> str:
+    """Oracle for the Bloom semi-join screen: rebuild the identical
+    filter from the ref keys (same md5 draws, same 63-bit words —
+    ``ops.relational.bloom_build``), then re-evaluate every probe's k
+    bit tests via a word-index join + bool_and. False positives are
+    REPRODUCED, not modeled: both engines compute the same bits, so
+    the screened set matches bit-for-bit including any FP."""
+    from mriya_spark.ops.relational import BLOOM_BITS, BLOOM_K, BLOOM_SEED
+
+    def draws(key: str) -> str:
+        return ", ".join(
+            f"('0x' || substr(md5('{BLOOM_SEED + i}_' || "
+            f"CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {BLOOM_BITS}"
+            for i in range(BLOOM_K)
+        )
+
+    return f"""
+    WITH ref AS (
+      SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 9000),
+    pos AS (SELECT unnest([{draws("key")}]) AS p FROM ref),
+    words AS (
+      SELECT p // 63 AS w,
+             CAST(bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS BIGINT) AS bits
+      FROM pos GROUP BY 1),
+    probes AS (
+      SELECT o_orderkey, o_custkey, unnest([{draws("o_custkey")}]) AS p
+      FROM orders),
+    checks AS (
+      SELECT pr.o_orderkey, pr.o_custkey,
+             bool_and(COALESCE(((w.bits >> CAST(pr.p % 63 AS INTEGER)) & 1) = 1,
+                               FALSE)) AS pass
+      FROM probes pr LEFT JOIN words w ON pr.p // 63 = w.w
+      GROUP BY 1, 2)
+    SELECT c.o_orderkey, c.o_custkey, (r.key IS NOT NULL) AS true_match
+    FROM checks c LEFT JOIN ref r ON c.o_custkey = r.key
+    WHERE c.pass
+    """
+
+
+@register("join_bloom_screen", _bloom_screen_oracle_sql())
+def join_bloom_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join screen, hash-checked end to end: build a
+    32768-bit md5-family filter over the high-balance customer keys
+    (one bounded word agg + driver collect, the IVF-centroid control
+    pattern), then screen the entire orders scan with a SCAN-LOCAL
+    predicate — no shuffle, no broadcast exchange, the filter rides
+    the tasks as a constant-folded literal. That is the runtime-filter
+    shape that prunes a 100 TB probe side before any join. Output =
+    the screened rows with a ``true_match`` flag (false positives are
+    part of the checked result — both engines compute identical
+    bits)."""
+    from mriya_spark.ops.relational import bloom_build, bloom_screen
+
+    cat = _cat(spark, sf_dir)
+    ref = cat.table("customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey"
+    )
+    words = bloom_build(ref, "c_custkey")
+    screened = bloom_screen(
+        cat.table("orders").select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        words,
+    ).filter("bloom_pass")
+    truth = ref.distinct().withColumn("true_match", F.lit(True))
+    return (
+        screened.join(
+            F.broadcast(truth),
+            screened["o_custkey"] == truth["c_custkey"],
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("true_match", F.lit(False)).alias("true_match"),
+        )
+    )
+
+
 #: HLL-portable constants: m=256 buckets from the top of a 60-bit md5
 #: draw, 52-bit rho window. The estimate scale constant alpha*m²*2^53
 #: is computed ONCE here and inlined as the identical double literal

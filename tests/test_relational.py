@@ -305,3 +305,23 @@ def test_table_profile_empty_frame(spark):
     prof = {r.column: r for r in table_profile(df).collect()}
     assert prof["k"].n_nulls == 0 and prof["k"].n_distinct == 0
     assert prof["k"].min_str is None and prof["s"].max_str is None
+
+
+def test_bloom_screen_no_false_negatives_and_scan_local(spark):
+    """Bloom guarantee: every true member passes (false negatives are
+    impossible); non-members mostly fail; and the screen itself adds
+    NO exchange — it must stay a scan-local predicate."""
+    import re
+
+    from mriya_spark.ops.relational import bloom_build, bloom_screen
+
+    ref = spark.range(100, 200).selectExpr("id AS key")
+    probe = spark.range(0, 2000).selectExpr("id AS key")
+    words = bloom_build(ref, "key")
+    out = bloom_screen(probe, "key", words)
+    passed = {r.key for r in out.filter("bloom_pass").collect()}
+    assert set(range(100, 200)) <= passed  # no false negatives, ever
+    fp = len(passed) - 100
+    assert fp <= 40, f"implausible FP count {fp} for 300 set bits / 32768"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (?:hash|range|Single)", plan), plan
