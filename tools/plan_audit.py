@@ -136,7 +136,8 @@ def main() -> None:
         "search_hybrid_rrf", "zorder_curve", "schema_evolution",
         "dedup_substring", "shard_shuffle", "sample_group_quota",
         "pipeline_decontaminate_ngram", "graph_pagerank",
-        "similarity_ann_ivf_portable",
+        "similarity_ann_ivf_portable", "join_bloom_screen",
+        "sketch_hll_portable",
     ]
 
     spark = get_spark(app_name="plan_audit")
