@@ -225,6 +225,46 @@ def temperature_mix(
     )
 
 
+def oversample_epochs(
+    df,
+    *,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 77,
+    max_copies: int = 16,
+):
+    """Epoch-weighted replication — the other half of training-mix
+    sampling that ``weighted_sample`` (keep-probability <= 1) cannot
+    express: a row with weight w appears floor(w) times plus one more
+    with probability frac(w), so a 2.5x source contributes each doc 2
+    or 3 times and E[copies] = w exactly. The fractional draw is the
+    md5 uniform of (seed, key) — same stateless posture as the rest of
+    the sampling family: reproducible across runs, engines, and
+    corpus growth.
+
+    Shape: scan-local explode of ``sequence(1, n)`` — no shuffle, no
+    sampling state; downstream epoch-shuffling composes via
+    ``shard_shuffle`` keyed on (key, copy). ``max_copies`` caps a
+    runaway weight column (a weight of 1e9 would otherwise explode a
+    row into a partition-sized blowup).
+
+    Appends ``copy`` (1-based BIGINT copy index) to the replicated
+    rows; rows with effective count 0 disappear.
+    """
+    from mriya_spark.portable import md5_uniform
+
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(0.0))
+    base = F.floor(w).cast("long")
+    extra = (md5_uniform(seed, F.col(key_col)) < (w - F.floor(w))).cast("long")
+    n = F.least(base + extra, F.lit(int(max_copies)).cast("long"))
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.expr("sequence(1L, __n)")))
+        .drop("__n")
+    )
+
+
 def table_profile(df, columns: list[str] | None = None):
     """ANALYZE-style one-pass column profile: nulls, distinct count,
     min/max (computed on the native type, then rendered as strings so

@@ -4654,6 +4654,66 @@ def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, weight_col="weight", key_col="doc_id", seed=42)
 
 
+#: Per-language epoch weights for the oversampling query: a
+#: multilingual training mix that upsamples the head languages (>1 ->
+#: replication) and downsamples the tail (<1 -> Bernoulli keep) in ONE
+#: primitive. Literal constants so both engines derive identical
+#: doubles.
+_EPOCH_WEIGHTS = (
+    ("en", 2.5), ("de", 1.4), ("fr", 1.0), ("es", 0.6),
+)
+_EPOCH_DEFAULT_W = 0.3
+
+
+@register(
+    "sample_oversample",
+    f"""
+    WITH w AS (
+      -- CAST to DOUBLE *before* any arithmetic: a DECIMAL(2,1) CASE
+      -- would make frac(1.4) an exact decimal 0.4 while Spark's
+      -- double 1.4 - floor(1.4) is 0.39999999999999991 — a last-ulp
+      -- threshold divergence (the window_running lesson, caught this
+      -- time by tools/check_oracle_types.py before it shipped)
+      SELECT doc_id, lang,
+             CAST(CASE lang {' '.join(f"WHEN '{l}' THEN {w}" for l, w in _EPOCH_WEIGHTS)}
+                  ELSE {_EPOCH_DEFAULT_W} END AS DOUBLE) AS weight
+      FROM documents),
+    n AS (
+      SELECT doc_id, lang, weight,
+             CAST(floor(weight) AS BIGINT)
+             + CASE WHEN ('0x' || substr(md5('77_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         / 1152921504606846976.0 < weight - floor(weight)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM w)
+    SELECT doc_id, lang, round(weight, 4) AS weight,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+    FROM n
+    """,
+)
+def sample_oversample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture sampling: per-language weights > 1
+    replicate docs (floor + Bernoulli-fractional extra copy), weights
+    < 1 subsample — the standard pre-training recipe knob ("2.5
+    epochs of English, 0.3 of the tail") as one deterministic
+    scan-local primitive (``ops.quality.oversample_epochs``). The
+    md5-family draw makes the copy counts identical in any engine, so
+    replication — not just selection — is hash-checked."""
+    from mriya_spark.ops.quality import oversample_epochs
+
+    w = F.col("lang")
+    expr = F.lit(_EPOCH_DEFAULT_W)
+    for lang, wt in reversed(_EPOCH_WEIGHTS):
+        expr = F.when(w == lang, F.lit(wt)).otherwise(expr)
+    docs = _cat(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", expr.alias("weight")
+    )
+    out = oversample_epochs(docs, weight_col="weight", key_col="doc_id")
+    return out.select(
+        "doc_id", "lang", F.round("weight", 4).alias("weight"),
+        F.col("copy").cast("long").alias("copy"),
+    )
+
+
 @register(
     "curation_recipe_spans",
     rf"""

@@ -121,3 +121,35 @@ def test_recipe_weighted_sample_stage(spark):
     assert len(rows) >= 10  # high-score docs mostly kept
     again = spec.build(df).collect()
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_oversample_epochs_copy_counts(spark):
+    """Each row's copy count is floor(w) or floor(w)+1, the empirical
+    mean tracks w (E[copies] = w), w <= 0 rows vanish, and the cap
+    bounds runaway weights."""
+    from mriya_spark.ops.quality import oversample_epochs
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 2.5 WHEN id % 3 = 1 THEN 0.5 "
+        "ELSE 0.0 END AS w",
+    )
+    out = oversample_epochs(df, weight_col="w", key_col="doc_id").collect()
+    from collections import Counter
+
+    copies = Counter(r.doc_id for r in out)
+    heavy = [copies[i] for i in range(0, 2000, 3)]
+    light = [copies.get(i, 0) for i in range(1, 2000, 3)]
+    assert set(heavy) <= {2, 3} and set(light) <= {0, 1}
+    assert not any(copies.get(i, 0) for i in range(2, 2000, 3))  # w=0 gone
+    assert abs(sum(heavy) / len(heavy) - 2.5) < 0.1
+    assert abs(sum(light) / len(light) - 0.5) < 0.1
+    # copy indexes are 1..n, and the cap bounds a runaway weight
+    assert {r.copy for r in out if r.doc_id == 0} == set(
+        range(1, copies[0] + 1)
+    )
+    capped = oversample_epochs(
+        spark.range(0, 5).selectExpr("id AS doc_id", "1e9 AS w"),
+        weight_col="w", key_col="doc_id", max_copies=4,
+    ).collect()
+    assert max(r.copy for r in capped) == 4
