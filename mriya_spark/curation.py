@@ -26,10 +26,16 @@ Spec form::
         {"type": "minhash_lsh", "threshold": 0.6},  # or "ngram_jaccard"
         {"type": "substring", "k": 8, "min_span": 16}  # span-level
       ],
+      "emit": [
+        {"type": "oversample", "group_col": "lang_pred",
+         "weights": {"en": 2.5, "de": 1.4}, "default": 0.3}
+      ],
       "output": ["doc_id", "lang_pred", "n_tokens", "quality_score"]
     }
 
-Filter/dedup stages run in spec order. Scale shape mirrors
+Filter/dedup stages run in spec order; ``emit`` stages run AFTER
+dedup (epoch oversampling before dedup would just create exact
+duplicates for the dedup stage to collapse). Scale shape mirrors
 ``queries._curate``: scoring is inline in the scan projection, exact
 dedup is one fingerprint shuffle, near-dup stages shingle once into a
 scope-cached frame that serves candidates and the final anti-join.
@@ -44,6 +50,7 @@ from mriya_spark.caching import cache_scope, scoped_persist
 
 _FILTER_TYPES = {"quality", "gopher", "lang", "token_range", "group_quota", "weighted_sample"}
 _DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard", "substring"}
+_EMIT_TYPES = {"oversample"}
 
 #: columns the scoring projection can emit
 _DERIVED = {"lang_pred", "n_tokens", "quality_score"}
@@ -56,6 +63,7 @@ class CurationSpec:
         filters: list[dict],
         dedup: list[dict],
         output: list[str],
+        emit: list[dict] | None = None,
     ):
         for f in filters:
             if f.get("type") not in _FILTER_TYPES:
@@ -77,11 +85,24 @@ class CurationSpec:
                     f"unknown dedup type {d.get('type')!r}; "
                     f"supported: {sorted(_DEDUP_TYPES)}"
                 )
+        for e in emit or []:
+            if e.get("type") not in _EMIT_TYPES:
+                raise ValueError(
+                    f"unknown emit type {e.get('type')!r}; "
+                    f"supported: {sorted(_EMIT_TYPES)}"
+                )
+            if e["type"] == "oversample" and not (
+                e.get("weight_col") or (e.get("group_col") and e.get("weights"))
+            ):
+                raise ValueError(
+                    "oversample needs 'weight_col' or 'group_col'+'weights'"
+                )
         bad = [c for c in output if c not in _DERIVED and not c.isidentifier()]
         if bad or not output:
             raise ValueError(f"bad output columns: {bad or output}")
         self.filters = filters
         self.dedup = dedup
+        self.emit = list(emit or [])
         self.output = output
 
     @classmethod
@@ -89,6 +110,7 @@ class CurationSpec:
         return cls(
             filters=list(obj.get("filters", [])),
             dedup=list(obj.get("dedup", [])),
+            emit=list(obj.get("emit", [])),
             output=list(obj.get("output", ["doc_id"])),
         )
 
@@ -113,7 +135,34 @@ class CurationSpec:
                 df = self._apply_filter(df, f, text_col, T)
             for d in self.dedup:
                 df = self._apply_dedup(df, d, text_col, D)
+            for e in self.emit:
+                df = self._apply_emit(df, e)
             return df.select(*self.output)
+
+    @staticmethod
+    def _apply_emit(df: DataFrame, e: dict) -> DataFrame:
+        # only "oversample" today (validated in __init__): replicate
+        # rows by per-group epoch weights AFTER dedup
+        from mriya_spark.ops.quality import oversample_epochs
+
+        if e.get("weights"):
+            expr = F.lit(float(e.get("default", 1.0)))
+            for gval, wt in sorted(e["weights"].items()):
+                expr = F.when(
+                    F.col(e["group_col"]) == gval, F.lit(float(wt))
+                ).otherwise(expr)
+            df = df.withColumn("__epoch_w", expr)
+            wcol = "__epoch_w"
+        else:
+            wcol = e["weight_col"]
+        out = oversample_epochs(
+            df,
+            weight_col=wcol,
+            key_col=e.get("key_col", "doc_id"),
+            seed=int(e.get("seed", 77)),
+            max_copies=int(e.get("max_copies", 16)),
+        )
+        return out.drop("__epoch_w") if e.get("weights") else out
 
     @staticmethod
     def _apply_filter(df: DataFrame, f: dict, text_col: str, T) -> DataFrame:

@@ -153,3 +153,26 @@ def test_oversample_epochs_copy_counts(spark):
         weight_col="w", key_col="doc_id", max_copies=4,
     ).collect()
     assert max(r.copy for r in capped) == 4
+
+
+def test_emit_spec_validation():
+    import pytest
+
+    from mriya_spark.curation import CurationSpec
+
+    with pytest.raises(ValueError, match="unknown emit type"):
+        CurationSpec.from_obj({"emit": [{"type": "nope"}], "output": ["doc_id"]})
+    with pytest.raises(ValueError, match="oversample needs"):
+        CurationSpec.from_obj(
+            {"emit": [{"type": "oversample"}], "output": ["doc_id"]}
+        )
+    # valid forms load
+    CurationSpec.from_obj(
+        {"emit": [{"type": "oversample", "weight_col": "w"}],
+         "output": ["doc_id", "copy"]}
+    )
+    CurationSpec.from_obj(
+        {"emit": [{"type": "oversample", "group_col": "lang_pred",
+                   "weights": {"en": 2.0}}],
+         "output": ["doc_id", "copy"]}
+    )
