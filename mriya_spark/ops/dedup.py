@@ -958,6 +958,46 @@ def decontaminate_ngram(
     return corpus.join(dirty, on="doc_id", how="left_anti")
 
 
+def decontaminate_ngram_bloom(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """``decontaminate_ngram`` with a Bloom pre-screen — the same
+    EXACT result (the filter's false positives are removed by the
+    exact gram verify, and Bloom has no false negatives), but the
+    corpus-side gram stream is pruned SCAN-LOCALLY before anything
+    shuffles: only grams whose k bloom bits are all set reach the
+    verify join. At 100 TB the reference set's grams collapse to a
+    fixed 4 KB word list however large the eval suites grow (vs
+    broadcasting the full distinct-gram set, which
+    ``decontaminate_ngram`` size-gates), and the overwhelmingly-clean
+    corpus majority never leaves its scan task.
+    """
+    from mriya_spark.caching import cache_scope, scoped_persist
+    from mriya_spark.ops.relational import bloom_build, bloom_screen
+
+    with cache_scope():
+        gr = scoped_persist(
+            kgram_positions(reference, text_col=text_col, k=k)
+            .select("gram")
+            .distinct()
+        )
+        words = bloom_build(gr, "gram")
+        gc = kgram_positions(corpus, text_col=text_col, k=k).select(
+            "doc_id", "gram"
+        )
+        cand = (
+            bloom_screen(gc, "gram", words)
+            .filter(F.col("bloom_pass"))
+            .drop("bloom_pass")
+        )
+        dirty = cand.join(gr, on="gram").select("doc_id").distinct()
+        return corpus.join(dirty, on="doc_id", how="left_anti")
+
+
 def _portable_minhash_exprs(num_perm: int, bands: int) -> tuple[str, str]:
     """The md5-family signature and band-struct SQL expression strings
     shared by the portable MinHash twins — one definition, so the pair

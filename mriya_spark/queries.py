@@ -2011,7 +2011,7 @@ def dedup_span_surgery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_decontaminate_ngram",
-    r"""
+    _DECON_NGRAM_ORACLE_SQL := r"""
     WITH corpus AS (SELECT doc_id, text FROM documents),
     ref AS (
       SELECT doc_id, ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
@@ -2045,6 +2045,29 @@ def pipeline_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
     )
     return decontaminate_ngram(corpus, ref, k=8)
+
+
+@register("pipeline_decontaminate_ngram_bloom", _DECON_NGRAM_ORACLE_SQL)
+def pipeline_decontaminate_ngram_bloom_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GPT-3-style n-gram scrub with a Bloom pre-screen
+    (``ops.dedup.decontaminate_ngram_bloom``): corpus grams are
+    pruned scan-locally against a 4 KB md5-family filter of the
+    reference grams BEFORE any shuffle; the exact verify join then
+    removes the filter's false positives, so the result is
+    IDENTICAL to ``pipeline_decontaminate_ngram`` — the two entries
+    share one oracle, and what differs (and what PLANS.md shows) is
+    that the clean-corpus majority never leaves its scan task."""
+    from mriya_spark.ops.dedup import decontaminate_ngram_bloom
+
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    return decontaminate_ngram_bloom(corpus, ref, k=8)
 
 
 @register(

@@ -965,3 +965,24 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert 300 < len(by_src["big"]) < 450  # ~0.42 of 900
     again = temperature_mix(df, tau=0.5, budget_frac=0.5).collect()
     assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_decontaminate_bloom_equals_exact(catalog, spark):
+    """The Bloom-prescreened scrub must return the IDENTICAL clean
+    corpus as the exact n-gram scrub: no false negatives by the Bloom
+    guarantee, false positives removed by the exact verify."""
+    from mriya_spark.ops.dedup import decontaminate_ngram, decontaminate_ngram_bloom
+    from pyspark.sql import functions as F
+
+    docs = catalog.table("documents")
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter("doc_id % 10 = 0").select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    exact = {r.doc_id for r in decontaminate_ngram(corpus, ref, k=8).collect()}
+    bloomed = {
+        r.doc_id for r in decontaminate_ngram_bloom(corpus, ref, k=8).collect()
+    }
+    assert bloomed == exact
+    assert len(exact) < corpus.count()  # the scrub actually dropped docs

@@ -137,7 +137,8 @@ def main() -> None:
         "dedup_substring", "shard_shuffle", "sample_group_quota",
         "pipeline_decontaminate_ngram", "graph_pagerank",
         "similarity_ann_ivf_portable", "join_bloom_screen",
-        "sketch_hll_portable",
+        "sketch_hll_portable", "pipeline_decontaminate_ngram_bloom",
+        "sample_oversample", "curation_recipe_epochs",
     ]
 
     spark = get_spark(app_name="plan_audit")
