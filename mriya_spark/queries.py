@@ -5477,6 +5477,43 @@ def shard_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_training_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, md5('42_' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    tagged AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(h, 1, 15))::BIGINT % 16 AS shard,
+             substr(h, 17, 16) AS ord
+      FROM keyed)
+    SELECT doc_id, lang,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM tagged
+    """,
+)
+def sink_training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export delivery roundtrip: reshard the corpus into 16
+    manifest'd shard directories (``sinks.write_training_shards``),
+    read them back through the manifest VERIFIER
+    (``sinks.read_training_shards`` — per-shard counts must match the
+    writer's record or the read raises), and hash-check the recovered
+    (doc_id, lang, shard, pos) assignment against the md5 recurrence.
+    The full deliver-then-consume contract of a training corpus, not
+    just the transform."""
+    from mriya_spark import sinks
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "lang")
+    path = f"{_STAGE_DIR}/training_shards"
+    sinks.write_training_shards(docs, path, num_shards=16, seed=42)
+    return sinks.read_training_shards(spark, path).select(
+        "doc_id", "lang", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
+@register(
     "text_pii_redact",
     r"""
     WITH seeded AS (

@@ -242,3 +242,83 @@ def delete_matching(target: DataFrame, ids: DataFrame, key: str) -> DataFrame:
     delete dst rows whose key appears in a src id set — 200-id OR-chain
     chunks there, one anti-join here (J4)."""
     return target.join(ids, on=key, how="left_anti")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str = "doc_id",
+    num_shards: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Deliver a curated corpus as a sharded training export:
+    deterministic reshard + intra-shard shuffle (``ops.layout.
+    shard_shuffle``), one file per ``shard=`` directory, plus a
+    ``_manifest.json`` recording per-shard row counts and the total —
+    the contract a training consumer checks before it starts an
+    epoch. Returns the manifest dict.
+
+    The manifest counts come from ONE tiny aggregate (``num_shards``
+    rows collected — a bounded control point), computed from the
+    WRITTEN data, not the input, so a lost task or truncated write
+    surfaces as a count mismatch at read time
+    (``read_training_shards``)."""
+    import json
+    import os
+
+    from mriya_spark.ops.layout import shard_shuffle
+
+    sharded = shard_shuffle(
+        df, key_col=key_col, num_shards=num_shards, seed=seed
+    )
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in written.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "format": 1,
+        "num_shards": num_shards,
+        "seed": seed,
+        "key_col": key_col,
+        "shard_rows": {str(s): counts.get(s, 0) for s in range(num_shards)},
+        "total_rows": sum(counts.values()),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read a sharded training export back, VERIFYING the manifest:
+    per-shard counts must match what the writer recorded — a torn
+    write, lost shard directory, or tampered manifest raises instead
+    of silently feeding a training run short data."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    df = spark.read.parquet(path)
+    got = {
+        str(r["shard"]): int(r["n"])
+        for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {k: int(v) for k, v in manifest["shard_rows"].items() if int(v) > 0}
+    if got != want:
+        missing = set(want) - set(got)
+        extra = set(got) - set(want)
+        bad = {k for k in set(got) & set(want) if got[k] != want[k]}
+        raise ValueError(
+            f"training shard manifest mismatch: missing shards {sorted(missing)}, "
+            f"unexpected {sorted(extra)}, wrong counts {sorted(bad)}"
+        )
+    return df

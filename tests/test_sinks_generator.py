@@ -162,3 +162,46 @@ def test_scd2_merge_multi_version_batch_chains(spark):
     assert rows[(1, 10.0)] == (t0, t1)   # closed at earliest update
     assert rows[(1, 11.0)] == (t1, t2)   # chained to next version
     assert rows[(1, 12.0)] == (t2, None)  # single open version
+
+
+def test_training_shards_manifest_verifier(spark, tmp_path):
+    """The manifest read raises on a lost shard directory and on a
+    count-tampered manifest; a clean roundtrip returns every row with
+    a dense 0-based pos per shard."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from mriya_spark import sinks
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id", "id % 7 AS grp")
+    path = str(tmp_path / "shards")
+    manifest = sinks.write_training_shards(df, path, num_shards=8, seed=1)
+    assert manifest["total_rows"] == 500
+    back = sinks.read_training_shards(spark, path)
+    assert back.count() == 500
+    per = back.groupBy("shard").agg(
+        {"pos": "max", "*": "count"}
+    ).collect()
+    for r in per:  # dense 0-based positions
+        assert r["max(pos)"] == r["count(1)"] - 1
+
+    # lost shard directory -> read refuses
+    victim = next(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    )
+    shutil.rmtree(os.path.join(path, victim))
+    with pytest.raises(ValueError, match="missing shards"):
+        sinks.read_training_shards(spark, path)
+
+    # tampered manifest count -> read refuses
+    sinks.write_training_shards(df, path, num_shards=8, seed=1)
+    mp = os.path.join(path, "_manifest.json")
+    doc = json.load(open(mp))
+    k = next(iter(doc["shard_rows"]))
+    doc["shard_rows"][k] = int(doc["shard_rows"][k]) + 1
+    json.dump(doc, open(mp, "w"))
+    with pytest.raises(ValueError, match="wrong counts"):
+        sinks.read_training_shards(spark, path)
