@@ -1392,6 +1392,93 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    firstd AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1),
+    coh AS (SELECT user_id,
+                   CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_wd
+            FROM firstd),
+    j AS (SELECT days.user_id, d, cohort_wd FROM days JOIN coh USING (user_id))
+    SELECT CAST(cohort_wd AS TIMESTAMP) AS cohort_week,
+           CAST((d - cohort_wd) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1, 2
+    """,
+)
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the canonical product-analytics
+    rollup: users bucketed by first-seen week (Monday-start in both
+    engines), then distinct active users per (cohort, week offset).
+    Plan: distinct user-days (1 shuffle), first-seen agg (reuses the
+    same user partitioning), broadcast cohort map back, final
+    count-distinct agg — nothing proportional to raw events after the
+    first distinct."""
+    ev = _cat(spark, sf_dir).table("events").select("user_id", "ts")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    # cohort_week stays TIMESTAMP (Spark date_trunc's native type) —
+    # the cross-engine-stable rendering for truncated dates (the
+    # date_funcs convention; a date-typed Spark cell would canonicalize
+    # differently from DuckDB's pandas datetime64)
+    coh = first.select(
+        "user_id", F.date_trunc("week", "cohort_day").alias("cohort_week")
+    )
+    j = days.join(coh, on="user_id")
+    return j.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("d", "cohort_week") / 7).cast("long").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           floor(o_totalprice / 25000.0) * 25000.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (25k-wide bins of order totals) — the
+    profiling primitive behind every distribution dashboard. One
+    partial-agg shuffle on the bin id; bin assignment is a single
+    float divide + floor, identical doubles in both engines."""
+    o = _cat(spark, sf_dir).table("orders").select("o_totalprice")
+    b = F.floor(F.col("o_totalprice") / 25000.0)
+    return o.groupBy(
+        b.cast("long").alias("bin"), (b * 25000.0).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "stats_corr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 4) AS sd_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bivariate statistics (Pearson corr, sample covariance,
+    stddev) — single-pass partial-aggregated moments, one tiny-output
+    shuffle. Rounded (4dp / 2dp) on both sides: the engines' moment
+    summation orders differ at ~1e-14 relative, ten orders of
+    magnitude inside the rounding quantum."""
+    li = _cat(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+@register(
     "events_gapfill",
     """
     WITH c AS (
