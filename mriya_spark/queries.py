@@ -1432,6 +1432,69 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT 1::BIGINT AS step, 'view' AS step_name,
+           CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2::BIGINT, 'click', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3::BIGINT, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    """,
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, strict succession):
+    per step, users whose earliest qualifying event follows their
+    previous step's time. Three user-keyed aggregates whose joins
+    reuse the same hash partitioning (AQE coalesces the exchanges);
+    each stage's input shrinks to the previous stage's survivors."""
+    ev = _cat(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def step(prev, etype, tcol_prev, tcol):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev, on="user_id")
+            .filter(F.col("ts") > F.col(tcol_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = step(None, "view", None, "t1")
+    s2 = step(s1, "click", "t1", "t2")
+    s3 = step(s2, "purchase", "t2", "t3")
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit("view").alias("step_name"), "n_users"),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(2).cast("long").alias("step"),
+            F.lit("click").alias("step_name"), "n_users"),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(3).cast("long").alias("step"),
+            F.lit("purchase").alias("step_name"), "n_users"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
     "agg_histogram",
     """
     SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
