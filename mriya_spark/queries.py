@@ -4728,6 +4728,120 @@ def curation_recipe_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_training_export",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
+                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM corpus),
+    kept_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    langd AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))     AS n_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
+      FROM kept_q),
+    langf AS (
+      SELECT kq.*,
+             CASE WHEN l.n_en + l.n_de + l.n_es + l.n_fr = 0 THEN 'und'
+                  WHEN l.n_de >= l.n_en AND l.n_de >= l.n_es AND l.n_de >= l.n_fr THEN 'de'
+                  WHEN l.n_en >= l.n_es AND l.n_en >= l.n_fr THEN 'en'
+                  WHEN l.n_es >= l.n_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM kept_q kq JOIN langd l USING (doc_id)),
+    ex AS (
+      SELECT min(doc_id) AS doc_id
+      FROM langf
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+    surv AS (SELECT k.doc_id, k.lang_pred FROM langf k JOIN ex USING (doc_id)),
+    copies AS (
+      SELECT doc_id, lang_pred,
+             CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+      FROM (
+        SELECT doc_id, lang_pred,
+               CAST(floor(w) AS BIGINT)
+               + CASE WHEN ('0x' || substr(md5('77_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           / 1152921504606846976.0 < w - floor(w)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM (SELECT doc_id, lang_pred,
+                     CAST(CASE lang_pred WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.4
+                          ELSE 0.3 END AS DOUBLE) AS w
+              FROM surv))),
+    keyed AS (
+      SELECT doc_id, lang_pred, copy,
+             md5('42_' || CAST(doc_id AS VARCHAR) || '_' || CAST(copy AS VARCHAR)) AS h
+      FROM copies),
+    tagged AS (
+      SELECT doc_id, lang_pred, copy,
+             ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard,
+             substr(h, 17, 16) AS ord
+      FROM keyed)
+    SELECT doc_id, lang_pred, copy,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard
+             ORDER BY ord, CAST(doc_id AS VARCHAR) || '_' || CAST(copy AS VARCHAR)
+           ) - 1 AS BIGINT) AS pos
+    FROM tagged
+    """,
+)
+def pipeline_training_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data delivery DAG, hash-checked from
+    raw documents to consumed shards: quality cut -> exact dedup ->
+    per-language epoch oversampling (curation recipe with an emit
+    stage) -> deterministic reshard keyed on (doc_id, copy) so a
+    doc's copies spread across shards -> manifest'd parquet export ->
+    VERIFYING read-back (``sinks.read_training_shards`` refuses a
+    torn delivery). Every stage is in the portable md5 family, so one
+    SQL oracle replays the whole pipeline including replication and
+    shard positions. This is the capstone composition of the corpus
+    curation, sampling, layout, and sink families."""
+    import uuid as _uuid
+
+    from mriya_spark import sinks
+    from mriya_spark.curation import CurationSpec
+
+    spec = CurationSpec.from_obj(
+        {
+            "filters": [{"type": "quality", "min_score": 0.5}],
+            "dedup": [{"type": "exact"}],
+            "emit": [
+                {
+                    "type": "oversample",
+                    "group_col": "lang_pred",
+                    "weights": {"en": 2.5, "de": 1.4},
+                    "default": 0.3,
+                }
+            ],
+            "output": ["doc_id", "lang_pred", "copy"],
+        }
+    )
+    curated = spec.build(_neardup_corpus(spark, sf_dir)).withColumn(
+        "__sk",
+        F.concat_ws(
+            "_", F.col("doc_id").cast("string"), F.col("copy").cast("string")
+        ),
+    )
+    path = f"{_STAGE_DIR}/training_export_{_uuid.uuid4().hex[:8]}"
+    _sweep_stale("stage", "training_export_")
+    sinks.write_training_shards(curated, path, key_col="__sk", num_shards=8)
+    back = sinks.read_training_shards(spark, path)
+    return back.select(
+        "doc_id",
+        "lang_pred",
+        F.col("copy").cast("long").alias("copy"),
+        F.col("shard").cast("long").alias("shard"),
+        "pos",
+    )
+
+
+@register(
     "sample_temperature_mix",
     """
     WITH corpus AS (
