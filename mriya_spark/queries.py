@@ -5767,10 +5767,16 @@ def sink_training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, lang, shard, pos) assignment against the md5 recurrence.
     The full deliver-then-consume contract of a training corpus, not
     just the transform."""
+    import uuid as _uuid
+
     from mriya_spark import sinks
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "lang")
-    path = f"{_STAGE_DIR}/training_shards"
+    # uuid path per execution: a concurrent run overwriting a shared
+    # path mid-read would trip the manifest verifier (correctly, but
+    # flakily); stale siblings are age-swept like every staged artifact
+    path = f"{_STAGE_DIR}/training_shards_{_uuid.uuid4().hex[:8]}"
+    _sweep_stale("stage", "training_shards_")
     sinks.write_training_shards(docs, path, num_shards=16, seed=42)
     return sinks.read_training_shards(spark, path).select(
         "doc_id", "lang", F.col("shard").cast("long").alias("shard"), "pos"

@@ -139,6 +139,8 @@ def main() -> None:
         "similarity_ann_ivf_portable", "join_bloom_screen",
         "sketch_hll_portable", "pipeline_decontaminate_ngram_bloom",
         "sample_oversample", "curation_recipe_epochs",
+        "events_retention", "events_funnel", "agg_histogram",
+        "stats_corr", "sink_training_shards", "pipeline_training_export",
     ]
 
     spark = get_spark(app_name="plan_audit")
