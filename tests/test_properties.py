@@ -360,3 +360,79 @@ def test_shard_shuffle_is_permutation_with_dense_pos(spark, ids, n_shards):
     df2 = spark.createDataFrame([(i,) for i in ids] + [(99_999_991,)], ["doc_id"])
     rows2 = shard_shuffle(df2, key_col="doc_id", num_shards=n_shards, seed=3).collect()
     assert all(shard_of[r.doc_id] == r.shard for r in rows2 if r.doc_id in shard_of)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=30, unique=True),
+    st.lists(
+        st.floats(min_value=0.0, max_value=5.0, allow_nan=False,
+                  allow_infinity=False),
+        min_size=30, max_size=30),
+)
+@_SETTINGS
+def test_oversample_epochs_matches_model(spark, ids, weights):
+    """oversample_epochs == the pure-Python floor+Bernoulli model with
+    the same md5 draw, for arbitrary non-negative weights."""
+    import hashlib
+    import math
+
+    from mriya_spark.ops.quality import oversample_epochs
+
+    rows = [(i, float(w)) for i, w in zip(ids, weights[: len(ids)])]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        (r.doc_id, r.copy)
+        for r in oversample_epochs(df, weight_col="w", key_col="doc_id",
+                                   seed=77).collect()
+    )
+    want = []
+    for i, w in rows:
+        u = int(hashlib.md5(f"77_{i}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        n = min(math.floor(w) + (1 if u < w - math.floor(w) else 0), 16)
+        want += [(i, c) for c in range(1, n + 1)]
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=1,
+             max_size=40, unique=True),
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=1,
+             max_size=60, unique=True),
+)
+@_SETTINGS
+def test_bloom_screen_matches_model(spark, ref_keys, probe_keys):
+    """bloom_build + bloom_screen == the pure-Python bit-set model
+    (same md5 draws, same 63-bit words): identical pass set including
+    any false positives, and never a false negative."""
+    import hashlib
+
+    from mriya_spark.ops.relational import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_SEED,
+        bloom_build,
+        bloom_screen,
+    )
+
+    ref = spark.createDataFrame([(k,) for k in ref_keys], ["key"])
+    probe = spark.createDataFrame([(k,) for k in probe_keys], ["key"])
+    words = bloom_build(ref, "key")
+    got = {
+        r.key
+        for r in bloom_screen(probe, "key", words).filter("bloom_pass").collect()
+    }
+
+    def positions(k):
+        return [
+            int(hashlib.md5(f"{BLOOM_SEED + i}_{k}".encode()).hexdigest()[:15], 16)
+            % BLOOM_BITS
+            for i in range(BLOOM_K)
+        ]
+
+    bits = set()
+    for k in ref_keys:
+        bits.update(positions(k))
+    want = {k for k in probe_keys if all(p in bits for p in positions(k))}
+    assert got == want
+    assert set(ref_keys) & set(probe_keys) <= got  # no false negatives
