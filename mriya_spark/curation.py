@@ -91,12 +91,20 @@ class CurationSpec:
                     f"unknown emit type {e.get('type')!r}; "
                     f"supported: {sorted(_EMIT_TYPES)}"
                 )
-            if e["type"] == "oversample" and not (
-                e.get("weight_col") or (e.get("group_col") and e.get("weights"))
-            ):
-                raise ValueError(
-                    "oversample needs 'weight_col' or 'group_col'+'weights'"
-                )
+            if e["type"] == "oversample":
+                has_wcol = bool(e.get("weight_col"))
+                has_map = bool(e.get("weights")) or bool(e.get("group_col"))
+                if has_wcol and has_map:
+                    raise ValueError(
+                        "oversample takes EITHER 'weight_col' OR "
+                        "'group_col'+'weights', not both"
+                    )
+                if not has_wcol and not (
+                    e.get("group_col") and e.get("weights")
+                ):
+                    raise ValueError(
+                        "oversample needs 'weight_col' or 'group_col'+'weights'"
+                    )
         bad = [c for c in output if c not in _DERIVED and not c.isidentifier()]
         if bad or not output:
             raise ValueError(f"bad output columns: {bad or output}")

@@ -963,7 +963,7 @@ def decontaminate_ngram_bloom(
     reference: DataFrame,
     *,
     text_col: str = "text",
-    k: int = 8,
+    k: int = 13,
 ) -> DataFrame:
     """``decontaminate_ngram`` with a Bloom pre-screen — the same
     EXACT result (the filter's false positives are removed by the

@@ -350,6 +350,7 @@ def bloom_screen(
     key_col: str,
     words: list[int],
     *,
+    n_bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
     seed: int = BLOOM_SEED,
     out_col: str = "bloom_pass",
@@ -366,7 +367,18 @@ def bloom_screen(
     probe side)."""
     from mriya_spark.portable import md5_long60
 
-    n_bits = BLOOM_BITS
+    # n_bits is not recoverable from len(words) (the last 63-bit word
+    # is partial), so it is a parameter — and a words list built for a
+    # DIFFERENT n_bits would silently break the no-false-negative
+    # guarantee (probe positions taken mod the wrong modulus), hence
+    # the hard length check
+    expect_words = -(-n_bits // BLOOM_WORD_BITS)
+    if len(words) != expect_words:
+        raise ValueError(
+            f"bloom_screen: words list has {len(words)} words but "
+            f"n_bits={n_bits} requires {expect_words} — pass the same "
+            f"n_bits used at bloom_build time"
+        )
     df = probe.withColumn(
         "__bloom", F.array(*[F.lit(int(w)).cast("long") for w in words])
     )

@@ -4651,10 +4651,13 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spec.build(_neardup_corpus(spark, sf_dir))
 
 
-@register(
-    "curation_recipe_epochs",
-    rf"""
-    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+#: Shared oracle fragments for the epoch-mix recipes: quality cut ->
+#: lang-ID -> exact dedup -> survivors (``_CURATION_SURV_CTES``, expects
+#: a ``corpus`` CTE) and the seed-77 floor+Bernoulli copy counts over
+#: them (``_EPOCH_COPIES_SQL``). One definition each — the r8 review's
+#: copy-divergence finding: a missed edit in a pasted twin fails only
+#: that query's hash check, silently.
+_CURATION_SURV_CTES = r"""
     q AS (
       SELECT doc_id, text,
              round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
@@ -4684,7 +4687,9 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM langf
       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
     surv AS (SELECT k.doc_id, k.lang_pred FROM langf k JOIN ex USING (doc_id)),
-    n AS (
+"""
+
+_EPOCH_COPIES_SQL = r"""
       SELECT doc_id, lang_pred,
              CAST(floor(w) AS BIGINT)
              + CASE WHEN ('0x' || substr(md5('77_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -4693,7 +4698,17 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, lang_pred,
                    CAST(CASE lang_pred WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.4
                         ELSE 0.3 END AS DOUBLE) AS w
-            FROM surv))
+            FROM surv)
+"""
+
+
+@register(
+    "curation_recipe_epochs",
+    rf"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+{_CURATION_SURV_CTES}
+    n AS (
+{_EPOCH_COPIES_SQL})
     SELECT doc_id, lang_pred,
            CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
     FROM n
@@ -4731,48 +4746,12 @@ def curation_recipe_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_training_export",
     rf"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
-    q AS (
-      SELECT doc_id, text,
-             round( (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
-                  + (CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
-                  + least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),1) * 2.5, 0.25)
-                  + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text),1) <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
-               AS quality_score
-      FROM corpus),
-    kept_q AS (SELECT * FROM q WHERE quality_score >= 0.5),
-    langd AS (
-      SELECT doc_id,
-             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))     AS n_en,
-             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS n_de,
-             len(regexp_extract_all(lower(text), '\b(el|la|los|que|una)\b'))   AS n_es,
-             len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b'))  AS n_fr
-      FROM kept_q),
-    langf AS (
-      SELECT kq.*,
-             CASE WHEN l.n_en + l.n_de + l.n_es + l.n_fr = 0 THEN 'und'
-                  WHEN l.n_de >= l.n_en AND l.n_de >= l.n_es AND l.n_de >= l.n_fr THEN 'de'
-                  WHEN l.n_en >= l.n_es AND l.n_en >= l.n_fr THEN 'en'
-                  WHEN l.n_es >= l.n_fr THEN 'es'
-                  ELSE 'fr' END AS lang_pred
-      FROM kept_q kq JOIN langd l USING (doc_id)),
-    ex AS (
-      SELECT min(doc_id) AS doc_id
-      FROM langf
-      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
-    surv AS (SELECT k.doc_id, k.lang_pred FROM langf k JOIN ex USING (doc_id)),
+{_CURATION_SURV_CTES}
     copies AS (
       SELECT doc_id, lang_pred,
              CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
       FROM (
-        SELECT doc_id, lang_pred,
-               CAST(floor(w) AS BIGINT)
-               + CASE WHEN ('0x' || substr(md5('77_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                           / 1152921504606846976.0 < w - floor(w)
-                      THEN 1 ELSE 0 END AS n_copies
-        FROM (SELECT doc_id, lang_pred,
-                     CAST(CASE lang_pred WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.4
-                          ELSE 0.3 END AS DOUBLE) AS w
-              FROM surv))),
+{_EPOCH_COPIES_SQL})),
     keyed AS (
       SELECT doc_id, lang_pred, copy,
              md5('42_' || CAST(doc_id AS VARCHAR) || '_' || CAST(copy AS VARCHAR)) AS h

@@ -272,12 +272,12 @@ def write_training_shards(
     sharded = shard_shuffle(
         df, key_col=key_col, num_shards=num_shards, seed=seed
     )
-    (
-        sharded.repartition("shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    # no .repartition("shard") here: shard_shuffle's row_number window
+    # already hash-partitioned the data on shard, so each shard sits
+    # wholly inside one task and the partitionBy write emits one file
+    # per shard directory as-is — a second exchange on the same key
+    # would double the sink's dominant cost (r8 review finding)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
     counts = {

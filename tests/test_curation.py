@@ -176,3 +176,16 @@ def test_emit_spec_validation():
                    "weights": {"en": 2.0}}],
          "output": ["doc_id", "copy"]}
     )
+
+
+def test_oversample_spec_rejects_both_weight_forms():
+    import pytest
+
+    from mriya_spark.curation import CurationSpec
+
+    with pytest.raises(ValueError, match="not both"):
+        CurationSpec.from_obj(
+            {"emit": [{"type": "oversample", "weight_col": "w",
+                       "group_col": "lang_pred", "weights": {"en": 2.0}}],
+             "output": ["doc_id"]}
+        )

@@ -325,3 +325,21 @@ def test_bloom_screen_no_false_negatives_and_scan_local(spark):
     assert fp <= 40, f"implausible FP count {fp} for 300 set bits / 32768"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"Exchange (?:hash|range|Single)", plan), plan
+
+
+def test_bloom_screen_rejects_mismatched_filter_size(spark):
+    """A words list built for a different n_bits must be refused: probe
+    positions taken mod the wrong modulus would silently break the
+    no-false-negative guarantee (r8 review finding)."""
+    import pytest
+
+    from mriya_spark.ops.relational import bloom_build, bloom_screen
+
+    ref = spark.range(0, 10).selectExpr("id AS key")
+    words = bloom_build(ref, "key", n_bits=65536)
+    probe = spark.range(0, 10).selectExpr("id AS key")
+    with pytest.raises(ValueError, match="same .?n_bits"):
+        bloom_screen(probe, "key", words)  # default n_bits=32768
+    # matching n_bits: every true member passes
+    ok = bloom_screen(probe, "key", words, n_bits=65536)
+    assert ok.filter("bloom_pass").count() == 10
