@@ -3644,6 +3644,45 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_sampled",
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice FROM lineitem
+      WHERE ('0x' || substr(md5('5_' || CAST(l_orderkey AS VARCHAR) || '_'
+                            || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0 < 0.1)
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def percentile_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles over a DETERMINISTIC 10% sample — the hash-checkable
+    100 TB percentile strategy: engine-internal quantile sketches
+    (t-digest, KLL) are rows-only forever, but an md5-keyed Bernoulli
+    sample is scan-local, reproducible in any engine, and the exact
+    quantile of the sample is then a bounded computation with a known
+    error envelope (~1/sqrt(n_sampled)). Same sampling posture as the
+    whole ``sample_*`` family; keyed on (orderkey, linenumber) so the
+    sample is stable under corpus growth."""
+    from mriya_spark.portable import md5_uniform
+
+    li = _cat(spark, sf_dir).table("lineitem")
+    key = F.concat_ws(
+        "_", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    s = li.filter(md5_uniform(5, key) < 0.1)
+    return s.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+    )
+
+
 @register("approx_aggs", None)  # sketch outputs differ across engines
 def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct + quantile sketch) — the
