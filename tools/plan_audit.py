@@ -141,6 +141,7 @@ def main() -> None:
         "sample_oversample", "curation_recipe_epochs",
         "events_retention", "events_funnel", "agg_histogram",
         "stats_corr", "sink_training_shards", "pipeline_training_export",
+        "percentile_sampled",
     ]
 
     spark = get_spark(app_name="plan_audit")
