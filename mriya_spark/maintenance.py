@@ -104,6 +104,48 @@ def compact_parquet(
     }
 
 
+def rewrite_dedup_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    dedup_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet dataset with exact-duplicate rows removed
+    (``dropDuplicates(dedup_cols)``) — the maintenance op for append
+    logs whose writers legitimately re-append under replay (e.g. the
+    streaming near-dup band index: crash replays leave duplicate
+    band rows that are benign for correctness but join fanout
+    forever). Same staged-swap contract, sibling naming, and
+    local-path guard as ``compact_parquet`` — a crash mid-swap is
+    repairable with ``recover_compact(path)``; single writer per
+    dataset (run in a maintenance window, never concurrently with
+    the appender). Returns before/after row counts.
+    """
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        raise ValueError(
+            f"rewrite_dedup_parquet requires a local filesystem path, got "
+            f"{path!r}; use a transactional table format elsewhere"
+        )
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    out = df.dropDuplicates(dedup_cols)
+    if partition_by:
+        out = out.repartition(*partition_by)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    rows_after = spark.read.parquet(path).count()
+    if rows_after > 0:
+        shutil.rmtree(old, ignore_errors=True)
+    return {"rows_before": rows_before, "rows_after": rows_after}
+
+
 def recover_compact(path: str) -> str | None:
     """Repair a ``compact_parquet`` interrupted between its two
     renames: the dataset is missing at ``path`` (or swapped with an

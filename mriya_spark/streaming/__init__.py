@@ -1072,6 +1072,27 @@ def stream_neardup_ingest_portable(
     return target_path
 
 
+def neardup_index_compact(spark: SparkSession, target_path: str) -> dict:
+    """Compact the persistent band index of a near-dup ingest target:
+    crash replays legitimately re-append band rows (the documented
+    bands-before-docs crash window), which never changes RESULTS —
+    candidate pairs dedupe — but every duplicate row is index-join
+    fanout on every subsequent batch forever. One dropDuplicates
+    rewrite, band-partitioned, staged-swap crash-safe
+    (``maintenance.rewrite_dedup_parquet``; repair with
+    ``maintenance.recover_compact(index_path)``). Same single-writer
+    contract as the ingest itself: run between batches, not during
+    one."""
+    from mriya_spark.maintenance import rewrite_dedup_parquet
+
+    return rewrite_dedup_parquet(
+        spark,
+        f"{target_path}_bands",
+        dedup_cols=["doc_id", "band", "bucket"],
+        partition_by=["band"],
+    )
+
+
 def stage_neardup_docs(
     spark: SparkSession, sf_dir: str, *, n_files: int = 4
 ) -> str:

@@ -481,3 +481,24 @@ def test_pinned_shuffle_counts_on_expensive_pipelines(spark, queries):
         for name in expected
     }
     assert got == expected
+
+
+def test_pinned_shuffle_counts_on_r8_ops(spark, queries):
+    """Same pin for the r8 families. The load-bearing zeros:
+    sample_oversample and the bloom screen are SCAN-LOCAL by design —
+    any exchange appearing there is a regression of the whole point;
+    the bloom-prescreened scrub must not exceed the exact scrub's
+    shuffle budget by more than the filter-build aggregate."""
+    expected = {
+        "sample_oversample": 0,
+        "percentile_sampled": 1,
+        "agg_histogram": 1,
+        "sketch_hll_portable": 3,
+        "pipeline_decontaminate_ngram_bloom": 3,
+        "similarity_ann_ivf_portable": 2,
+    }
+    got = {
+        name: _audit(queries[name](spark, SF))["shuffles"]
+        for name in expected
+    }
+    assert got == expected

@@ -467,3 +467,49 @@ def test_neardup_ingest_survives_first_batch_interwrite_crash(spark, tmp_path):
     ids = [r.doc_id for r in spark.read.parquet(target).collect()]
     assert sorted(ids) == sorted(set(ids))  # no duplicate documents
     assert len(ids) >= 35  # the batch's survivors landed
+
+
+def test_neardup_index_compact_removes_replay_duplicates(spark, tmp_path):
+    """After a crash-replay leaves duplicate band rows, compaction
+    shrinks the index to its distinct rows and later cross-batch
+    screening still works identically."""
+    import mriya_spark.streaming as S
+    from mriya_spark.ops.dedup import (
+        _banded,
+        add_shingle_hashes,
+        minhash_signature,
+    )
+    from pyspark.sql import functions as F
+
+    b1 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 40"
+    ).select("doc_id", "text")
+    target = str(tmp_path / "compact_target")
+    S.neardup_ingest_batch(b1, target, threshold=0.5)
+    # simulate the replay residue: b1's band rows appended a second time
+    sh1 = add_shingle_hashes(b1, n=3)
+    (
+        _banded(
+            sh1.select("doc_id", minhash_signature("shingles").alias("sig")),
+            num_perm=64, bands=16,
+        )
+        .write.mode("append").partitionBy("band").parquet(target + "_bands")
+    )
+    idx = spark.read.parquet(target + "_bands")
+    assert idx.count() > idx.dropDuplicates(["doc_id", "band", "bucket"]).count()
+
+    stats = S.neardup_index_compact(spark, target)
+    assert stats["rows_after"] < stats["rows_before"]
+    idx2 = spark.read.parquet(target + "_bands")
+    assert idx2.count() == idx2.dropDuplicates(["doc_id", "band", "bucket"]).count()
+    assert set(idx2.columns) == {"doc_id", "band", "bucket"}
+
+    # screening against the compacted index still drops near-dup copies
+    b2 = b1.filter("doc_id < 20").select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    S.neardup_ingest_batch(b2, target, threshold=0.5)
+    kept = [r.doc_id for r in spark.read.parquet(target).collect()
+            if r.doc_id >= 3_000_000]
+    assert len(kept) <= 1, kept
