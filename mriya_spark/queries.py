@@ -2197,6 +2197,116 @@ def pipeline_decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFram
     return decontaminate_ngram(corpus, ref, k=8)
 
 
+@register(
+    "decontaminate_report",
+    r"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    ref AS (
+      SELECT doc_id, ltrim(regexp_replace(text, '^\S+\s*', '')) AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    wc AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
+    wr AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM ref),
+    gc AS (
+      SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS i
+            FROM wc WHERE len(w) >= 13)),
+    gr AS (
+      SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS i
+            FROM wr WHERE len(w) >= 13)),
+    hits AS (
+      SELECT gr.doc_id AS ref_doc_id, gc.doc_id AS corpus_doc_id
+      FROM gc JOIN gr USING (gram)
+      GROUP BY 1, 2)
+    SELECT ref_doc_id,
+           CAST(count(*) AS BIGINT) AS n_leaking_docs
+    FROM hits
+    GROUP BY ref_doc_id
+    """,
+)
+def decontaminate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT half of decontamination — before scrubbing, report
+    which reference (eval-set) items leak and how widely: per ref doc,
+    the number of distinct corpus docs sharing a 13-token gram. The
+    operational step that tells you whether an eval suite is burned
+    before you decide what to drop. Same inverted-gram equi-join shape
+    as the scrub; output is bounded by the reference size."""
+    from mriya_spark.ops.dedup import kgram_positions
+
+    docs = _cat(spark, sf_dir).table("documents")
+    corpus = docs.select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.ltrim(F.regexp_replace("text", r"^\S+\s*", "")).alias("text"),
+    )
+    gc = kgram_positions(corpus, text_col="text", k=13).select(
+        F.col("doc_id").alias("corpus_doc_id"), "gram"
+    )
+    gr = kgram_positions(ref, text_col="text", k=13).select(
+        F.col("doc_id").alias("ref_doc_id"), "gram"
+    )
+    hits = (
+        gc.join(gr, on="gram")
+        .select("ref_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    return hits.groupBy("ref_doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaking_docs")
+    )
+
+
+@register(
+    "split_leakage_check",
+    r"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < 0.8
+                  THEN 'train' ELSE 'holdout' END AS part
+      FROM documents),
+    w AS (SELECT doc_id, part, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM split),
+    g AS (
+      SELECT doc_id, part, array_to_string(w[i:i+12], ' ') AS gram
+      FROM (SELECT doc_id, part, w, unnest(range(1, len(w) - 11)) AS i
+            FROM w WHERE len(w) >= 13)),
+    leaks AS (
+      SELECT t.doc_id AS train_doc, h.doc_id AS holdout_doc
+      FROM g t JOIN g h ON t.gram = h.gram
+      WHERE t.part = 'train' AND h.part = 'holdout'
+      GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_leaked_pairs,
+           CAST(count(DISTINCT holdout_doc) AS BIGINT) AS n_burned_holdout_docs
+    FROM leaks
+    """,
+)
+def split_leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout leakage QA: after the deterministic md5 split,
+    count (train, holdout) doc pairs sharing a 13-token gram and the
+    distinct burned holdout docs — the check a training pipeline runs
+    BEFORE trusting its eval numbers (should be ~0 after span-level
+    dedup; nonzero means the split leaked through near-duplicates the
+    split hash cannot see). One inverted-gram equi-join between the
+    two split sides; scalar output."""
+    from mriya_spark.ops.dedup import kgram_positions
+    from mriya_spark.portable import md5_uniform
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    is_train = md5_uniform(42, F.col("doc_id")) < 0.8
+    t = kgram_positions(docs.filter(is_train), text_col="text", k=13).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    h = kgram_positions(docs.filter(~is_train), text_col="text", k=13).select(
+        F.col("doc_id").alias("holdout_doc"), "gram"
+    )
+    leaks = t.join(h, on="gram").select("train_doc", "holdout_doc").distinct()
+    return leaks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaked_pairs"),
+        F.count_distinct("holdout_doc").cast("long").alias(
+            "n_burned_holdout_docs"
+        ),
+    )
+
+
 @register("pipeline_decontaminate_ngram_bloom", _DECON_NGRAM_ORACLE_SQL)
 def pipeline_decontaminate_ngram_bloom_q(
     spark: SparkSession, sf_dir: str
