@@ -129,6 +129,12 @@ def rewrite_dedup_parquet(
         )
     df = spark.read.parquet(path)
     rows_before = df.count()
+    if rows_before == 0:
+        # nothing to dedup — skip the rewrite entirely rather than
+        # swapping in an empty copy (the rows_after==0 keep-old guard
+        # below would then retain the __old_ sibling forever as a
+        # silent disk leak; r8 advice)
+        return {"rows_before": 0, "rows_after": 0}
     out = df.dropDuplicates(dedup_cols)
     if partition_by:
         out = out.repartition(*partition_by)
@@ -141,8 +147,18 @@ def rewrite_dedup_parquet(
     os.rename(path, old)
     os.rename(tmp, path)
     rows_after = spark.read.parquet(path).count()
-    if rows_after > 0:
-        shutil.rmtree(old, ignore_errors=True)
+    if rows_after == 0:
+        # dropDuplicates of a non-empty input cannot be empty, so an
+        # empty verify read means the rewrite itself is bad — restore
+        # the original and fail LOUDLY instead of silently keeping the
+        # __old_ sibling around with no signal
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(old, path)
+        raise RuntimeError(
+            f"rewrite_dedup_parquet: rewrite of {path!r} verified empty "
+            f"({rows_before} rows in) — original restored, rewrite discarded"
+        )
+    shutil.rmtree(old, ignore_errors=True)
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 

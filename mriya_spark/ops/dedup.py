@@ -971,13 +971,21 @@ def decontaminate_ngram_bloom(
     corpus-side gram stream is pruned SCAN-LOCALLY before anything
     shuffles: only grams whose k bloom bits are all set reach the
     verify join. At 100 TB the reference set's grams collapse to a
-    fixed 4 KB word list however large the eval suites grow (vs
-    broadcasting the full distinct-gram set, which
-    ``decontaminate_ngram`` size-gates), and the overwhelmingly-clean
-    corpus majority never leaves its scan task.
+    word list sized from their count (``bloom_size_bits``: ~16
+    bits/gram, power-of-two, capped at ~130 KB of task-constant —
+    at the cap that's ~65k grams at ~1% FP; beyond it the FP rate
+    degrades gracefully and the exact verify join still guarantees
+    the result, the screen just prunes less), vs broadcasting the
+    full distinct-gram set, which ``decontaminate_ngram`` size-gates.
+    The overwhelmingly-clean corpus majority never leaves its scan
+    task.
     """
     from mriya_spark.caching import cache_scope, scoped_persist
-    from mriya_spark.ops.relational import bloom_build, bloom_screen
+    from mriya_spark.ops.relational import (
+        bloom_build,
+        bloom_screen,
+        bloom_size_bits,
+    )
 
     with cache_scope():
         gr = scoped_persist(
@@ -985,12 +993,16 @@ def decontaminate_ngram_bloom(
             .select("gram")
             .distinct()
         )
-        words = bloom_build(gr, "gram")
+        # gr is persisted, so this count is the same bounded scan the
+        # word agg pays; it sizes the filter to the eval-suite corpus
+        # instead of assuming it stays small (r8 advice)
+        n_bits = bloom_size_bits(gr.count())
+        words = bloom_build(gr, "gram", n_bits=n_bits)
         gc = kgram_positions(corpus, text_col=text_col, k=k).select(
             "doc_id", "gram"
         )
         cand = (
-            bloom_screen(gc, "gram", words)
+            bloom_screen(gc, "gram", words, n_bits=n_bits)
             .filter(F.col("bloom_pass"))
             .drop("bloom_pass")
         )

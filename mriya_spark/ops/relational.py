@@ -294,13 +294,41 @@ def fuzzy_join_blocked(
 #: words + remainder; bit 63 is never used because ``1 << 63``
 #: overflows BIGINT in engines with checked shifts, where Spark's
 #: Java semantics would silently wrap — 63-bit words keep every word
-#: positive and every shift portable), 3 md5-family probes. Fixed so
-#: the DuckDB oracle can recompute the identical filter; at ~2300 ref
-#: keys (sf0.1) the false-positive rate is ~(1 - e^(-3n/m))^3 ~ 0.8%.
+#: positive and every shift portable), 3 md5-family probes. The
+#: default is fixed so the DuckDB oracle can recompute the identical
+#: filter; at ~2300 ref keys (sf0.1) the false-positive rate is
+#: ~(1 - e^(-3n/m))^3 ~ 0.8%. CAPACITY BOUND: a fixed n_bits filter
+#: only prunes while n_keys stays under ~n_bits/16 (at 32768 bits,
+#: ~2k keys for ~1% FP, ~10k for ~25%); past that the FP rate
+#: approaches 1 and the screen stops pruning (correctness is
+#: unaffected — callers follow with an exact verify join). Callers
+#: whose reference set grows should size the filter from the key
+#: count via ``bloom_size_bits`` and pass the SAME n_bits to build
+#: and screen.
 BLOOM_BITS = 32768
 BLOOM_WORD_BITS = 63
 BLOOM_K = 3
 BLOOM_SEED = 21
+#: Auto-sizing: ~16 bits/key gives ~0.9% FP at k=3; the cap bounds
+#: the inlined literal array at 2^20 bits = ~16.6k words (~130 KB of
+#: task-constant — still cheap to ship with every task, which is the
+#: whole design: the filter rides the scan, no broadcast exchange).
+BLOOM_BITS_PER_KEY = 16
+BLOOM_AUTO_MAX_BITS = 1 << 20
+
+
+def bloom_size_bits(n_keys: int) -> int:
+    """Size a Bloom filter for ``n_keys`` reference keys: the next
+    power of two >= ``BLOOM_BITS_PER_KEY * n_keys`` (~0.9% FP at
+    k=3), clamped to [``BLOOM_BITS``, ``BLOOM_AUTO_MAX_BITS``].
+    Power-of-two sizes keep the modulus stable under small count
+    drift, so re-deriving the filter in SQL from the same key set
+    always lands on the same n_bits."""
+    want = max(BLOOM_BITS, BLOOM_BITS_PER_KEY * max(n_keys, 1))
+    n_bits = BLOOM_BITS
+    while n_bits < want and n_bits < BLOOM_AUTO_MAX_BITS:
+        n_bits <<= 1
+    return n_bits
 
 
 def bloom_build(
@@ -311,8 +339,9 @@ def bloom_build(
     k: int = BLOOM_K,
     seed: int = BLOOM_SEED,
 ) -> list[int]:
-    """Build a Bloom filter over ``ref[key_col]`` as ``n_bits/64``
-    64-bit words (md5-family bit positions, ``mriya_spark.portable``).
+    """Build a Bloom filter over ``ref[key_col]`` as
+    ``ceil(n_bits / BLOOM_WORD_BITS)`` 63-bit words (md5-family bit
+    positions, ``mriya_spark.portable``).
 
     One partial-aggregated groupBy on word index (<= n_bits/64
     groups), then a bounded driver collect of the word list — the
@@ -335,8 +364,11 @@ def bloom_build(
             )
         ).alias("p")
     ).select(
-        F.expr("p div 63").alias("w"),
-        F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").alias("m"),
+        F.expr(f"p div {BLOOM_WORD_BITS}").alias("w"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            f"cast(p % {BLOOM_WORD_BITS} as int))"
+        ).alias("m"),
     )
     rows = pos.groupBy("w").agg(F.expr("bit_or(m)").alias("bits")).collect()
     words = [0] * n_words
@@ -389,8 +421,9 @@ def bloom_screen(
         )
         pcols.append(f"__p{i}")
     pred = " AND ".join(
-        f"((shiftright(element_at(__bloom, cast(__p{i} div 63 as int) + 1), "
-        f"cast(__p{i} % 63 as int)) & 1) = 1)"
+        f"((shiftright(element_at(__bloom, "
+        f"cast(__p{i} div {BLOOM_WORD_BITS} as int) + 1), "
+        f"cast(__p{i} % {BLOOM_WORD_BITS} as int)) & 1) = 1)"
         for i in range(k)
     )
     return df.withColumn(out_col, F.expr(pred)).drop("__bloom", *pcols)

@@ -16,6 +16,7 @@ DuckDB runs over the same parquet tables (driver contract,
 
 from __future__ import annotations
 
+import math as _math
 import os as _os
 
 from dataclasses import dataclass
@@ -3887,7 +3888,14 @@ def _bloom_screen_oracle_sql() -> str:
     bit tests via a word-index join + bool_and. False positives are
     REPRODUCED, not modeled: both engines compute the same bits, so
     the screened set matches bit-for-bit including any FP."""
-    from mriya_spark.ops.relational import BLOOM_BITS, BLOOM_K, BLOOM_SEED
+    from mriya_spark.ops.relational import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_SEED,
+        BLOOM_WORD_BITS,
+    )
+
+    wb = BLOOM_WORD_BITS
 
     def draws(key: str) -> str:
         return ", ".join(
@@ -3901,17 +3909,17 @@ def _bloom_screen_oracle_sql() -> str:
       SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 9000),
     pos AS (SELECT unnest([{draws("key")}]) AS p FROM ref),
     words AS (
-      SELECT p // 63 AS w,
-             CAST(bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS BIGINT) AS bits
+      SELECT p // {wb} AS w,
+             CAST(bit_or(1::BIGINT << CAST(p % {wb} AS INTEGER)) AS BIGINT) AS bits
       FROM pos GROUP BY 1),
     probes AS (
       SELECT o_orderkey, o_custkey, unnest([{draws("o_custkey")}]) AS p
       FROM orders),
     checks AS (
       SELECT pr.o_orderkey, pr.o_custkey,
-             bool_and(COALESCE(((w.bits >> CAST(pr.p % 63 AS INTEGER)) & 1) = 1,
+             bool_and(COALESCE(((w.bits >> CAST(pr.p % {wb} AS INTEGER)) & 1) = 1,
                                FALSE)) AS pass
-      FROM probes pr LEFT JOIN words w ON pr.p // 63 = w.w
+      FROM probes pr LEFT JOIN words w ON pr.p // {wb} = w.w
       GROUP BY 1, 2)
     SELECT c.o_orderkey, c.o_custkey, (r.key IS NOT NULL) AS true_match
     FROM checks c LEFT JOIN ref r ON c.o_custkey = r.key
@@ -3961,12 +3969,22 @@ def join_bloom_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: HLL-portable constants: m=256 buckets from the top of a 60-bit md5
 #: draw, 52-bit rho window. The estimate scale constant alpha*m²*2^53
 #: is computed ONCE here and inlined as the identical double literal
-#: on both sides, so the only float ops are one division, one
-#: comparison, and (in the small-range branch) one ln — each a single
-#: correctly-rounded operation on identical operands.
+#: on both sides, so the only float op either engine performs is one
+#: IEEE-correctly-rounded division on identical operands. The
+#: linear-counting branch takes NO float path at all: m*ln(m/n_empty)
+#: has only m possible values (n_empty in [1, m]), so the table is
+#: precomputed here with Python's math.log and inlined as identical
+#: double literals on both sides — neither Spark's java.lang.Math.log
+#: nor DuckDB's libm ln guarantees correct rounding, so computing ln
+#: per-engine could flake the 4dp hash on a last-ulp boundary (the
+#: window_running divergence class; r8 advice). The exact integer
+#: pair (s_int, n_empty) remains the primary checked sketch state.
 _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 _HLL_SCALE = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+_HLL_LC_TABLE = [
+    _HLL_M * _math.log(_HLL_M / n) for n in range(1, _HLL_M + 1)
+]
 
 
 def _hll_portable_oracle_sql() -> str:
@@ -3975,7 +3993,10 @@ def _hll_portable_oracle_sql() -> str:
     + 1 via binary-string length — both engines agree on bin()/conv
     semantics including the rest=0 edge), the harmonic denominator is
     the EXACT BIGINT sum of 2^(53-M) (no float summation order to
-    diverge), and the estimate is a single rounded division."""
+    diverge), and the estimate is a single rounded division; the
+    linear-counting branch indexes the precomputed ``_HLL_LC_TABLE``
+    literal instead of calling the engine's ln (see the constants
+    block)."""
     return f"""
     WITH vals AS (
       SELECT o_orderpriority AS segment,
@@ -4000,7 +4021,8 @@ def _hll_portable_oracle_sql() -> str:
     SELECT segment,
            round(CASE WHEN {_HLL_SCALE!r} / s_int <= {2.5 * _HLL_M}
                        AND n_empty > 0
-                      THEN {_HLL_M} * ln({_HLL_M} / CAST(n_empty AS DOUBLE))
+                      THEN ([{", ".join(repr(v) for v in _HLL_LC_TABLE)}])
+                           [CAST(n_empty AS INTEGER)]
                       ELSE {_HLL_SCALE!r} / s_int END, 4) AS est_distinct,
            s_int, n_empty
     FROM agg
@@ -4014,8 +4036,9 @@ def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative merge the 100 TB rollup relies on), value-checked to
     the bit. ``s_int`` is the exact integer harmonic denominator, so a
     single flipped register bit anywhere fails the hash; the float
-    estimate is one rounded division (or one ln in the small-range
-    branch) on identical operands. The Datasketches production twin
+    estimate is one rounded division on identical operands (the
+    small-range branch is a literal-table lookup — no engine ln, see
+    ``_HLL_LC_TABLE``). The Datasketches production twin
     (``sketch_hll_mergeable``) stays rows-only — its register layout
     is library-internal; accuracy vs exact is pinned in tests."""
     from mriya_spark.portable import md5_long60
@@ -4050,7 +4073,10 @@ def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_raw = F.lit(_HLL_SCALE) / F.col("s_int")
     est = F.when(
         (est_raw <= 2.5 * _HLL_M) & (F.col("n_empty") > 0),
-        _HLL_M * F.log(_HLL_M / F.col("n_empty").cast("double")),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _HLL_LC_TABLE]),
+            F.col("n_empty").cast("int"),
+        ),
     ).otherwise(est_raw)
     return agg.select(
         "segment", F.round(est, 4).alias("est_distinct"), "s_int", "n_empty"

@@ -183,6 +183,53 @@ def test_compact_keeps_old_when_rewrite_verifies_empty(spark, workdir, monkeypat
     assert _rows(spark, workdir) == original
 
 
+def test_rewrite_dedup_empty_input_is_noop_without_old_leak(spark, workdir):
+    """An empty dataset must short-circuit before the staged swap: no
+    rewrite, no __old_ sibling left behind (the r8-advice leak), and
+    the dataset still readable afterwards."""
+    from mriya_spark.maintenance import rewrite_dedup_parquet
+
+    spark.range(5).filter("id < 0").select(
+        F.col("id"), F.lit("x").alias("v")
+    ).coalesce(1).write.parquet(workdir)
+    assert _rows(spark, workdir) == set()
+
+    stats = rewrite_dedup_parquet(spark, workdir, dedup_cols=["id", "v"])
+    assert stats == {"rows_before": 0, "rows_after": 0}
+    parent = os.path.dirname(workdir)
+    name = os.path.basename(workdir)
+    siblings = [
+        f
+        for f in os.listdir(parent)
+        if f.startswith((f"{name}__old_", f"{name}__compact_"))
+    ]
+    assert siblings == []
+    assert _rows(spark, workdir) == set()
+
+
+def test_rewrite_dedup_removes_dupes_and_cleans_staging(spark, workdir):
+    """Happy path: duplicate rows drop, and neither staging sibling
+    survives the completed swap."""
+    from mriya_spark.maintenance import rewrite_dedup_parquet
+
+    df = spark.range(10).select(
+        (F.col("id") % 5).alias("id"), F.lit("v").alias("v")
+    )
+    df.coalesce(2).write.parquet(workdir)
+
+    stats = rewrite_dedup_parquet(spark, workdir, dedup_cols=["id", "v"])
+    assert stats == {"rows_before": 10, "rows_after": 5}
+    parent = os.path.dirname(workdir)
+    name = os.path.basename(workdir)
+    siblings = [
+        f
+        for f in os.listdir(parent)
+        if f.startswith((f"{name}__old_", f"{name}__compact_"))
+    ]
+    assert siblings == []
+    assert len(_rows(spark, workdir)) == 5
+
+
 def test_sweep_stale_age_gated(tmp_path, monkeypatch):
     """r6 ADVICE: uuid-suffixed cache artifacts are GC'd once stale,
     while fresh siblings (possibly a concurrent run mid-write) and

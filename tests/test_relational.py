@@ -327,6 +327,48 @@ def test_bloom_screen_no_false_negatives_and_scan_local(spark):
     assert not re.search(r"Exchange (?:hash|range|Single)", plan), plan
 
 
+def test_bloom_size_bits_scales_with_keys():
+    """Auto-sizing keeps ~16 bits/key (power-of-two, clamped): the
+    fixed 32768-bit default stops pruning past ~10k keys (r8 advice),
+    so growing reference sets must get a bigger filter, up to the
+    inline-literal cap."""
+    from mriya_spark.ops.relational import (
+        BLOOM_AUTO_MAX_BITS,
+        BLOOM_BITS,
+        bloom_size_bits,
+    )
+
+    assert bloom_size_bits(0) == BLOOM_BITS
+    assert bloom_size_bits(2000) == BLOOM_BITS  # fits the default
+    assert bloom_size_bits(10_000) == 262144  # 16*10k -> next pow2
+    assert bloom_size_bits(10**9) == BLOOM_AUTO_MAX_BITS  # clamped
+    for n in (1, 5_000, 50_000):
+        b = bloom_size_bits(n)
+        assert b & (b - 1) == 0  # power of two
+
+
+def test_bloom_autosized_build_screen_roundtrip(spark):
+    """bloom_build/bloom_screen agree at a non-default auto size: no
+    false negatives with n_bits threaded through both ends."""
+    from mriya_spark.ops.relational import (
+        bloom_build,
+        bloom_screen,
+        bloom_size_bits,
+    )
+
+    ref = spark.range(0, 50).selectExpr("id AS key")
+    n_bits = bloom_size_bits(50)
+    words = bloom_build(ref, "key", n_bits=n_bits)
+    probe = spark.range(0, 500).selectExpr("id AS key")
+    passed = {
+        r.key
+        for r in bloom_screen(probe, "key", words, n_bits=n_bits)
+        .filter("bloom_pass")
+        .collect()
+    }
+    assert set(range(50)) <= passed
+
+
 def test_bloom_screen_rejects_mismatched_filter_size(spark):
     """A words list built for a different n_bits must be refused: probe
     positions taken mod the wrong modulus would silently break the
