@@ -41,6 +41,13 @@ HEADLINE = [
     "shard_shuffle",         # deterministic reshard: ONE hash exchange
     "join_fuzzy_blocked",    # prefix+length-blocked Levenshtein join
     "sample_temperature_mix",  # temperature-smoothed source mixing
+    # r9 additions: the most expensive DAGs by PLANS.md shuffle count —
+    # a regression in the engine's deepest plans was previously
+    # invisible to the trend line (r8 verdict directive 2)
+    "search_hybrid_rrf",     # BM25 + dense RRF fusion (9 shuffles)
+    "events_funnel",         # ordered 3-step funnel (7 shuffles)
+    "table_diff",            # null-safe full-outer snapshot diff (4)
+    "pipeline_training_export",  # capstone curation->shards->verify
 ]
 
 
@@ -179,7 +186,11 @@ def main() -> None:
                     "which disappears when benched in isolation — the "
                     "recorded r6->r7 +19% was HOST drift (r6's own tree "
                     "re-benches 21% slower today), not a code regression. "
-                    "Method: SCALE.md 'Measurement discipline'."
+                    "Method: SCALE.md 'Measurement discipline'. r9 adds "
+                    "the 4 deepest DAGs (search_hybrid_rrf, events_funnel, "
+                    "table_diff, pipeline_training_export) to the headline "
+                    "— r9 totals are therefore NOT comparable to r8 totals; "
+                    "compare per-query or on the 20-query common set."
                 ),
             }
         )
