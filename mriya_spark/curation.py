@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 
 from mriya_spark.caching import cache_scope, scoped_persist
 
-_FILTER_TYPES = {"quality", "gopher", "lang", "token_range", "group_quota", "weighted_sample"}
+_FILTER_TYPES = {
+    "quality",
+    "gopher",
+    "lang",
+    "token_range",
+    "group_quota",
+    "weighted_sample",
+    "classifier",
+}
 _DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard", "substring"}
 _EMIT_TYPES = {"oversample"}
 
@@ -195,6 +203,18 @@ class CurationSpec:
                 quota=int(f["quota"]),
                 seed=int(f.get("seed", 42)),
             ).drop("grp_rank")
+        if kind == "classifier":
+            # hashed linear quality classifier (ops.text.classifier_score):
+            # scan-local scoring against an int-quantized weight vector;
+            # weights default to the deterministic md5-derived stand-in so
+            # recipes are reproducible without shipping a model file
+            w = f.get("weights") or T.hashed_clf_weights()
+            scored = T.classifier_score(
+                df, w, text_col=text_col, out_col="__clf"
+            )
+            return scored.filter(
+                F.col("__clf") >= float(f.get("min_score", 0.0))
+            ).drop("__clf")
         if kind == "weighted_sample":
             from mriya_spark.ops.quality import weighted_sample
 

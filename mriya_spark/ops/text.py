@@ -445,3 +445,105 @@ def bigram_lm_scores(
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
     )
+
+
+#: Hashed linear classifier defaults: fastText-style feature hashing
+#: (word unigrams + bigrams -> md5-family bucket), int16-quantized
+#: weights so the per-doc score is an EXACT BIGINT sum (no float
+#: summation order to diverge across engines/partitionings); the only
+#: float op is one final correctly-rounded division.
+CLF_BUCKETS = 4096
+CLF_SEED = 93
+CLF_WEIGHT_SEED = "clfw"
+CLF_WEIGHT_SCALE = 32768
+
+
+def hashed_clf_weights(
+    n_buckets: int = CLF_BUCKETS, seed: str = CLF_WEIGHT_SEED
+) -> list[int]:
+    """Deterministic stand-in weight vector for the hashed linear
+    classifier: int16 weights derived bucket-by-bucket from the md5
+    family (``w[b] = md5_60bit("{seed}_{b}") % 65536 - 32768``), so a
+    SQL oracle can re-derive every weight independently of this list.
+    Real deployments pass their trained, quantized weights instead —
+    the scoring path is identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}_{b}".encode()).hexdigest()[:15], 16)
+        % (2 * CLF_WEIGHT_SCALE)
+        - CLF_WEIGHT_SCALE
+        for b in range(n_buckets)
+    ]
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[int],
+    *,
+    text_col: str = "text",
+    seed: int = CLF_SEED,
+    out_col: str = "clf_score",
+    keep_components: bool = False,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier, fully
+    SCAN-LOCAL: lowercase alnum tokens -> word unigrams + bigrams ->
+    md5-family feature hashing into ``len(weights)`` buckets -> sparse
+    dot-product against the weight vector -> mean weight per feature
+    in [-1, 1]. The most-used curation primitive (quality-classifier
+    filtering) as a map-only pass: at 100 TB there is NO shuffle, no
+    explode, no Python — the grams live and die inside one projection
+    (higher-order functions), and the int-quantized weight vector
+    rides every task as a constant-folded literal array (the Bloom
+    words pattern; 4096 int16s is ~32 KB — small enough that a
+    broadcast exchange would cost more than it saves).
+
+    The score is exact cross-engine: weights are integers, the dot
+    product is a BIGINT ``aggregate`` (order-independent), and the
+    normalization is one IEEE division rounded to 6dp. Docs with no
+    grams score 0.0.
+
+    ``keep_components`` additionally emits ``{out_col}_s_int`` /
+    ``{out_col}_n_grams`` — the exact integer state a hash check
+    pins (the sketch_hll_portable posture).
+    """
+    from mriya_spark.portable import md5_long60
+
+    n_buckets = len(weights)
+    wlit = F.array(*[F.lit(int(w)) for w in weights])
+    toks = F.expr(
+        f"filter(split(lower(trim({text_col})), '[^a-z0-9]+'), "
+        "x -> x != '')"
+    )
+    out = df.withColumn("__t", toks).withColumn(
+        "__g",
+        F.expr(
+            "concat(__t, zip_with("
+            "slice(__t, 1, greatest(size(__t) - 1, 0)), "
+            "slice(__t, 2, greatest(size(__t) - 1, 0)), "
+            "(a, b) -> concat(a, '_', b)))"
+        ),
+    )
+    bucket = lambda g: (md5_long60(seed, g) % n_buckets + 1).cast("int")
+    s_int = F.aggregate(
+        F.col("__g"),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.element_at(wlit, bucket(g)).cast("long"),
+    )
+    n_grams = F.size("__g").cast("long")
+    out = (
+        out.withColumn(f"__{out_col}_s", s_int)
+        .withColumn(f"__{out_col}_n", n_grams)
+        .drop("__t", "__g")
+    )
+    score = F.when(F.col(f"__{out_col}_n") > 0, F.round(
+        F.col(f"__{out_col}_s").cast("double")
+        / (float(CLF_WEIGHT_SCALE) * F.col(f"__{out_col}_n")),
+        6,
+    )).otherwise(F.lit(0.0))
+    out = out.withColumn(out_col, score)
+    if keep_components:
+        return out.withColumnRenamed(
+            f"__{out_col}_s", f"{out_col}_s_int"
+        ).withColumnRenamed(f"__{out_col}_n", f"{out_col}_n_grams")
+    return out.drop(f"__{out_col}_s", f"__{out_col}_n")

@@ -6582,3 +6582,80 @@ def observed_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_large"], m["total_price"])],
         "n_rows bigint, n_large bigint, total_price double",
     )
+
+
+def _clf_oracle_sql() -> str:
+    """Oracle for the hashed linear classifier: re-derive every int16
+    weight independently from the md5 family (``hashed_clf_weights``'s
+    formula — the Spark side consumes them as an inlined literal
+    array, the deployment shape for trained weights), re-hash every
+    unigram/bigram to its bucket, and sum EXACT integers per doc. A
+    single flipped weight, bucket, or gram anywhere fails the hash;
+    the float score is one IEEE division on identical operands."""
+    from mriya_spark.ops.text import (
+        CLF_BUCKETS,
+        CLF_SEED,
+        CLF_WEIGHT_SCALE,
+        CLF_WEIGHT_SEED,
+    )
+
+    weight = (
+        f"('0x' || substr(md5('{CLF_WEIGHT_SEED}_' || CAST("
+        f"('0x' || substr(md5('{CLF_SEED}_' || g), 1, 15))::BIGINT "
+        f"% {CLF_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT "
+        f"% {2 * CLF_WEIGHT_SCALE} - {CLF_WEIGHT_SCALE}"
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, w[i] AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)
+      UNION ALL
+      SELECT doc_id, w[i] || '_' || w[i + 1] AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words)),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum({weight}) AS BIGINT) AS s_int,
+             count(*) AS n_grams
+      FROM grams GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.s_int, 0) AS s_int,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           CASE WHEN COALESCE(s.n_grams, 0) > 0
+                THEN round(CAST(s.s_int AS DOUBLE)
+                           / ({CLF_WEIGHT_SCALE}.0 * s.n_grams), 6)
+                ELSE 0.0 END AS score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
+@register("text_classifier_score", _clf_oracle_sql())
+def text_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (``ops.text.classifier_score``), hash-checked end to end: word
+    unigrams + bigrams -> md5-family feature hashing into 4096
+    buckets -> BIGINT sparse dot-product against the int16-quantized
+    weight vector riding the tasks as a literal array -> one rounded
+    division. SCAN-LOCAL: no shuffle, no explode, no Python — the
+    single most-used curation primitive (quality-classifier
+    filtering) priced as a map-only pass over the corpus. The exact
+    integer state (s_int, n_grams) is the primary checked value; the
+    oracle re-derives the weights from the md5 formula rather than
+    trusting the Python-generated list, so the whole
+    generate->inline->score path is cross-verified."""
+    from mriya_spark.ops.text import classifier_score, hashed_clf_weights
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    scored = classifier_score(
+        docs, hashed_clf_weights(), keep_components=True
+    )
+    return scored.select(
+        "doc_id",
+        F.col("clf_score_s_int").alias("s_int"),
+        F.col("clf_score_n_grams").alias("n_grams"),
+        F.col("clf_score").alias("score"),
+    )

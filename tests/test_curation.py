@@ -123,6 +123,41 @@ def test_recipe_weighted_sample_stage(spark):
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
 
 
+def test_recipe_classifier_stage(spark):
+    """Hashed-linear-classifier filter in the DSL: survivors are
+    exactly the docs whose scan-local score clears the threshold, and
+    the helper column does not leak into the output."""
+    from mriya_spark.curation import CurationSpec
+    from mriya_spark.ops.text import classifier_score, hashed_clf_weights
+
+    texts = [
+        "the cat sat on the mat",
+        "qq zz xx vv kk jj",
+        "a house with a garden and a dog",
+        "lorem ipsum dolor sit amet",
+        "numbers 123 and words mixed 456 here",
+    ] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    thr = 0.0
+    expected = {
+        r.doc_id
+        for r in classifier_score(df, hashed_clf_weights())
+        .filter(F.col("clf_score") >= thr)
+        .collect()
+    }
+    assert 0 < len(expected) < len(texts)  # threshold actually splits
+    spec = CurationSpec.from_obj({
+        "filters": [{"type": "classifier", "min_score": thr}],
+        "dedup": [],
+        "output": ["doc_id"],
+    })
+    out = spec.build(df)
+    assert {r.doc_id for r in out.collect()} == expected
+    assert out.columns == ["doc_id"]
+
+
 def test_oversample_epochs_copy_counts(spark):
     """Each row's copy count is floor(w) or floor(w)+1, the empirical
     mean tracks w (E[copies] = w), w <= 0 rows vanish, and the cap

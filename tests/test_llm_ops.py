@@ -986,3 +986,65 @@ def test_decontaminate_bloom_equals_exact(catalog, spark):
     }
     assert bloomed == exact
     assert len(exact) < corpus.count()  # the scrub actually dropped docs
+
+
+def test_classifier_score_matches_python_model_and_is_scan_local(spark):
+    """classifier_score == the pure-Python hashing model (buckets,
+    int16 weights, BIGINT dot product, rounded division), including
+    empty/punctuation-only edge docs; and the whole scoring pass adds
+    NO exchange and no Python to the plan."""
+    import hashlib
+    import re as _re
+
+    from mriya_spark.ops.text import (
+        CLF_BUCKETS,
+        CLF_SEED,
+        CLF_WEIGHT_SCALE,
+        classifier_score,
+        hashed_clf_weights,
+    )
+
+    W = hashed_clf_weights()
+    assert all(-CLF_WEIGHT_SCALE <= w < CLF_WEIGHT_SCALE for w in W)
+
+    def model(text):
+        toks = [
+            t
+            for t in _re.split(r"[^a-z0-9]+", text.strip().lower())
+            if t
+        ]
+        grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        s = sum(
+            W[
+                int(
+                    hashlib.md5(f"{CLF_SEED}_{g}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % CLF_BUCKETS
+            ]
+            for g in grams
+        )
+        return s, len(grams)
+
+    texts = [
+        "Hello, world! This is a TEST 123.",
+        "",
+        "   ",
+        "one",
+        "a b a b a",
+        "!!punct?? only__",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = classifier_score(df, W, keep_components=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    for i, t in enumerate(texts):
+        s, n = model(t)
+        exp = round(s / (float(CLF_WEIGHT_SCALE) * n), 6) if n else 0.0
+        r = rows[i]
+        assert (r.clf_score_s_int, r.clf_score_n_grams) == (s, n), (i, t)
+        assert abs(r.clf_score - exp) < 1e-9, (i, t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
