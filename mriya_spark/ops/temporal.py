@@ -168,3 +168,55 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered k-step funnel (strict succession) in ONE scan of the
+    event log: for each user, ``t_k`` = earliest event of
+    ``steps[k]`` strictly after ``t_{k-1}``, computed as k chained
+    min-if window aggregates over ONE hash partitioning of the
+    events — each step's condition references the previous step's
+    window result, so Spark stacks k Window operators behind a single
+    Exchange (no per-step join back to the event log, which is what
+    makes the k-join formulation k scans and ~2k shuffles). The
+    per-user rollup then reuses the same partitioning (no new
+    exchange); only the final k-counter rollup moves data again —
+    two shuffles total for ANY number of steps, and the event log is
+    read once. Returns one row per step: (step, step_name, n_users).
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    tcols: list[str] = []
+    for i, etype in enumerate(steps):
+        cond = F.col(type_col) == etype
+        if tcols:
+            cond = cond & (F.col(ts_col) > F.col(tcols[-1]))
+        tcol = f"__t{i + 1}"
+        df = df.withColumn(
+            tcol, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        tcols.append(tcol)
+    # t_k is constant within a user partition; max() just picks it.
+    # The groupBy inherits the window's hash partitioning — no
+    # exchange between the Window stack and this rollup.
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in tcols]
+    )
+    counts = per_user.agg(
+        *[F.count(t).alias(f"__n{i}") for i, t in enumerate(tcols)]
+    )
+    step_structs = ", ".join(
+        f"struct(CAST({i + 1} AS BIGINT) AS step, "
+        f"'{name}' AS step_name, __n{i} AS n_users)"
+        for i, name in enumerate(steps)
+    )
+    return counts.selectExpr(f"inline(array({step_structs}))")

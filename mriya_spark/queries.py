@@ -1432,9 +1432,11 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count_distinct("user_id").cast("long").alias("n_users"))
 
 
-@register(
-    "events_funnel",
-    """
+#: Shared by the 3-join form (events_funnel) and the single-scan
+#: window form (events_funnel_singlescan) — identical semantics
+#: (strict succession), two independent Spark plans checked against
+#: one oracle.
+_FUNNEL_ORACLE_SQL = """
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY 1),
@@ -1452,8 +1454,10 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 2::BIGINT, 'click', CAST(count(*) AS BIGINT) FROM s2
     UNION ALL
     SELECT 3::BIGINT, 'purchase', CAST(count(*) AS BIGINT) FROM s3
-    """,
-)
+    """
+
+
+@register("events_funnel", _FUNNEL_ORACLE_SQL)
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase, strict succession):
     per step, users whose earliest qualifying event follows their
@@ -1493,6 +1497,26 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register("events_funnel_singlescan", _FUNNEL_ORACLE_SQL)
+def events_funnel_singlescan_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same ordered funnel as ``events_funnel``, computed in ONE
+    scan (``ops.temporal.funnel_steps``): k chained min-if window
+    aggregates over a single user-hash partitioning instead of k
+    join-backs to the event log. Same oracle, different physical
+    plan: 2 shuffles total for any step count (vs 7 for the 3-join
+    form — the plan comparison is pinned in tests/test_plans.py and
+    PLANS.md). At 100 TB the event log is the big thing; reading it
+    once instead of k times is the difference that matters."""
+    from mriya_spark.ops.temporal import funnel_steps
+
+    ev = _cat(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel_steps(ev, ["view", "click", "purchase"])
 
 
 @register(

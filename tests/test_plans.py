@@ -483,6 +483,24 @@ def test_pinned_shuffle_counts_on_expensive_pipelines(spark, queries):
     assert got == expected
 
 
+def test_pinned_shuffle_counts_on_r9_ops(spark, queries):
+    """r9 pins. text_classifier_score is SCAN-LOCAL by design (the
+    whole point: quality filtering priced as a map-only pass);
+    events_funnel_singlescan must hold its 2-shuffle shape for a
+    3-step funnel — one user-hash exchange feeding the chained
+    window min-ifs + per-user rollup, one final counter rollup —
+    vs 7 for the 3-join form it twins."""
+    expected = {
+        "text_classifier_score": 0,
+        "events_funnel_singlescan": 2,
+    }
+    got = {
+        name: _audit(queries[name](spark, SF))["shuffles"]
+        for name in expected
+    }
+    assert got == expected
+
+
 def test_pinned_shuffle_counts_on_r8_ops(spark, queries):
     """Same pin for the r8 families. The load-bearing zeros:
     sample_oversample and the bloom screen are SCAN-LOCAL by design —
