@@ -305,3 +305,102 @@ def table_profile(df, columns: list[str] | None = None):
         rows, "column string, n_nulls long, n_distinct long, "
               "min_str string, max_str string"
     )
+
+
+def table_profile_approx(
+    df: DataFrame, columns: list[str] | None = None, *, rsd: float = 0.05
+) -> DataFrame:
+    """``table_profile`` with the distinct counts estimated instead of
+    exact — the 100 TB ANALYZE path. Exact per-column
+    ``count_distinct`` is the one expression in the profiling family
+    that stops scaling: it carries every distinct value through the
+    aggregation (no bounded partial state). ``approx_count_distinct``
+    is Spark's HLL++ — fixed-size register state, map-side partial
+    merge, so the pass stays ONE scan with bounded memory however
+    many distincts the columns hold. Estimates are engine-internal
+    (register layout is Spark's own), so this variant is accuracy-
+    tested against the exact profile in tests rather than
+    hash-checked; ``table_profile_hll`` is the hash-checkable twin in
+    the portable md5 family. Same output schema as ``table_profile``
+    with ``n_distinct_est`` in place of ``n_distinct``."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__t_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs).collect()[0]
+    rows = [
+        (
+            c,
+            int(wide[f"__t_{c}"] - wide[f"__nn_{c}"]),
+            int(wide[f"__d_{c}"]),
+            wide[f"__mn_{c}"],
+            wide[f"__mx_{c}"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "column string, n_nulls long, n_distinct_est long, "
+              "min_str string, max_str string"
+    )
+
+
+def table_profile_hll(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    seed: int = 17,
+) -> DataFrame:
+    """Approximate-distinct column profile in the engine-portable md5
+    HLL family (``mriya_spark.portable``): every column's values are
+    rendered to strings, hashed with one keyed 60-bit draw, and folded
+    into a 256-register sketch per column — (column, bucket) max-rho
+    then per-column exact integer state, the same two-aggregation
+    shape as ``sketch_hll_portable``, just unpivoted across columns
+    with ``stack`` first (zero-copy column-to-row, still one scan of
+    the table for ALL columns). Distributed exactly like the 100 TB
+    rollup: register state is mergeable per-bucket max, the heavy
+    aggregation is over (column, bucket) keys — at most
+    ``n_cols * 256`` groups leave the partial aggregation, however
+    many rows or distincts the table holds. Emits the exact checked
+    state (s_int, n_empty) plus the estimate and null/row counts."""
+    from mriya_spark.portable import (
+        hll_bucket_rho,
+        hll_estimate,
+        hll_state_aggs,
+        md5_long60,
+    )
+
+    cols = columns or df.columns
+    stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    u = df.selectExpr(f"stack({len(cols)}, {stack}) AS (column, val)")
+    counts = u.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+    )
+    bucket, rho = hll_bucket_rho(md5_long60(seed, F.col("val")))
+    regs = (
+        u.filter(F.col("val").isNotNull())
+        .select("column", bucket.alias("bucket"), rho.alias("r"))
+        .groupBy("column", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    agg = regs.groupBy("column").agg(*hll_state_aggs())
+    return (
+        counts.join(agg, on="column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            hll_estimate(F.col("s_int"), F.col("n_empty")).alias(
+                "est_distinct"
+            ),
+            "s_int",
+            "n_empty",
+        )
+    )

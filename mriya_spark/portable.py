@@ -33,3 +33,94 @@ def md5_uniform(seed: int, key: Column) -> Column:
     by 2^60. Exact cross-engine: 60-bit ints round to double the same
     way everywhere, and the divisor is a power of two."""
     return md5_long60(seed, key).cast("double") / float(1 << 60)
+
+
+# -- portable HLL (md5 family) ----------------------------------------
+#
+# m=256 buckets from the top of the 60-bit draw, 52-bit rho window.
+# The scale constant alpha*m^2*2^53 and the linear-counting table are
+# computed ONCE here and inlined as identical double literals on both
+# sides, so the only float op either engine performs is one
+# IEEE-correctly-rounded division (neither Spark's java.lang.Math.log
+# nor DuckDB's libm ln guarantees correct rounding, hence the table —
+# m*ln(m/n_empty) has only m possible values). Shared by
+# sketch_hll_portable and the approx table profile so the register
+# layout cannot drift between consumers.
+
+import math as _math
+
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_SCALE = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+HLL_LC_TABLE = [HLL_M * _math.log(HLL_M / n) for n in range(1, HLL_M + 1)]
+
+
+def hll_bucket_rho(h: Column) -> tuple[Column, Column]:
+    """(bucket, rho) of a 60-bit draw: bucket = h mod m; rho = leading
+    zeros of the remaining 52 bits + 1, via binary-string length (both
+    engines agree on bin()/conv semantics including the rest=0 edge,
+    where rho is the full 53-bit window)."""
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    return (h % HLL_M).cast("long"), rho
+
+
+def hll_state_aggs() -> list[Column]:
+    """The two exact-integer state aggregates over a grouped register
+    frame with an ``m`` max-rho column: ``s_int`` = BIGINT harmonic
+    denominator (sum of 2^(53-M) plus 2^53 per empty bucket — no float
+    summation order to diverge) and ``n_empty``."""
+    return [
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m)"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << 53).cast("long")
+        ).cast("long").alias("s_int"),
+        (HLL_M - F.count(F.lit(1))).cast("long").alias("n_empty"),
+    ]
+
+
+def hll_estimate(s_int: Column, n_empty: Column) -> Column:
+    """4dp-rounded HLL estimate from the exact state: harmonic branch
+    is one division on identical operands; the small-range
+    linear-counting branch indexes the precomputed literal table."""
+    est_raw = F.lit(HLL_SCALE) / s_int
+    return F.round(
+        F.when(
+            (est_raw <= 2.5 * HLL_M) & (n_empty > 0),
+            F.element_at(
+                F.array(*[F.lit(v) for v in HLL_LC_TABLE]),
+                n_empty.cast("int"),
+            ),
+        ).otherwise(est_raw),
+        4,
+    )
+
+
+def hll_sql_parts(h_expr: str = "h") -> dict[str, str]:
+    """DuckDB fragments mirroring the column helpers above — one
+    definition for rho/state/estimate so the oracle constants cannot
+    drift from the Spark side. Keys: ``bucket``, ``rho`` (select-list
+    exprs over ``h_expr``), ``s_int``, ``n_empty`` (aggregates over a
+    register frame with an ``m`` column), ``estimate`` (expr over
+    emitted s_int/n_empty columns)."""
+    lc = ", ".join(repr(v) for v in HLL_LC_TABLE)
+    return {
+        "bucket": f"{h_expr} % {HLL_M}",
+        "rho": (
+            f"CASE WHEN ({h_expr} >> 8) = 0 THEN 53 "
+            f"ELSE 53 - length(bin({h_expr} >> 8)) END"
+        ),
+        "s_int": (
+            f"CAST(sum(1::BIGINT << (53 - m)) "
+            f"+ ({HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT)"
+        ),
+        "n_empty": f"CAST({HLL_M} - count(*) AS BIGINT)",
+        "estimate": (
+            f"round(CASE WHEN {HLL_SCALE!r} / s_int <= {2.5 * HLL_M} "
+            f"AND n_empty > 0 "
+            f"THEN ([{lc}])[CAST(n_empty AS INTEGER)] "
+            f"ELSE {HLL_SCALE!r} / s_int END, 4)"
+        ),
+    }

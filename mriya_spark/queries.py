@@ -16,7 +16,6 @@ DuckDB runs over the same parquet tables (driver contract,
 
 from __future__ import annotations
 
-import math as _math
 import os as _os
 
 from dataclasses import dataclass
@@ -3990,25 +3989,14 @@ def join_bloom_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: HLL-portable constants: m=256 buckets from the top of a 60-bit md5
-#: draw, 52-bit rho window. The estimate scale constant alpha*m²*2^53
-#: is computed ONCE here and inlined as the identical double literal
-#: on both sides, so the only float op either engine performs is one
-#: IEEE-correctly-rounded division on identical operands. The
-#: linear-counting branch takes NO float path at all: m*ln(m/n_empty)
-#: has only m possible values (n_empty in [1, m]), so the table is
-#: precomputed here with Python's math.log and inlined as identical
-#: double literals on both sides — neither Spark's java.lang.Math.log
-#: nor DuckDB's libm ln guarantees correct rounding, so computing ln
-#: per-engine could flake the 4dp hash on a last-ulp boundary (the
-#: window_running divergence class; r8 advice). The exact integer
-#: pair (s_int, n_empty) remains the primary checked sketch state.
-_HLL_M = 256
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
-_HLL_SCALE = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
-_HLL_LC_TABLE = [
-    _HLL_M * _math.log(_HLL_M / n) for n in range(1, _HLL_M + 1)
-]
+# HLL-portable constants and the shared register/estimate machinery
+# live in ``mriya_spark.portable`` (one definition for every consumer:
+# this sketch, the approx table profile, and their oracles — so the
+# register layout and the estimate's literal tables cannot drift).
+# The exact integer pair (s_int, n_empty) is the primary checked
+# sketch state; the float estimate is one IEEE division (harmonic
+# branch) or a precomputed-literal-table lookup (linear-counting
+# branch — no engine ln; r8 advice).
 
 
 def _hll_portable_oracle_sql() -> str:
@@ -4018,18 +4006,19 @@ def _hll_portable_oracle_sql() -> str:
     semantics including the rest=0 edge), the harmonic denominator is
     the EXACT BIGINT sum of 2^(53-M) (no float summation order to
     diverge), and the estimate is a single rounded division; the
-    linear-counting branch indexes the precomputed ``_HLL_LC_TABLE``
-    literal instead of calling the engine's ln (see the constants
-    block)."""
+    linear-counting branch indexes the precomputed
+    ``portable.HLL_LC_TABLE`` literal instead of calling the engine's
+    ln."""
+    from mriya_spark.portable import hll_sql_parts
+
+    P = hll_sql_parts()
     return f"""
     WITH vals AS (
       SELECT o_orderpriority AS segment,
              ('0x' || substr(md5('9_' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM orders),
     rho AS (
-      SELECT segment, h % {_HLL_M} AS bucket,
-             CASE WHEN (h >> 8) = 0 THEN 53
-                  ELSE 53 - length(bin(h >> 8)) END AS r
+      SELECT segment, {P["bucket"]} AS bucket, {P["rho"]} AS r
       FROM vals),
     regs AS (SELECT segment, bucket, max(r) AS m FROM rho GROUP BY 1, 2),
     allregs AS (
@@ -4038,17 +4027,10 @@ def _hll_portable_oracle_sql() -> str:
       SELECT '__merged', bucket, max(m) FROM regs GROUP BY bucket),
     agg AS (
       SELECT segment,
-             CAST(sum(1::BIGINT << (53 - m))
-                  + ({_HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s_int,
-             CAST({_HLL_M} - count(*) AS BIGINT) AS n_empty
+             {P["s_int"]} AS s_int,
+             {P["n_empty"]} AS n_empty
       FROM allregs GROUP BY segment)
-    SELECT segment,
-           round(CASE WHEN {_HLL_SCALE!r} / s_int <= {2.5 * _HLL_M}
-                       AND n_empty > 0
-                      THEN ([{", ".join(repr(v) for v in _HLL_LC_TABLE)}])
-                           [CAST(n_empty AS INTEGER)]
-                      ELSE {_HLL_SCALE!r} / s_int END, 4) AS est_distinct,
-           s_int, n_empty
+    SELECT segment, {P["estimate"]} AS est_distinct, s_int, n_empty
     FROM agg
     """
 
@@ -4062,21 +4044,22 @@ def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     single flipped register bit anywhere fails the hash; the float
     estimate is one rounded division on identical operands (the
     small-range branch is a literal-table lookup — no engine ln, see
-    ``_HLL_LC_TABLE``). The Datasketches production twin
+    ``portable.HLL_LC_TABLE``). The Datasketches production twin
     (``sketch_hll_mergeable``) stays rows-only — its register layout
     is library-internal; accuracy vs exact is pinned in tests."""
-    from mriya_spark.portable import md5_long60
+    from mriya_spark.portable import (
+        hll_bucket_rho,
+        hll_estimate,
+        hll_state_aggs,
+        md5_long60,
+    )
 
     o = _cat(spark, sf_dir).table("orders").select(
         F.col("o_orderpriority").alias("segment"), "o_custkey"
     )
-    h = md5_long60(9, F.col("o_custkey"))
-    rest = F.shiftright(h, 8)
-    rho = F.when(rest == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.conv(rest.cast("string"), 10, 2))
-    )
+    bucket, rho = hll_bucket_rho(md5_long60(9, F.col("o_custkey")))
     regs = (
-        o.select("segment", (h % _HLL_M).alias("bucket"), rho.alias("r"))
+        o.select("segment", bucket.alias("bucket"), rho.alias("r"))
         .groupBy("segment", "bucket")
         .agg(F.max("r").alias("m"))
     )
@@ -4086,24 +4069,12 @@ def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__merged").alias("segment"), "bucket", "m")
     )
     allregs = regs.unionByName(merged)
-    agg = allregs.groupBy("segment").agg(
-        (
-            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m)"))
-            + (_HLL_M - F.count(F.lit(1)))
-            * F.lit(1 << 53).cast("long")
-        ).cast("long").alias("s_int"),
-        (_HLL_M - F.count(F.lit(1))).cast("long").alias("n_empty"),
-    )
-    est_raw = F.lit(_HLL_SCALE) / F.col("s_int")
-    est = F.when(
-        (est_raw <= 2.5 * _HLL_M) & (F.col("n_empty") > 0),
-        F.element_at(
-            F.array(*[F.lit(v) for v in _HLL_LC_TABLE]),
-            F.col("n_empty").cast("int"),
-        ),
-    ).otherwise(est_raw)
+    agg = allregs.groupBy("segment").agg(*hll_state_aggs())
     return agg.select(
-        "segment", F.round(est, 4).alias("est_distinct"), "s_int", "n_empty"
+        "segment",
+        hll_estimate(F.col("s_int"), F.col("n_empty")).alias("est_distinct"),
+        "s_int",
+        "n_empty",
     )
 
 
@@ -5161,6 +5132,66 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cat(spark, sf_dir).table("customer")
     return table_profile(
         cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+def _profile_hll_oracle_sql() -> str:
+    """Oracle for the md5-family approx profile: unpivot the same
+    columns to (column, string value), replay the shared HLL
+    fragments (``portable.hll_sql_parts`` — identical bucket/rho/
+    state/estimate text as the sketch oracle), join back the
+    null/row counts. Exact integer state per column is the primary
+    check."""
+    from mriya_spark.portable import hll_sql_parts
+
+    P = hll_sql_parts()
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
+    u = "\n      UNION ALL ".join(
+        f'SELECT \'{c}\' AS "column", CAST({c} AS VARCHAR) AS val FROM customer'
+        for c in cols
+    )
+    return f"""
+    WITH u AS (
+      {u}),
+    counts AS (
+      SELECT "column", count(*) AS n_rows,
+             CAST(count(*) - count(val) AS BIGINT) AS n_nulls
+      FROM u GROUP BY "column"),
+    vals AS (
+      SELECT "column",
+             ('0x' || substr(md5('17_' || val), 1, 15))::BIGINT AS h
+      FROM u WHERE val IS NOT NULL),
+    rho AS (SELECT "column", {P["bucket"]} AS bucket, {P["rho"]} AS r FROM vals),
+    regs AS (SELECT "column", bucket, max(r) AS m FROM rho GROUP BY 1, 2),
+    agg AS (
+      SELECT "column", {P["s_int"]} AS s_int, {P["n_empty"]} AS n_empty
+      FROM regs GROUP BY "column")
+    SELECT c."column", c.n_rows, c.n_nulls,
+           {P["estimate"]} AS est_distinct, a.s_int, a.n_empty
+    FROM counts c JOIN agg a USING ("column")
+    """
+
+
+@register("table_profile_hll", _profile_hll_oracle_sql())
+def table_profile_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANALYZE path, hash-checked: per-column approximate
+    distinct counts via the portable md5-family HLL
+    (``ops.quality.table_profile_hll``) — stack-unpivot (one scan for
+    all columns), (column, bucket) max-rho partial aggregation (at
+    most n_cols*256 groups leave the map side however many distincts
+    the table holds), exact BIGINT sketch state per column. The
+    column mix exercises both estimate branches: c_custkey lands in
+    the harmonic range, c_nationkey/c_mktsegment in linear counting.
+    The built-in HLL++ twin (``table_profile_approx``,
+    ``approx_count_distinct``) is the production one-pass variant —
+    engine-internal registers, so it is accuracy-tested in tests
+    rather than hash-checked (same split as sketch_hll_mergeable vs
+    sketch_hll_portable)."""
+    from mriya_spark.ops.quality import table_profile_hll
+
+    cust = _cat(spark, sf_dir).table("customer")
+    return table_profile_hll(
+        cust, ["c_custkey", "c_nationkey", "c_mktsegment"]
     )
 
 

@@ -279,6 +279,37 @@ def test_table_profile_counts_and_extremes(spark):
     assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
 
 
+def test_table_profile_approx_within_tolerance(spark):
+    """The HLL++ one-pass profile (approx_count_distinct) must agree
+    with the exact profile on nulls/min/max EXACTLY and on distinct
+    counts within the configured relative error (generous 3-sigma-ish
+    bound: 3*rsd); the portable md5-HLL twin must land in the same
+    band and report exact null/row counts."""
+    from mriya_spark.ops.quality import (
+        table_profile,
+        table_profile_approx,
+        table_profile_hll,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id AS k",
+        "CAST(id % 37 AS STRING) AS s",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 1000 END AS v",
+    )
+    exact = {r.column: r for r in table_profile(df).collect()}
+    approx = {r.column: r for r in table_profile_approx(df, rsd=0.05).collect()}
+    hll = {r.column: r for r in table_profile_hll(df).collect()}
+    for c in ("k", "s", "v"):
+        assert approx[c].n_nulls == exact[c].n_nulls
+        assert approx[c].min_str == exact[c].min_str
+        assert approx[c].max_str == exact[c].max_str
+        true_d = exact[c].n_distinct
+        assert abs(approx[c].n_distinct_est - true_d) <= max(3, 0.15 * true_d)
+        assert abs(hll[c].est_distinct - true_d) <= max(3, 0.25 * true_d)
+        assert hll[c].n_nulls == exact[c].n_nulls
+        assert hll[c].n_rows == 5000
+
+
 def test_fuzzy_join_blocked_edges(spark):
     """Empty sides and block-boundary edits: a pair whose single edit
     falls inside the block prefix is the documented single-pass recall
