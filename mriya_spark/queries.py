@@ -893,6 +893,25 @@ def _generate_rows_portable_oracle(n: int = 1000, seed: int = 42) -> str:
     )
 
 
+def _e2e_portable_oracle(n: int = 500, seed: int = 42) -> str:
+    """Oracle for the FULL mriya pipeline run on the portable
+    generator: regenerate the source rows via the same SQL as
+    ``generate_rows_portable``'s oracle (one definition — the
+    generator CTE is that oracle verbatim), then restate the
+    deterministic suffix (transform consts + DST id assignment +
+    backfill join) directly — the same restatement shape
+    ``mriya_e2e_deterministic`` checks on customer-derived rows."""
+    src = _generate_rows_portable_oracle(n=n, seed=seed)
+    return f"""
+    WITH src AS ({src})
+    SELECT "row_id",
+           'DST-' || CAST("row_id" AS VARCHAR) AS "row_id_dst_id",
+           "Name", "Billing_City__c", "Billing_Zip_Code__c", "Website",
+           '0013B000006M6zSQAS' AS "Company_Name__c"
+    FROM src
+    """
+
+
 @register("generate_rows_portable", _generate_rows_portable_oracle())
 def generate_rows_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 in the engine-portable hash family: the same schema-driven
@@ -3817,11 +3836,22 @@ def percentile_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggs", None)  # sketch outputs differ across engines
+#  rows-only BY NECESSITY: approx_count_distinct is Spark's HLL++ and
+#  percentile_approx its KLL-ish quantile sketch — their register
+#  layouts, merge orders, and estimator corrections are engine
+#  internals no SQL restatement can reproduce (DuckDB's approx_*
+#  functions implement different sketches with different estimates on
+#  identical data). The checkable SIDES of both families exist as
+#  portable twins: sketch_hll_portable / table_profile_hll (md5-family
+#  HLL, hash-green) and percentile_sampled (deterministic-sample
+#  quantiles, hash-green); this entry pins the production built-ins'
+#  accuracy in tests instead.
+@register("approx_aggs", None)
 def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct + quantile sketch) — the
     100 TB substitutes for exact distinct/percentile. Engine-specific
-    sketches -> rows-only; accuracy asserted in tests."""
+    sketches -> rows-only (see registration note); accuracy asserted
+    in tests."""
     li = _cat(spark, sf_dir).table("lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -4184,13 +4214,22 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mriya_e2e_pipeline", None)  # random generated src -> rows-only
+#  rows-only BY NECESSITY: the generator stage uses Spark-native
+#  rand(seed) (XorShift stream — reproducible in-engine, not
+#  restatable in SQL), faithfully mirroring the reference's G1. Every
+#  stage is hash-verified by a twin: mriya_e2e_portable runs this
+#  EXACT flow generator-included on the md5/sha2 draws (full-oracle
+#  green), and mriya_e2e_deterministic checks the suffix on
+#  customer-derived rows — only the rand() byte stream itself stays
+#  uncheckable.
+@register("mriya_e2e_pipeline", None)
 def mriya_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete reference pipeline (`/root/reference/mriya.py`
     top-to-bottom): reset -> generate -> chunked bulk insert -> extract
     w/ pushdown -> mapping transform -> load -> backfill join, all
     through the mock-org connector. Generated content is pseudorandom
-    -> rows-only; invariants asserted in tests/test_pipeline.py."""
+    -> rows-only (see registration note; ``mriya_e2e_portable`` is the
+    hash-checked twin); invariants asserted in tests/test_pipeline.py."""
     import uuid as _uuid
 
     from mriya_spark.pipeline import run_mriya_pipeline
@@ -4251,6 +4290,47 @@ def mriya_e2e_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _sweep_stale("org", "e2e_")
     org = _os.path.join(_cache_subdir("org"), f"e2e_det_{_uuid.uuid4().hex[:8]}")
+    try:
+        updates = run_mriya_pipeline(spark, org, source_df=src_rows)
+        loaded = read_object(spark, org, "Accounts__c", DST_DDL)
+        out = (
+            updates.join(
+                loaded,
+                updates["row_id"] == loaded["Old_Record_Id__c"],
+            )
+            .select(
+                "row_id", "row_id_dst_id", "Name", "Billing_City__c",
+                "Billing_Zip_Code__c", "Website", "Company_Name__c",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(org, ignore_errors=True)
+    return out
+
+
+@register("mriya_e2e_portable", _e2e_portable_oracle())
+def mriya_e2e_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference pipeline INCLUDING the generator stage,
+    hash-checked: ``gen_data(portable=True)`` (md5/sha2 draws the
+    oracle regenerates value-for-value) feeds the identical reset ->
+    insert -> extract -> transform -> load -> backfill flow through
+    the mock-org connector, and the oracle replays generator AND
+    suffix in one SQL statement. Together with
+    ``mriya_e2e_deterministic`` (suffix on customer rows) this leaves
+    ``mriya_e2e_pipeline`` rows-only ONLY for its Spark-native
+    ``rand`` draws — every stage of the flow is hash-verified by one
+    twin or the other."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from mriya_spark.connector.salesforce import read_object
+    from mriya_spark.generator import gen_data
+    from mriya_spark.pipeline import DST_DDL, run_mriya_pipeline
+
+    src_rows = gen_data(spark, 500, "Account", seed=42, portable=True)
+    _sweep_stale("org", "e2e_")
+    org = _os.path.join(_cache_subdir("org"), f"e2e_port_{_uuid.uuid4().hex[:8]}")
     try:
         updates = run_mriya_pipeline(spark, org, source_df=src_rows)
         loaded = read_object(spark, org, "Accounts__c", DST_DDL)
