@@ -56,6 +56,7 @@ _FILTER_TYPES = {
     "group_quota",
     "weighted_sample",
     "classifier",
+    "domain_quota",
 }
 _DEDUP_TYPES = {"exact", "minhash_lsh", "ngram_jaccard", "substring"}
 _EMIT_TYPES = {"oversample"}
@@ -86,6 +87,12 @@ class CurationSpec:
             ):
                 raise ValueError(
                     "group_quota filter needs 'group_col' and a positive 'quota'"
+                )
+            if f["type"] == "domain_quota" and not (
+                f.get("url_col") and int(f.get("quota", 0)) > 0
+            ):
+                raise ValueError(
+                    "domain_quota filter needs 'url_col' and a positive 'quota'"
                 )
         for d in dedup:
             if d.get("type") not in _DEDUP_TYPES:
@@ -203,6 +210,18 @@ class CurationSpec:
                 quota=int(f["quota"]),
                 seed=int(f.get("seed", 42)),
             ).drop("grp_rank")
+        if kind == "domain_quota":
+            # per-domain cap (C4/FineWeb): parse_url host extraction is
+            # scan-local; the quota is one hash exchange on the domain
+            from mriya_spark.ops.quality import domain_quota
+
+            return domain_quota(
+                df,
+                url_col=f["url_col"],
+                key_col=f.get("key_col", "doc_id"),
+                quota=int(f["quota"]),
+                seed=int(f.get("seed", 42)),
+            ).drop("domain", "domain_total", "grp_rank")
         if kind == "classifier":
             # hashed linear quality classifier (ops.text.classifier_score):
             # scan-local scoring against an int-quantized weight vector;

@@ -404,3 +404,42 @@ def table_profile_hll(
             "n_empty",
         )
     )
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of a URL — ``parse_url(url, 'HOST')``,
+    JVM-side and scan-local (the C4/FineWeb curation key: quotas,
+    blocklists, and per-domain stats all group on this)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def domain_quota(
+    df: DataFrame,
+    *,
+    url_col: str,
+    key_col: str = "doc_id",
+    quota: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain document cap: extract the host scan-local
+    (``url_host``), then ``per_group_quota`` on it — no single domain
+    exceeds ``quota`` docs, chosen by md5 hash order (reproducible
+    across runs/engines; one hash exchange on the domain). Appends
+    ``domain``, ``domain_total`` (the PRE-cap per-domain count — the
+    curation-report stat, computed as a window over the same
+    partitioning the quota rank already pays for), and ``grp_rank``.
+    """
+    from pyspark.sql import Window
+
+    with_host = df.withColumn("domain", url_host(F.col(url_col)))
+    with_host = with_host.withColumn(
+        "domain_total",
+        F.count(F.lit(1)).over(Window.partitionBy("domain")).cast("long"),
+    )
+    return per_group_quota(
+        with_host,
+        group_col="domain",
+        key_col=key_col,
+        quota=quota,
+        seed=seed,
+    )

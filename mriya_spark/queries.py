@@ -6794,3 +6794,86 @@ def text_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clf_score_n_grams").alias("n_grams"),
         F.col("clf_score").alias("score"),
     )
+
+
+#: Deterministic domain universe for the curation fixtures: documents
+#: has no url column, so one is derived from doc_id — a squared
+#: md5-uniform picks the domain (squaring skews mass toward the low
+#: indices, so the per-domain cap actually binds on the hot domains,
+#: like a real crawl's zipf head). Shared by the Spark query and the
+#: oracle via interpolation.
+_CURATION_DOMAINS = [
+    "alpha-news.com", "betapedia.org", "gamma-blog.net", "delta-docs.io",
+    "epsilon.edu", "zeta-forum.org", "eta-shop.com", "theta-wiki.org",
+    "iota-mail.net", "kappa-code.dev", "lambda-arts.com", "mu-science.org",
+    "nu-sports.net", "xi-travel.com", "omicron-food.org", "pi-music.fm",
+]
+_DOMAIN_SEED = 31
+_DOMAIN_QUOTA = 40
+
+
+def _domain_quota_oracle_sql() -> str:
+    """Oracle for the per-domain cap: re-derive each doc's domain
+    INDEPENDENTLY of parse_url (directly from the squared-uniform
+    draw), so the Spark side's build-url-then-parse_url round trip is
+    value-checked against a derivation that never builds the URL —
+    if parse_url mangled a host (port, userinfo, case), the hash
+    would fail. The window rank restates per_group_quota."""
+    doms = ", ".join(f"'{d}'" for d in _CURATION_DOMAINS)
+    n = len(_CURATION_DOMAINS)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{_DOMAIN_SEED}_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               / {float(1 << 60)!r} AS uu
+      FROM documents),
+    hosts AS (
+      SELECT doc_id,
+             ([{doms}])[CAST(floor(uu * uu * {n}) AS INTEGER) + 1] AS domain
+      FROM u),
+    ranked AS (
+      SELECT doc_id, domain,
+             CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS domain_total,
+             CAST(row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS BIGINT) AS grp_rank
+      FROM hosts)
+    SELECT doc_id, domain, domain_total, grp_rank
+    FROM ranked WHERE grp_rank <= {_DOMAIN_QUOTA}
+    """
+
+
+@register("curation_domain_quota", _domain_quota_oracle_sql())
+def curation_domain_quota_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation cap (C4/FineWeb posture): derive a
+    deterministic URL per doc (squared md5-uniform -> zipf-ish head
+    so the cap binds on hot domains), extract the registrable host
+    SCAN-LOCAL via ``parse_url`` (``ops.quality.url_host``), then cap
+    every domain at {quota} docs by md5 hash order
+    (``ops.quality.domain_quota``), which carries the PRE-cap
+    per-domain total along — ONE hash exchange on the domain serves
+    both the stats window and the quota rank. The oracle re-derives each
+    domain straight from the draw — parse_url's host extraction is
+    checked against a derivation that never builds the URL."""
+    from mriya_spark.ops.quality import domain_quota
+    from mriya_spark.portable import md5_uniform
+
+    n = len(_CURATION_DOMAINS)
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id")
+    u = md5_uniform(_DOMAIN_SEED, F.col("doc_id"))
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in _CURATION_DOMAINS]),
+        (F.floor(u * u * n) + 1).cast("int"),
+    )
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), dom, F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    capped = domain_quota(
+        with_url, url_col="url", quota=_DOMAIN_QUOTA, seed=42
+    )
+    return capped.select("doc_id", "domain", "domain_total", "grp_rank")

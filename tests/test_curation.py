@@ -158,6 +158,54 @@ def test_recipe_classifier_stage(spark):
     assert out.columns == ["doc_id"]
 
 
+def test_recipe_domain_quota_stage(spark):
+    """Per-domain cap in the DSL: no domain exceeds the quota, picks
+    are deterministic, and the helper columns don't leak. Also pins
+    the parse_url host extraction (ports and userinfo must not leak
+    into the domain key)."""
+    from mriya_spark.curation import CurationSpec
+    from mriya_spark.ops.quality import domain_quota, url_host
+
+    docs = [
+        (i, f"https://hot.example.com/page/{i}", "text a") for i in range(20)
+    ] + [
+        (100 + i, f"https://cold-{i}.org/x", "text b") for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "url", "text"])
+    spec = CurationSpec.from_obj({
+        "filters": [{"type": "domain_quota", "url_col": "url", "quota": 3}],
+        "dedup": [],
+        "output": ["doc_id"],
+    })
+    out = spec.build(df)
+    ids = {r.doc_id for r in out.collect()}
+    assert len([i for i in ids if i < 100]) == 3  # hot domain capped
+    assert len([i for i in ids if i >= 100]) == 5  # cold ones untouched
+    assert out.columns == ["doc_id"]
+    again = {r.doc_id for r in spec.build(df).collect()}
+    assert again == ids  # deterministic picks
+
+    # domain_total is the PRE-cap count; parse_url strips port/userinfo
+    pr = domain_quota(
+        spark.createDataFrame(
+            [(1, "https://user@h.com:8443/a"), (2, "http://h.com/b")],
+            ["doc_id", "url"],
+        ),
+        url_col="url",
+        quota=10,
+    ).collect()
+    assert {r.domain for r in pr} == {"h.com"}
+    assert all(r.domain_total == 2 for r in pr)
+    cap = domain_quota(
+        spark.createDataFrame(
+            [(i, "https://one.com/x") for i in range(9)], ["doc_id", "url"]
+        ),
+        url_col="url",
+        quota=4,
+    ).collect()
+    assert len(cap) == 4 and all(r.domain_total == 9 for r in cap)
+
+
 def test_oversample_epochs_copy_counts(spark):
     """Each row's copy count is floor(w) or floor(w)+1, the empirical
     mean tracks w (E[copies] = w), w <= 0 rows vanish, and the cap
