@@ -6719,14 +6719,12 @@ def observed_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_oracle_sql() -> str:
-    """Oracle for the hashed linear classifier: re-derive every int16
-    weight independently from the md5 family (``hashed_clf_weights``'s
-    formula — the Spark side consumes them as an inlined literal
-    array, the deployment shape for trained weights), re-hash every
-    unigram/bigram to its bucket, and sum EXACT integers per doc. A
-    single flipped weight, bucket, or gram anywhere fails the hash;
-    the float score is one IEEE division on identical operands."""
+def _clf_scored_ctes(src: str = "documents") -> str:
+    """The words/grams/scored CTE chain computing the classifier's
+    exact integer state (doc_id, s_int, n_grams) over ``src`` (needs
+    doc_id + text). ONE definition shared by the standalone oracle
+    and the r9 recipe oracle, so the weight formula, gram shapes, and
+    bucket constants cannot drift between twins."""
     from mriya_spark.ops.text import (
         CLF_BUCKETS,
         CLF_SEED,
@@ -6740,12 +6738,11 @@ def _clf_oracle_sql() -> str:
         f"% {CLF_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT "
         f"% {2 * CLF_WEIGHT_SCALE} - {CLF_WEIGHT_SCALE}"
     )
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
                          x -> x <> '') AS w
-      FROM documents),
+      FROM {src}),
     grams AS (
       SELECT doc_id, w[i] AS g
       FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)
@@ -6756,7 +6753,21 @@ def _clf_oracle_sql() -> str:
       SELECT doc_id,
              CAST(sum({weight}) AS BIGINT) AS s_int,
              count(*) AS n_grams
-      FROM grams GROUP BY doc_id)
+      FROM grams GROUP BY doc_id)"""
+
+
+def _clf_oracle_sql() -> str:
+    """Oracle for the hashed linear classifier: re-derive every int16
+    weight independently from the md5 family (``hashed_clf_weights``'s
+    formula — the Spark side consumes them as an inlined literal
+    array, the deployment shape for trained weights), re-hash every
+    unigram/bigram to its bucket, and sum EXACT integers per doc. A
+    single flipped weight, bucket, or gram anywhere fails the hash;
+    the float score is one IEEE division on identical operands."""
+    from mriya_spark.ops.text import CLF_WEIGHT_SCALE
+
+    return f"""
+    WITH {_clf_scored_ctes("documents")}
     SELECT d.doc_id,
            COALESCE(s.s_int, 0) AS s_int,
            COALESCE(s.n_grams, 0) AS n_grams,
@@ -6877,3 +6888,84 @@ def curation_domain_quota_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_url, url_col="url", quota=_DOMAIN_QUOTA, seed=42
     )
     return capped.select("doc_id", "domain", "domain_total", "grp_rank")
+
+
+def _recipe_r9_oracle_sql() -> str:
+    """Oracle for the r9 capstone recipe: classifier cut (threshold
+    0.0 reduces EXACTLY to s_int >= 0 — integer filter, no float in
+    the gate), per-domain cap (domain re-extracted from the built URL
+    by regexp, independently checking the Spark side's parse_url),
+    then exact dedup. The classifier CTEs are ``_clf_scored_ctes``
+    verbatim; the domain list is ``_CURATION_DOMAINS`` verbatim."""
+    doms = ", ".join(f"'{d}'" for d in _CURATION_DOMAINS)
+    n = len(_CURATION_DOMAINS)
+    return rf"""
+    WITH corpus AS (
+      SELECT doc_id, text,
+             'https://' || ([{doms}])[CAST(floor(uu * uu * {n}) AS INTEGER) + 1]
+               || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM (
+        SELECT doc_id, text,
+               ('0x' || substr(md5('{_DOMAIN_SEED}_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / {float(1 << 60)!r} AS uu
+        FROM documents)),
+    {_clf_scored_ctes("corpus")},
+    keep1 AS (
+      SELECT c.doc_id, c.text, c.url
+      FROM corpus c LEFT JOIN scored s USING (doc_id)
+      WHERE COALESCE(s.s_int, 0) >= 0),
+    ranked AS (
+      SELECT doc_id, text, url,
+             row_number() OVER (
+               PARTITION BY regexp_extract(url, 'https://([^/]+)/', 1)
+               ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rk
+      FROM keep1),
+    keep2 AS (SELECT doc_id, text, url FROM ranked WHERE rk <= 25),
+    ex AS (
+      SELECT min(doc_id) AS doc_id
+      FROM keep2
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+    SELECT k.doc_id, k.url FROM keep2 k JOIN ex USING (doc_id)
+    """
+
+
+@register("curation_recipe_r9", _recipe_r9_oracle_sql())
+def curation_recipe_r9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the r9 curation stages through the
+    declarative DSL: hashed-linear-classifier cut (scan-local BIGINT
+    dot product) -> per-domain cap (parse_url host, md5 hash order)
+    -> exact dedup, compiled by ``mriya_spark.curation`` into ONE
+    lazy plan. The URL is derived deterministically (the
+    ``curation_domain_quota`` zipf-ish draw), and the oracle replays
+    every stage — classifier CTEs and domain list shared verbatim
+    with the standalone oracles, the domain re-extracted from the URL
+    independently of parse_url."""
+    from mriya_spark.curation import CurationSpec
+    from mriya_spark.portable import md5_uniform
+
+    n = len(_CURATION_DOMAINS)
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    u = md5_uniform(_DOMAIN_SEED, F.col("doc_id"))
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in _CURATION_DOMAINS]),
+        (F.floor(u * u * n) + 1).cast("int"),
+    )
+    corpus = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), dom, F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    spec = CurationSpec.from_obj(
+        {
+            "filters": [
+                {"type": "classifier", "min_score": 0.0},
+                {"type": "domain_quota", "url_col": "url", "quota": 25},
+            ],
+            "dedup": [{"type": "exact"}],
+            "output": ["doc_id", "url"],
+        }
+    )
+    return spec.build(corpus)

@@ -142,6 +142,8 @@ def main() -> None:
         "events_retention", "events_funnel", "agg_histogram",
         "stats_corr", "sink_training_shards", "pipeline_training_export",
         "percentile_sampled",
+        "text_classifier_score", "events_funnel_singlescan",
+        "table_profile_hll", "curation_domain_quota",
     ]
 
     spark = get_spark(app_name="plan_audit")
