@@ -45,9 +45,11 @@ HEADLINE = [
     # a regression in the engine's deepest plans was previously
     # invisible to the trend line (r8 verdict directive 2)
     "search_hybrid_rrf",     # BM25 + dense RRF fusion (9 shuffles)
-    "events_funnel",         # ordered 3-step funnel (7 shuffles)
+    "events_funnel",         # ordered 3-step funnel (7 shuffles, 3-join form)
+    "events_funnel_singlescan",  # same funnel, 2 shuffles (window form)
     "table_diff",            # null-safe full-outer snapshot diff (4)
     "pipeline_training_export",  # capstone curation->shards->verify
+    "text_classifier_score",     # scan-local hashed linear classifier
 ]
 
 

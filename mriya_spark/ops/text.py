@@ -510,7 +510,15 @@ def classifier_score(
     from mriya_spark.portable import md5_long60
 
     n_buckets = len(weights)
-    wlit = F.array(*[F.lit(int(w)) for w in weights])
+    # ship the weight vector as ONE SQL-parsed array expression:
+    # F.array of 4096 F.lit children costs ~1.5s of Python expression
+    # building and F.lit(list) ~2s of py4j element conversion PER PLAN
+    # BUILD (measured r9 — it dominated the benched latency); the SQL
+    # string crosses py4j once and parses JVM-side in ~50ms, folding
+    # to the same array constant
+    wlit = F.expr(
+        "array(" + ",".join(str(int(w)) for w in weights) + ")"
+    )
     toks = F.expr(
         f"filter(split(lower(trim({text_col})), '[^a-z0-9]+'), "
         "x -> x != '')"
