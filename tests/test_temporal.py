@@ -74,3 +74,44 @@ def test_sessionize_gap(spark):
     assert per_user[(1, 610)] == 0
     assert per_user[(1, 690)] == 1
     assert per_user[(2, 600)] == 0
+
+
+def test_funnel_steps_parameterized(spark):
+    """funnel_steps beyond the oracle-covered 3-step shape: strict
+    succession (same-timestamp events do NOT advance), users missing
+    a middle step drop out of later steps, k=2 and k=4 both work, and
+    an empty step list is refused."""
+    import pytest
+
+    rows = [
+        # u1 completes a -> b -> c in order
+        (1, "a", datetime(2024, 1, 1, 0, 0)),
+        (1, "b", datetime(2024, 1, 1, 0, 5)),
+        (1, "c", datetime(2024, 1, 1, 0, 9)),
+        # u2 has b BEFORE a (and none after) -> stops at step 1
+        (2, "b", datetime(2024, 1, 1, 0, 0)),
+        (2, "a", datetime(2024, 1, 1, 0, 1)),
+        # u3: b at the SAME instant as a -> strict '>' rejects it
+        (3, "a", datetime(2024, 1, 1, 1, 0)),
+        (3, "b", datetime(2024, 1, 1, 1, 0)),
+        # u4 never does a -> appears nowhere
+        (4, "b", datetime(2024, 1, 1, 2, 0)),
+        (4, "c", datetime(2024, 1, 1, 2, 1)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+    got = {
+        (r.step, r.step_name): r.n_users
+        for r in temporal.funnel_steps(ev, ["a", "b"]).collect()
+    }
+    assert got == {(1, "a"): 3, (2, "b"): 1}
+
+    got4 = {
+        r.step: r.n_users
+        for r in temporal.funnel_steps(ev, ["a", "b", "c", "a"]).collect()
+    }
+    # only u1 reaches c; nobody does a again after c
+    assert got4 == {1: 3, 2: 1, 3: 1, 4: 0}
+
+    with pytest.raises(ValueError, match="at least one step"):
+        temporal.funnel_steps(ev, [])
