@@ -1048,3 +1048,38 @@ def test_classifier_score_matches_python_model_and_is_scan_local(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_xxhash_family_scores_and_stays_scan_local(spark):
+    """The production hash family: same pipeline, xxhash64 buckets —
+    deterministic across runs, valid score range, exact integer state
+    consistent with its own n_grams, still no exchange/Python; and it
+    genuinely differs from the md5 family (a model is bound to its
+    family's buckets)."""
+    from mriya_spark.ops.text import classifier_score, hashed_clf_weights
+
+    W = hashed_clf_weights()
+    df = spark.createDataFrame(
+        [(i, f"some words number {i} repeated words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = classifier_score(df, W, hash_family="xxhash64", keep_components=True)
+    rows = {r.doc_id: r for r in a.collect()}
+    again = {r.doc_id: r for r in a.collect()}
+    for i, r in rows.items():
+        assert r.clf_score_n_grams == 11  # 6 unigrams + 5 bigrams
+        assert -1.0 <= r.clf_score <= 1.0
+        assert again[i].clf_score_s_int == r.clf_score_s_int
+    md5_rows = {
+        r.doc_id: r.clf_score
+        for r in classifier_score(df, W, keep_components=True).collect()
+    }
+    assert any(md5_rows[i] != rows[i].clf_score for i in md5_rows)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        classifier_score(df, W, hash_family="sha1")
