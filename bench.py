@@ -188,10 +188,11 @@ def main() -> None:
                     "which disappears when benched in isolation — the "
                     "recorded r6->r7 +19% was HOST drift (r6's own tree "
                     "re-benches 21% slower today), not a code regression. "
-                    "Method: SCALE.md 'Measurement discipline'. r9 adds "
-                    "the 4 deepest DAGs (search_hybrid_rrf, events_funnel, "
-                    "table_diff, pipeline_training_export) to the headline "
-                    "— r9 totals are therefore NOT comparable to r8 totals; "
+                    "Method: SCALE.md 'Measurement discipline'. r9 adds 6 "
+                    "queries to the headline (search_hybrid_rrf, "
+                    "events_funnel, events_funnel_singlescan, table_diff, "
+                    "pipeline_training_export, text_classifier_score) — r9 "
+                    "totals are therefore NOT comparable to r8 totals; "
                     "compare per-query or on the 20-query common set."
                 ),
             }

@@ -226,14 +226,26 @@ class CurationSpec:
             # hashed linear quality classifier (ops.text.classifier_score):
             # scan-local scoring against an int-quantized weight vector;
             # weights default to the deterministic md5-derived stand-in so
-            # recipes are reproducible without shipping a model file
+            # recipes are reproducible without shipping a model file.
+            # The gate compares the EXACT integer state (s_int >=
+            # thr*scale*n_grams, one float product of identical operands)
+            # rather than the 6dp-rounded score: rounding maps tiny
+            # negative scores to -0.0, which passes a >= 0.0 gate and
+            # silently diverges from any exact restatement (r9 review)
             w = f.get("weights") or T.hashed_clf_weights()
+            thr = float(f.get("min_score", 0.0))
             scored = T.classifier_score(
-                df, w, text_col=text_col, out_col="__clf"
+                df, w, text_col=text_col, out_col="__clf",
+                keep_components=True,
             )
-            return scored.filter(
-                F.col("__clf") >= float(f.get("min_score", 0.0))
-            ).drop("__clf")
+            keep = F.when(
+                F.col("__clf_n_grams") > 0,
+                F.col("__clf_s_int").cast("double")
+                >= F.lit(thr * T.CLF_WEIGHT_SCALE) * F.col("__clf_n_grams"),
+            ).otherwise(F.lit(0.0 >= thr))
+            return scored.filter(keep).drop(
+                "__clf", "__clf_s_int", "__clf_n_grams"
+            )
         if kind == "weighted_sample":
             from mriya_spark.ops.quality import weighted_sample
 

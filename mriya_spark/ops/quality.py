@@ -265,32 +265,24 @@ def oversample_epochs(
     )
 
 
-def table_profile(df, columns: list[str] | None = None):
-    """ANALYZE-style one-pass column profile: nulls, distinct count,
-    min/max (computed on the native type, then rendered as strings so
-    heterogeneous columns share one output schema) — the data-profiling summary every migration/curation run
-    wants before trusting a source.
-
-    ONE aggregation pass computes every metric for every column
-    (4 x n_cols agg expressions, map-side partial), then the wide row
-    unpivots driver-side into (column, metric...) rows — no second
-    scan, no per-column job. Profile numeric columns you care about
-    exactly as integers/strings; float min/max formatting is
-    engine-specific, so cast floats upstream if the profile must be
-    engine-portable.
-    """
-    cols = columns or df.columns
+def _profile_wide(df, cols: list[str], distinct_agg, out_field: str):
+    """Shared plumbing of the exact and approx profiles: ONE wide
+    aggregation pass (4 x n_cols expressions, map-side partial), then
+    a driver-side unpivot of the single wide row — no second scan, no
+    per-column job. ``distinct_agg(col) -> Column`` is the only thing
+    the twins disagree on (count_distinct vs approx_count_distinct),
+    so keeping the rest here is what stops them drifting (e.g. both
+    emit a row for an all-NULL column)."""
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__t_{c}"),
             F.count(c).alias(f"__nn_{c}"),
-            F.count_distinct(c).alias(f"__d_{c}"),
+            distinct_agg(c).alias(f"__d_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs).collect()[0]
-    spark = df.sparkSession
     rows = [
         (
             c,
@@ -301,9 +293,23 @@ def table_profile(df, columns: list[str] | None = None):
         )
         for c in cols
     ]
-    return spark.createDataFrame(
-        rows, "column string, n_nulls long, n_distinct long, "
+    return df.sparkSession.createDataFrame(
+        rows, f"column string, n_nulls long, {out_field} long, "
               "min_str string, max_str string"
+    )
+
+
+def table_profile(df, columns: list[str] | None = None):
+    """ANALYZE-style one-pass column profile: nulls, distinct count,
+    min/max (computed on the native type, then rendered as strings so
+    heterogeneous columns share one output schema) — the
+    data-profiling summary every migration/curation run wants before
+    trusting a source. Profile numeric columns you care about exactly
+    as integers/strings; float min/max formatting is engine-specific,
+    so cast floats upstream if the profile must be engine-portable.
+    """
+    return _profile_wide(
+        df, columns or df.columns, F.count_distinct, "n_distinct"
     )
 
 
@@ -323,30 +329,11 @@ def table_profile_approx(
     hash-checked; ``table_profile_hll`` is the hash-checkable twin in
     the portable md5 family. Same output schema as ``table_profile``
     with ``n_distinct_est`` in place of ``n_distinct``."""
-    cols = columns or df.columns
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"__t_{c}"),
-            F.count(c).alias(f"__nn_{c}"),
-            F.approx_count_distinct(c, rsd).alias(f"__d_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
-        ]
-    wide = df.agg(*aggs).collect()[0]
-    rows = [
-        (
-            c,
-            int(wide[f"__t_{c}"] - wide[f"__nn_{c}"]),
-            int(wide[f"__d_{c}"]),
-            wide[f"__mn_{c}"],
-            wide[f"__mx_{c}"],
-        )
-        for c in cols
-    ]
-    return df.sparkSession.createDataFrame(
-        rows, "column string, n_nulls long, n_distinct_est long, "
-              "min_str string, max_str string"
+    return _profile_wide(
+        df,
+        columns or df.columns,
+        lambda c: F.approx_count_distinct(c, rsd),
+        "n_distinct_est",
     )
 
 
@@ -362,14 +349,22 @@ def table_profile_hll(
     into a 256-register sketch per column — (column, bucket) max-rho
     then per-column exact integer state, the same two-aggregation
     shape as ``sketch_hll_portable``, just unpivoted across columns
-    with ``stack`` first (zero-copy column-to-row, still one scan of
-    the table for ALL columns). Distributed exactly like the 100 TB
-    rollup: register state is mergeable per-bucket max, the heavy
-    aggregation is over (column, bucket) keys — at most
-    ``n_cols * 256`` groups leave the partial aggregation, however
-    many rows or distincts the table holds. Emits the exact checked
-    state (s_int, n_empty) plus the estimate and null/row counts."""
+    with ``stack`` first. The unpivoted frame is scope-persisted so
+    the null-count branch and the register branch both read ONE
+    materialization of the scan (without it each aggregation would
+    re-scan the table — the r9 review finding). Distributed exactly
+    like the 100 TB rollup: register state is mergeable per-bucket
+    max, the heavy aggregation is over (column, bucket) keys — at
+    most ``n_cols * 256`` groups leave the partial aggregation,
+    however many rows or distincts the table holds. Emits the exact
+    checked state (s_int, n_empty) plus the estimate and null/row
+    counts. An all-NULL (or zero-row) column keeps its profile row:
+    the register join is LEFT and the missing sketch coalesces to
+    the exact empty state (all buckets empty -> n_empty = m,
+    est_distinct = 0.0)."""
+    from mriya_spark.caching import cache_scope, scoped_persist
     from mriya_spark.portable import (
+        HLL_M,
         hll_bucket_rho,
         hll_estimate,
         hll_state_aggs,
@@ -378,32 +373,40 @@ def table_profile_hll(
 
     cols = columns or df.columns
     stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
-    u = df.selectExpr(f"stack({len(cols)}, {stack}) AS (column, val)")
-    counts = u.groupBy("column").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
-    )
-    bucket, rho = hll_bucket_rho(md5_long60(seed, F.col("val")))
-    regs = (
-        u.filter(F.col("val").isNotNull())
-        .select("column", bucket.alias("bucket"), rho.alias("r"))
-        .groupBy("column", "bucket")
-        .agg(F.max("r").alias("m"))
-    )
-    agg = regs.groupBy("column").agg(*hll_state_aggs())
-    return (
-        counts.join(agg, on="column")
-        .select(
-            "column",
-            "n_rows",
-            "n_nulls",
-            hll_estimate(F.col("s_int"), F.col("n_empty")).alias(
-                "est_distinct"
-            ),
-            "s_int",
-            "n_empty",
+    with cache_scope():
+        u = scoped_persist(
+            df.selectExpr(f"stack({len(cols)}, {stack}) AS (column, val)")
         )
-    )
+        counts = u.groupBy("column").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        )
+        bucket, rho = hll_bucket_rho(md5_long60(seed, F.col("val")))
+        regs = (
+            u.filter(F.col("val").isNotNull())
+            .select("column", bucket.alias("bucket"), rho.alias("r"))
+            .groupBy("column", "bucket")
+            .agg(F.max("r").alias("m"))
+        )
+        agg = regs.groupBy("column").agg(*hll_state_aggs())
+        # empty-sketch state: every bucket empty -> harmonic
+        # denominator m * 2^53, n_empty = m (linear counting -> 0.0)
+        s_int = F.coalesce(
+            F.col("s_int"), F.lit(HLL_M * (1 << 53)).cast("long")
+        )
+        n_empty = F.coalesce(F.col("n_empty"), F.lit(HLL_M).cast("long"))
+        return (
+            counts.join(agg, on="column", how="left")
+            .select(
+                "column",
+                "n_rows",
+                "n_nulls",
+                hll_estimate(s_int, n_empty).alias("est_distinct"),
+                s_int.alias("s_int"),
+                n_empty.alias("n_empty"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
 
 def url_host(url: Column) -> Column:

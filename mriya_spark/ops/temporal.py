@@ -214,9 +214,17 @@ def funnel_steps(
     counts = per_user.agg(
         *[F.count(t).alias(f"__n{i}") for i, t in enumerate(tcols)]
     )
-    step_structs = ", ".join(
-        f"struct(CAST({i + 1} AS BIGINT) AS step, "
-        f"'{name}' AS step_name, __n{i} AS n_users)"
-        for i, name in enumerate(steps)
+    # Column API, not a selectExpr string: step names are caller data
+    # (event-type vocabularies) and must not be interpolated into SQL
+    # text (a quote in a name would break the parse — r9 review)
+    step_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, name in enumerate(steps)
+        ]
     )
-    return counts.selectExpr(f"inline(array({step_structs}))")
+    return counts.select(F.inline(step_structs))

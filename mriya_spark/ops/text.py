@@ -529,9 +529,13 @@ def classifier_score(
     wlit = F.expr(
         "array(" + ",".join(str(int(w)) for w in weights) + ")"
     )
+    # coalesce: NULL text must score like empty text (s_int 0,
+    # n_grams 0, score 0.0) — without it the arrays go NULL and
+    # size() returns -1 / aggregate() returns NULL, diverging from
+    # the oracle's COALESCE-to-0 (r9 review finding)
     toks = F.expr(
-        f"filter(split(lower(trim({text_col})), '[^a-z0-9]+'), "
-        "x -> x != '')"
+        f"filter(split(lower(trim(coalesce({text_col}, ''))), "
+        "'[^a-z0-9]+'), x -> x != '')"
     )
     out = df.withColumn("__t", toks).withColumn(
         "__g",

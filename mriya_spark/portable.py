@@ -37,7 +37,8 @@ def md5_uniform(seed: int, key: Column) -> Column:
 
 # -- portable HLL (md5 family) ----------------------------------------
 #
-# m=256 buckets from the top of the 60-bit draw, 52-bit rho window.
+# m=256 buckets from the LOW 8 bits of the 60-bit draw (h % 256); the
+# rho window is the remaining high 52 bits (h >> 8).
 # The scale constant alpha*m^2*2^53 and the linear-counting table are
 # computed ONCE here and inlined as identical double literals on both
 # sides, so the only float op either engine performs is one

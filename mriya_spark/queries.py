@@ -5221,8 +5221,11 @@ def _profile_hll_oracle_sql() -> str:
     fragments (``portable.hll_sql_parts`` — identical bucket/rho/
     state/estimate text as the sketch oracle), join back the
     null/row counts. Exact integer state per column is the primary
-    check."""
-    from mriya_spark.portable import hll_sql_parts
+    check. The counts-to-sketch join is LEFT with the missing sketch
+    coalesced to the exact empty state, mirroring
+    ``ops.quality.table_profile_hll``'s all-NULL-column handling (r9
+    review finding)."""
+    from mriya_spark.portable import HLL_M, hll_sql_parts
 
     P = hll_sql_parts()
     cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
@@ -5230,6 +5233,7 @@ def _profile_hll_oracle_sql() -> str:
         f'SELECT \'{c}\' AS "column", CAST({c} AS VARCHAR) AS val FROM customer'
         for c in cols
     )
+    empty_s = HLL_M * (1 << 53)
     return f"""
     WITH u AS (
       {u}),
@@ -5245,10 +5249,15 @@ def _profile_hll_oracle_sql() -> str:
     regs AS (SELECT "column", bucket, max(r) AS m FROM rho GROUP BY 1, 2),
     agg AS (
       SELECT "column", {P["s_int"]} AS s_int, {P["n_empty"]} AS n_empty
-      FROM regs GROUP BY "column")
-    SELECT c."column", c.n_rows, c.n_nulls,
-           {P["estimate"]} AS est_distinct, a.s_int, a.n_empty
-    FROM counts c JOIN agg a USING ("column")
+      FROM regs GROUP BY "column"),
+    filled AS (
+      SELECT c."column", c.n_rows, c.n_nulls,
+             COALESCE(a.s_int, {empty_s}) AS s_int,
+             COALESCE(a.n_empty, {HLL_M}) AS n_empty
+      FROM counts c LEFT JOIN agg a USING ("column"))
+    SELECT "column", n_rows, n_nulls,
+           {P["estimate"]} AS est_distinct, s_int, n_empty
+    FROM filled
     """
 
 

@@ -141,10 +141,15 @@ def test_recipe_classifier_stage(spark):
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     thr = 0.0
+    # expected = the EXACT-state gate the DSL applies (s_int >= 0 for
+    # threshold 0), not the rounded score — rounding maps tiny
+    # negative scores to -0.0, which a >= 0.0 gate would keep
     expected = {
         r.doc_id
-        for r in classifier_score(df, hashed_clf_weights())
-        .filter(F.col("clf_score") >= thr)
+        for r in classifier_score(
+            df, hashed_clf_weights(), keep_components=True
+        )
+        .filter(F.col("clf_score_s_int") >= 0)
         .collect()
     }
     assert 0 < len(expected) < len(texts)  # threshold actually splits

@@ -1033,6 +1033,7 @@ def test_classifier_score_matches_python_model_and_is_scan_local(spark):
         "one",
         "a b a b a",
         "!!punct?? only__",
+        None,  # NULL text must behave as empty, not (NULL, -1)
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -1040,7 +1041,7 @@ def test_classifier_score_matches_python_model_and_is_scan_local(spark):
     out = classifier_score(df, W, keep_components=True)
     rows = {r.doc_id: r for r in out.collect()}
     for i, t in enumerate(texts):
-        s, n = model(t)
+        s, n = model(t or "")
         exp = round(s / (float(CLF_WEIGHT_SCALE) * n), 6) if n else 0.0
         r = rows[i]
         assert (r.clf_score_s_int, r.clf_score_n_grams) == (s, n), (i, t)

@@ -295,10 +295,17 @@ def test_table_profile_approx_within_tolerance(spark):
         "id AS k",
         "CAST(id % 37 AS STRING) AS s",
         "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 1000 END AS v",
+        "CAST(NULL AS STRING) AS z",  # all-NULL column (r9 review)
     )
     exact = {r.column: r for r in table_profile(df).collect()}
     approx = {r.column: r for r in table_profile_approx(df, rsd=0.05).collect()}
     hll = {r.column: r for r in table_profile_hll(df).collect()}
+    # the all-NULL column must keep its profile row in every variant,
+    # with the empty-sketch state in the portable twin
+    assert exact["z"].n_nulls == 5000 and exact["z"].n_distinct == 0
+    assert approx["z"].n_nulls == 5000 and approx["z"].n_distinct_est == 0
+    assert hll["z"].n_nulls == 5000 and hll["z"].est_distinct == 0.0
+    assert hll["z"].n_empty == 256
     for c in ("k", "s", "v"):
         assert approx[c].n_nulls == exact[c].n_nulls
         assert approx[c].min_str == exact[c].min_str
