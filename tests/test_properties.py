@@ -436,3 +436,98 @@ def test_bloom_screen_matches_model(spark, ref_keys, probe_keys):
     want = {k for k in probe_keys if all(p in bits for p in positions(k))}
     assert got == want
     assert set(ref_keys) & set(probe_keys) <= got  # no false negatives
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),        # user
+            st.sampled_from(["a", "b", "c", "x"]),        # event type
+            st.integers(min_value=0, max_value=20),       # ts offset (s)
+        ),
+        min_size=0,
+        max_size=16,
+    )
+)
+@_SETTINGS
+def test_funnel_steps_matches_model(spark, events):
+    """funnel_steps == the obvious per-user Python scan: t_k is the
+    min ts of step k strictly after t_{k-1}. Duplicate timestamps,
+    repeated events, users skipping steps — hypothesis finds the
+    shapes the oracle fixture doesn't."""
+    from datetime import datetime, timedelta
+
+    from mriya_spark.ops import temporal
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, e, base + timedelta(seconds=s)) for (u, e, s) in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ) if rows else spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp"
+    )
+    steps = ["a", "b", "c"]
+    got = {
+        r.step: r.n_users
+        for r in temporal.funnel_steps(df, steps).collect()
+    }
+
+    per_user: dict[int, list] = {}
+    for u, e, ts in rows:
+        per_user.setdefault(u, []).append((ts, e))
+    counts = [0] * len(steps)
+    for evs in per_user.values():
+        prev = None
+        for k, name in enumerate(steps):
+            cand = [
+                ts for ts, e in evs
+                if e == name and (prev is None or ts > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[k] += 1
+    assert got == {k + 1: c for k, c in enumerate(counts)}
+
+
+@given(st.lists(DOC, min_size=1, max_size=6))
+@_SETTINGS
+def test_classifier_score_property(spark, corpus):
+    """classifier_score == the pure-Python hashing model over
+    hypothesis-generated corpora (repeated tokens, empty docs,
+    single words) — extends the example-based parity test."""
+    import hashlib
+
+    from mriya_spark.ops.text import (
+        CLF_BUCKETS,
+        CLF_SEED,
+        classifier_score,
+        hashed_clf_weights,
+    )
+
+    W = hashed_clf_weights()
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams)
+        for r in classifier_score(df, W, keep_components=True).collect()
+    }
+    for i, t in enumerate(corpus):
+        toks = [
+            x for x in re.split(r"[^a-z0-9]+", t.strip().lower()) if x
+        ]
+        grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        s = sum(
+            W[
+                int(
+                    hashlib.md5(f"{CLF_SEED}_{g}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % CLF_BUCKETS
+            ]
+            for g in grams
+        )
+        assert got[i] == (s, len(grams)), (i, t)
