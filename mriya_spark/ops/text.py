@@ -330,9 +330,10 @@ def bm25_scores(
 
     Shuffle budget: one explode->groupBy for tf, one broadcast join;
     avgdl is a scalar aggregate. At 100 TB the (term, doc) index is
-    the thing you materialize once (like the IVF index) — this is the
-    query-time plan over it. Scores rounded to 4dp for cross-engine
-    hash stability. Only docs matching >=1 term appear.
+    the thing you materialize once (``bm25_write_index`` /
+    ``bm25_query_index``, the IVF posture) — this is the from-scratch
+    plan the indexed path must equal. Scores rounded to 4dp for
+    cross-engine hash stability. Only docs matching >=1 term appear.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -349,6 +350,23 @@ def bm25_scores(
     tf = toks.groupBy(id_col, "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    return _bm25_from_tf(tf, n_docs_df, k1=k1, b=b, id_col=id_col)
+
+
+def _bm25_from_tf(
+    tf: DataFrame,
+    n_docs_df: DataFrame,
+    *,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Scoring tail shared by the from-scratch and indexed BM25 paths
+    (``tf``: (id, dl, term, tf) postings restricted to the query
+    terms; ``n_docs_df``: one-row (n_docs, avgdl)). ONE definition so
+    the two plans produce bit-identical scores — the indexed query
+    shares the from-scratch oracle, which only holds if the float
+    expression tree is the same."""
     dfreq = tf.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
     )
@@ -380,6 +398,91 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_matched_terms"),
         )
     )
+
+
+def bm25_write_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the BM25 inverted index ONCE: postings
+    (term, doc_id, tf, dl) range-partitioned and sorted by term —
+    parquet row-group min/max stats then prune a query's
+    ``term IN (...)`` probe down to the touched groups, the lexical
+    analogue of the IVF ``cell=`` partition pruning. Corpus stats
+    ride along as ``_stats.json`` (underscore-prefixed — invisible to
+    the parquet reader) with EXACT integers (n_docs, sum_dl), so
+    avgdl is one division at query time, not a stored float. At
+    100 TB the explode->groupBy here is paid once; every query
+    afterwards reads a few row groups and joins |query_terms| rows.
+    Returns the stats dict."""
+    import json
+    import os
+
+    toks = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    (
+        tf.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    row = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("sum_dl"),
+    ).collect()[0]
+    stats = {
+        "format": 1,
+        "n_docs": int(row["n_docs"]),
+        "sum_dl": int(row["sum_dl"] or 0),
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, "_stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query a materialized BM25 index: a pushed-down
+    ``term IN (...)`` scan of the term-sorted postings (row-group
+    pruning does the work the from-scratch path pays an
+    explode->groupBy for), document frequencies from the |terms|-row
+    slice, then the shared scoring tail — results are IDENTICAL to
+    ``bm25_scores`` on the same corpus (one oracle checks both
+    plans)."""
+    import json
+    import os
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    with open(os.path.join(path, "_stats.json")) as fh:
+        stats = json.load(fh)
+    id_col = stats.get("id_col", "doc_id")
+    qt = [t.lower() for t in query_terms]
+    tf = spark.read.parquet(path).filter(F.col("term").isin(qt))
+    n_docs_df = spark.range(1).select(
+        F.lit(int(stats["n_docs"])).cast("long").alias("n_docs"),
+        (
+            F.lit(int(stats["sum_dl"])).cast("double")
+            / F.lit(int(stats["n_docs"])).cast("double")
+        ).alias("avgdl"),
+    )
+    return _bm25_from_tf(tf, n_docs_df, k1=k1, b=b, id_col=id_col)
 
 
 def bigram_lm_scores(

@@ -6423,9 +6423,12 @@ def table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "search_bm25",
-    r"""
+#: Shared by the from-scratch scan (search_bm25) and the materialized
+#: inverted-index probe (search_bm25_indexed): identical result sets
+#: by construction (the scoring tail is one definition,
+#: ``ops.text._bm25_from_tf``), two different physical plans, one
+#: truth.
+_BM25_ORACLE_SQL = r"""
     WITH docs AS (
       SELECT doc_id,
              len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -6451,8 +6454,10 @@ def table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf JOIN dfreq USING (term) CROSS JOIN stats
     GROUP BY tf.doc_id
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("search_bm25", _BM25_ORACLE_SQL)
 def search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval (`ops/text.py bm25_scores`): BM25 of every
     document against a fixed 3-term query — the sparse half of a RAG
@@ -6463,6 +6468,80 @@ def search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_scores(
         _cat(spark, sf_dir).table("documents"), ["hash", "join", "stream"]
+    ).orderBy("doc_id")
+
+
+def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once / probe-many BM25 inverted index over the documents
+    fixture — the ``_ivf_index_for`` posture: user-scoped cache root,
+    keyed by (corpus path, mtime), staged build published with one
+    atomic rename, stats echo validated before reuse (a torn or
+    foreign dir falls through to a rebuild)."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from mriya_spark.cachedir import cache_dir
+    from mriya_spark.ops.text import bm25_write_index
+
+    src = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    key = (src, mtime)
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    path = os.path.join(cache_dir("bm25"), digest)
+    meta = os.path.join(path, "_stats.json")
+
+    def _valid() -> bool:
+        try:
+            with open(meta) as fh:
+                stats = json.load(fh)
+            return (
+                stats.get("corpus") == src
+                and stats.get("mtime") == mtime
+                and os.path.exists(os.path.join(path, "_SUCCESS"))
+            )
+        except (OSError, ValueError):
+            return False
+
+    if _valid():
+        return path
+    build = f"{path}__build_{_uuid.uuid4().hex[:8]}"
+    docs = _cat(spark, sf_dir).table("documents")
+    stats = bm25_write_index(docs, build)
+    stats.update({"corpus": src, "mtime": mtime})
+    with open(os.path.join(build, "_stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    if os.path.isdir(path) and not _valid():
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(build, path)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return path
+
+
+@register("search_bm25_indexed", _BM25_ORACLE_SQL)
+def search_bm25_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 query answered from the MATERIALIZED inverted
+    index (``ops.text.bm25_write_index`` / ``bm25_query_index``):
+    postings range-partitioned and sorted by term, so the probe is a
+    pushed-down ``term IN (...)`` scan with row-group pruning instead
+    of the from-scratch explode->groupBy over the whole corpus — the
+    lexical analogue of the IVF partition-pruned probe, build cost
+    paid once per corpus (``_bm25_index_for``: user-scoped cache,
+    atomic staged publish, stats-echo validation). Shares
+    ``search_bm25``'s oracle: two physical plans, identical results —
+    the scoring tail is one definition on both paths."""
+    from mriya_spark.ops.text import bm25_query_index
+
+    path = _bm25_index_for(spark, sf_dir)
+    return bm25_query_index(
+        spark, path, ["hash", "join", "stream"]
     ).orderBy("doc_id")
 
 

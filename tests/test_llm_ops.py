@@ -1084,3 +1084,46 @@ def test_classifier_xxhash_family_scores_and_stays_scan_local(spark):
 
     with pytest.raises(ValueError, match="hash_family"):
         classifier_score(df, W, hash_family="sha1")
+
+
+def test_bm25_index_probe_equals_scan_and_prunes(spark, tmp_path):
+    """The materialized BM25 index: (a) probe results == the
+    from-scratch scorer exactly; (b) the probe plan pushes the
+    term IN (...) predicate into the parquet scan (row-group pruning
+    — the whole point of the term-sorted layout); (c) unknown terms
+    yield empty, and empty term lists are refused."""
+    import pytest
+
+    from mriya_spark.ops.text import (
+        bm25_query_index,
+        bm25_scores,
+        bm25_write_index,
+    )
+
+    docs = [
+        (1, "spark joins streams with hash tables"),
+        (2, "the quick brown fox"),
+        (3, "hash join hash join hash join"),
+        (4, "stream processing with watermark state"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    idx = str(tmp_path / "bm25_idx")
+    stats = bm25_write_index(df, idx)
+    assert stats["n_docs"] == 5
+
+    terms = ["hash", "join", "stream"]
+    want = {
+        r.doc_id: (r.bm25, r.n_matched_terms)
+        for r in bm25_scores(df, terms).collect()
+    }
+    probe = bm25_query_index(spark, idx, terms)
+    got = {r.doc_id: (r.bm25, r.n_matched_terms) for r in probe.collect()}
+    assert got == want and len(got) > 0
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan
+
+    assert bm25_query_index(spark, idx, ["zzzznope"]).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_query_index(spark, idx, [])
