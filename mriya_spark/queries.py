@@ -6669,11 +6669,15 @@ def search_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval recipe; the fixture's doc_id/vec_id spaces align 1:1.
     The global ROW_NUMBER windows rank RESULT SETS (bounded by
     top-k/corpus candidates), not raw 100 TB inputs — at scale each
-    ranker emits its own top-k first (similarity_ann_* / an impact-
-    ordered BM25 index) and the fusion joins two k-row lists."""
+    ranker emits its own top-k first (similarity_ann_* / the
+    materialized BM25 index) and the fusion joins two k-row lists.
+    The sparse side reads the build-once inverted index
+    (``_bm25_index_for``, r9) instead of re-exploding the corpus —
+    identical scores by construction (shared scoring tail), one
+    less corpus-sized shuffle per query."""
     from pyspark.sql import Window
 
-    from mriya_spark.ops.text import bm25_scores
+    from mriya_spark.ops.text import bm25_query_index
     from mriya_spark.ops.vector import brute_force_topk
 
     cat = _cat(spark, sf_dir)
@@ -6681,8 +6685,8 @@ def search_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = brute_force_topk(
         emb, emb.filter(F.col("vec_id") == 0), k=1_000_000
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rd"))
-    sparse = bm25_scores(
-        cat.table("documents"), ["hash", "join", "stream"]
+    sparse = bm25_query_index(
+        spark, _bm25_index_for(spark, sf_dir), ["hash", "join", "stream"]
     ).select(
         "doc_id",
         F.row_number()
