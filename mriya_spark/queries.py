@@ -7061,3 +7061,37 @@ def curation_recipe_r9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spec.build(corpus)
+
+
+@register("stream_classifier_score", _clf_oracle_sql())
+def stream_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier running INCREMENTALLY: the same
+    scan-local scoring projection applied to a multi-batch document
+    stream (stateless — no watermark, no state store; a pure
+    projection composes with Structured Streaming unchanged, which is
+    the point: curation scoring keeps up with ingest instead of
+    waiting for a nightly batch). Shares ``text_classifier_score``'s
+    oracle — micro-batched and batch execution must produce identical
+    exact integer state for every doc."""
+    from mriya_spark import streaming as S
+    from mriya_spark.ops.text import classifier_score, hashed_clf_weights
+
+    path = S.stage_docs_files(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)
+        .load(path)
+    )
+    scored = classifier_score(
+        stream.select("doc_id", "text"),
+        hashed_clf_weights(),
+        keep_components=True,
+    )
+    out = scored.select(
+        "doc_id",
+        F.col("clf_score_s_int").alias("s_int"),
+        F.col("clf_score_n_grams").alias("n_grams"),
+        F.col("clf_score").alias("score"),
+    )
+    return S.run_to_memory_sink(out, output_mode="append")
