@@ -446,3 +446,41 @@ def domain_quota(
         quota=quota,
         seed=seed,
     )
+
+
+def outlier_iqr(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier rows: everything outside
+    ``[q1 - k*iqr, q3 + k*iqr]`` of ``value_col`` (per ``group_col``
+    when given) — the numeric-quality screen that catches the price
+    typos and unit mixups ``expectations_summary``'s static
+    predicates can't know in advance. One exact-percentile aggregate
+    (group-count-sized output), broadcast back, then a SCAN-LOCAL
+    fence test — the corpus-sized side is never shuffled. Returns the
+    offending rows with their fences attached."""
+    gcols = [group_col] if group_col else []
+    fences = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("__q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("__q3"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    lo = F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))
+    return (
+        joined.withColumn("fence_lo", lo)
+        .withColumn("fence_hi", hi)
+        .filter(
+            (F.col(value_col) < F.col("fence_lo"))
+            | (F.col(value_col) > F.col("fence_hi"))
+        )
+        .drop("__q1", "__q3")
+    )

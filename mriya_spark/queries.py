@@ -7095,3 +7095,45 @@ def stream_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clf_score").alias("score"),
     )
     return S.run_to_memory_sink(out, output_mode="append")
+
+
+@register(
+    "quality_outlier_iqr",
+    """
+    WITH f AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(f.q1 - 1.5 * (f.q3 - f.q1), 4) AS fence_lo,
+           round(f.q3 + 1.5 * (f.q3 - f.q1), 4) AS fence_hi
+    FROM orders o JOIN f USING (o_orderpriority)
+    WHERE o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+       OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+    """,
+)
+def quality_outlier_iqr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence numeric outliers (``ops.quality.outlier_iqr``):
+    per-priority exact quartiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the ``percentile_exact`` parity), fences
+    broadcast back, SCAN-LOCAL fence test — the screen that catches
+    the price typos static expectations can't know in advance. The
+    corpus-sized side never shuffles: one group-count-sized aggregate
+    is the only exchange."""
+    from mriya_spark.ops.quality import outlier_iqr
+
+    o = _cat(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = outlier_iqr(
+        o, value_col="o_totalprice", group_col="o_orderpriority"
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("fence_lo", 4).alias("fence_lo"),
+        F.round("fence_hi", 4).alias("fence_hi"),
+    )

@@ -423,3 +423,22 @@ def test_bloom_screen_rejects_mismatched_filter_size(spark):
     # matching n_bits: every true member passes
     ok = bloom_screen(probe, "key", words, n_bits=65536)
     assert ok.filter("bloom_pass").count() == 10
+
+
+def test_outlier_iqr_flags_planted_outliers(spark):
+    """Planted extremes are flagged, inliers are not, ungrouped mode
+    works, and the fences bound the kept values."""
+    from mriya_spark.ops.quality import outlier_iqr
+
+    rows = [(i, "a", 100.0 + i) for i in range(20)]  # tight cluster
+    rows += [(100, "a", 10_000.0), (101, "a", -5_000.0)]  # planted
+    rows += [(200 + i, "b", 50.0) for i in range(10)]  # constant group
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+
+    got = {r.id for r in outlier_iqr(df, value_col="v", group_col="grp").collect()}
+    assert got == {100, 101}  # constant group: iqr 0, no outliers
+
+    ungrouped = {r.id for r in outlier_iqr(df, value_col="v").collect()}
+    assert {100, 101} <= ungrouped
+    for r in outlier_iqr(df, value_col="v", group_col="grp").collect():
+        assert r.v < r.fence_lo or r.v > r.fence_hi
