@@ -144,7 +144,7 @@ def main() -> None:
         "percentile_sampled",
         "text_classifier_score", "events_funnel_singlescan",
         "table_profile_hll", "curation_domain_quota",
-        "search_bm25_indexed",
+        "search_bm25_indexed", "quality_outlier_iqr",
     ]
 
     spark = get_spark(app_name="plan_audit")
