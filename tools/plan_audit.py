@@ -159,7 +159,11 @@ def main() -> None:
         f"Generated by `python tools/plan_audit.py --write` at sf dir `{sf}`.",
         "Row-wise Python (`row_python`, BatchEvalPython) must be 0 everywhere —",
         "enforced by `tests/test_plans.py::test_headline_queries_have_no_row_python`.",
-        "Streaming entries are audited post-run (the plan of the result frame).",
+        "Streaming entries are audited post-run (the plan of the result frame),",
+        "as are ops that execute eagerly inside the query function",
+        "(pipeline_training_export, table_profile_hll) — their rows show the",
+        "returned frame's plan; the build-side shape is pinned in their",
+        "docstrings and tests instead.",
         "Counts are DISTINCT executed plan-node instances (tree traversal, AQE",
         "final plan): each persisted subtree's build plan counts once per",
         "materialization — not once per InMemoryTableScan reprint — and Reused",
