@@ -342,15 +342,28 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(token_count(F.col(text_col))).alias("avgdl"),
     )
+    tf = _bm25_postings(df, id_col=id_col, text_col=text_col, terms=qt)
+    return _bm25_from_tf(tf, n_docs_df, k1=k1, b=b, id_col=id_col)
+
+
+def _bm25_postings(
+    df: DataFrame, *, id_col: str, text_col: str, terms: list[str] | None
+) -> DataFrame:
+    """(id, dl, term, tf) postings — the tokenize/explode/count
+    pipeline shared by the from-scratch scorer (restricted to the
+    query ``terms``) and the index build (``terms=None``: all terms).
+    One definition, so the indexed and from-scratch paths cannot
+    tokenize differently."""
     toks = df.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("dl"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    ).filter(F.col("term").isin(qt))
-    tf = toks.groupBy(id_col, "dl", "term").agg(
+    )
+    if terms is not None:
+        toks = toks.filter(F.col("term").isin(terms))
+    return toks.groupBy(id_col, "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    return _bm25_from_tf(tf, n_docs_df, k1=k1, b=b, id_col=id_col)
 
 
 def _bm25_from_tf(
@@ -421,14 +434,7 @@ def bm25_write_index(
     import json
     import os
 
-    toks = df.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).alias("dl"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    tf = toks.groupBy(id_col, "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    tf = _bm25_postings(df, id_col=id_col, text_col=text_col, terms=None)
     (
         tf.repartitionByRange("term")
         .sortWithinPartitions("term")
@@ -663,19 +669,19 @@ def classifier_score(
         lambda acc, g: acc + F.element_at(wlit, bucket(g)).cast("long"),
     )
     n_grams = F.size("__g").cast("long")
+    s_col, n_col = f"{out_col}_s_int", f"{out_col}_n_grams"
     out = (
-        out.withColumn(f"__{out_col}_s", s_int)
-        .withColumn(f"__{out_col}_n", n_grams)
+        out.withColumn(s_col, s_int)
+        .withColumn(n_col, n_grams)
         .drop("__t", "__g")
     )
-    score = F.when(F.col(f"__{out_col}_n") > 0, F.round(
-        F.col(f"__{out_col}_s").cast("double")
-        / (float(CLF_WEIGHT_SCALE) * F.col(f"__{out_col}_n")),
-        6,
-    )).otherwise(F.lit(0.0))
+    score = F.when(
+        F.col(n_col) > 0,
+        F.round(
+            F.col(s_col).cast("double")
+            / (float(CLF_WEIGHT_SCALE) * F.col(n_col)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     out = out.withColumn(out_col, score)
-    if keep_components:
-        return out.withColumnRenamed(
-            f"__{out_col}_s", f"{out_col}_s_int"
-        ).withColumnRenamed(f"__{out_col}_n", f"{out_col}_n_grams")
-    return out.drop(f"__{out_col}_s", f"__{out_col}_n")
+    return out if keep_components else out.drop(s_col, n_col)

@@ -4243,6 +4243,39 @@ def mriya_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _run_e2e_checked(spark, src_rows, org_prefix: str):
+    """Run the full pipeline suffix on ``src_rows`` through a
+    throwaway mock org and return the hash-checkable output frame
+    (backfill updates joined with the LOADED destination rows) —
+    the body shared by the deterministic and portable e2e twins."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from mriya_spark.connector.salesforce import read_object
+    from mriya_spark.pipeline import DST_DDL, run_mriya_pipeline
+
+    _sweep_stale("org", "e2e_")
+    org = _os.path.join(
+        _cache_subdir("org"), f"{org_prefix}{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        updates = run_mriya_pipeline(spark, org, source_df=src_rows)
+        loaded = read_object(spark, org, "Accounts__c", DST_DDL)
+        return (
+            updates.join(
+                loaded,
+                updates["row_id"] == loaded["Old_Record_Id__c"],
+            )
+            .select(
+                "row_id", "row_id_dst_id", "Name", "Billing_City__c",
+                "Billing_Zip_Code__c", "Website", "Company_Name__c",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(org, ignore_errors=True)
+
+
 @register(
     "mriya_e2e_deterministic",
     """
@@ -4265,12 +4298,6 @@ def mriya_e2e_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     mock-org connector. Output joins the backfill update rows with the
     LOADED destination rows, so the oracle checks the key plumbing AND
     every transformed column against a direct SQL restatement."""
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from mriya_spark.connector.salesforce import read_object
-    from mriya_spark.pipeline import DST_DDL, run_mriya_pipeline
-
     cust = _cat(spark, sf_dir).table("customer")
     city = F.concat(F.lit("City "), F.col("c_nationkey").cast("string"))
     src_rows = cust.select(
@@ -4288,25 +4315,7 @@ def mriya_e2e_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://example.com/"), F.col("c_custkey").cast("string"))
         .alias("Website"),
     )
-    _sweep_stale("org", "e2e_")
-    org = _os.path.join(_cache_subdir("org"), f"e2e_det_{_uuid.uuid4().hex[:8]}")
-    try:
-        updates = run_mriya_pipeline(spark, org, source_df=src_rows)
-        loaded = read_object(spark, org, "Accounts__c", DST_DDL)
-        out = (
-            updates.join(
-                loaded,
-                updates["row_id"] == loaded["Old_Record_Id__c"],
-            )
-            .select(
-                "row_id", "row_id_dst_id", "Name", "Billing_City__c",
-                "Billing_Zip_Code__c", "Website", "Company_Name__c",
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        _shutil.rmtree(org, ignore_errors=True)
-    return out
+    return _run_e2e_checked(spark, src_rows, "e2e_det_")
 
 
 @register("mriya_e2e_portable", _e2e_portable_oracle())
@@ -4321,33 +4330,10 @@ def mriya_e2e_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mriya_e2e_pipeline`` rows-only ONLY for its Spark-native
     ``rand`` draws — every stage of the flow is hash-verified by one
     twin or the other."""
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from mriya_spark.connector.salesforce import read_object
     from mriya_spark.generator import gen_data
-    from mriya_spark.pipeline import DST_DDL, run_mriya_pipeline
 
     src_rows = gen_data(spark, 500, "Account", seed=42, portable=True)
-    _sweep_stale("org", "e2e_")
-    org = _os.path.join(_cache_subdir("org"), f"e2e_port_{_uuid.uuid4().hex[:8]}")
-    try:
-        updates = run_mriya_pipeline(spark, org, source_df=src_rows)
-        loaded = read_object(spark, org, "Accounts__c", DST_DDL)
-        out = (
-            updates.join(
-                loaded,
-                updates["row_id"] == loaded["Old_Record_Id__c"],
-            )
-            .select(
-                "row_id", "row_id_dst_id", "Name", "Billing_City__c",
-                "Billing_Zip_Code__c", "Website", "Company_Name__c",
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        _shutil.rmtree(org, ignore_errors=True)
-    return out
+    return _run_e2e_checked(spark, src_rows, "e2e_port_")
 
 
 # ---------------------------------------------------------------------------
@@ -6915,6 +6901,26 @@ _DOMAIN_SEED = 31
 _DOMAIN_QUOTA = 40
 
 
+def _derived_url() -> "F.Column":
+    """The deterministic fixture URL: squared md5-uniform picks a
+    domain from ``_CURATION_DOMAINS`` (zipf-ish head so caps bind),
+    path from doc_id. ONE definition for the two Spark consumers
+    (``curation_domain_quota``, ``curation_recipe_r9``); the oracles
+    deliberately re-derive it independently."""
+    from mriya_spark.portable import md5_uniform
+
+    n = len(_CURATION_DOMAINS)
+    u = md5_uniform(_DOMAIN_SEED, F.col("doc_id"))
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in _CURATION_DOMAINS]),
+        (F.floor(u * u * n) + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("https://"), dom, F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
 def _domain_quota_oracle_sql() -> str:
     """Oracle for the per-domain cap: re-derive each doc's domain
     INDEPENDENTLY of parse_url (directly from the squared-uniform
@@ -6960,22 +6966,9 @@ def curation_domain_quota_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain straight from the draw — parse_url's host extraction is
     checked against a derivation that never builds the URL."""
     from mriya_spark.ops.quality import domain_quota
-    from mriya_spark.portable import md5_uniform
 
-    n = len(_CURATION_DOMAINS)
     docs = _cat(spark, sf_dir).table("documents").select("doc_id")
-    u = md5_uniform(_DOMAIN_SEED, F.col("doc_id"))
-    dom = F.element_at(
-        F.array(*[F.lit(d) for d in _CURATION_DOMAINS]),
-        (F.floor(u * u * n) + 1).cast("int"),
-    )
-    with_url = docs.withColumn(
-        "url",
-        F.concat(
-            F.lit("https://"), dom, F.lit("/doc/"),
-            F.col("doc_id").cast("string"),
-        ),
-    )
+    with_url = docs.withColumn("url", _derived_url())
     capped = domain_quota(
         with_url, url_col="url", quota=_DOMAIN_QUOTA, seed=42
     )
@@ -7034,22 +7027,9 @@ def curation_recipe_r9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the standalone oracles, the domain re-extracted from the URL
     independently of parse_url."""
     from mriya_spark.curation import CurationSpec
-    from mriya_spark.portable import md5_uniform
 
-    n = len(_CURATION_DOMAINS)
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
-    u = md5_uniform(_DOMAIN_SEED, F.col("doc_id"))
-    dom = F.element_at(
-        F.array(*[F.lit(d) for d in _CURATION_DOMAINS]),
-        (F.floor(u * u * n) + 1).cast("int"),
-    )
-    corpus = docs.withColumn(
-        "url",
-        F.concat(
-            F.lit("https://"), dom, F.lit("/doc/"),
-            F.col("doc_id").cast("string"),
-        ),
-    )
+    corpus = docs.withColumn("url", _derived_url())
     spec = CurationSpec.from_obj(
         {
             "filters": [
