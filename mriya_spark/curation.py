@@ -212,16 +212,28 @@ class CurationSpec:
             ).drop("grp_rank")
         if kind == "domain_quota":
             # per-domain cap (C4/FineWeb): parse_url host extraction is
-            # scan-local; the quota is one hash exchange on the domain
+            # scan-local; the quota is one hash exchange on the domain.
+            # Collision safety (r9 ADVICE): crawl corpora commonly carry
+            # their own 'domain' column — stash any caller column that
+            # shares an appended stat name, cap, then restore, so user
+            # data is never overwritten by url_host or dropped.
             from mriya_spark.ops.quality import domain_quota
 
-            return domain_quota(
-                df,
-                url_col=f["url_col"],
+            internal = ("domain", "domain_total", "grp_rank")
+            stash = {c: f"__dq_{c}" for c in internal if c in df.columns}
+            work = df
+            for c, tmp in stash.items():
+                work = work.withColumnRenamed(c, tmp)
+            out = domain_quota(
+                work,
+                url_col=stash.get(f["url_col"], f["url_col"]),
                 key_col=f.get("key_col", "doc_id"),
                 quota=int(f["quota"]),
                 seed=int(f.get("seed", 42)),
-            ).drop("domain", "domain_total", "grp_rank")
+            ).drop(*internal)
+            for c, tmp in stash.items():
+                out = out.withColumnRenamed(tmp, c)
+            return out
         if kind == "classifier":
             # hashed linear quality classifier (ops.text.classifier_score):
             # scan-local scoring against an int-quantized weight vector;

@@ -411,8 +411,15 @@ def bloom_screen(
             f"n_bits={n_bits} requires {expect_words} — pass the same "
             f"n_bits used at bloom_build time"
         )
+    # ship the word list as ONE SQL-parsed array literal (the
+    # classifier-weights pattern, ops/text.py): F.array of per-word
+    # F.lit children costs ~1.5s of Python expr building + py4j per
+    # plan build at 4k elements and ~4x worse at the 2^20-bit cap
+    # (~16.6k words); the SQL string crosses py4j once and parses
+    # JVM-side in ~50ms, folding to the same BIGINT array constant
     df = probe.withColumn(
-        "__bloom", F.array(*[F.lit(int(w)).cast("long") for w in words])
+        "__bloom",
+        F.expr("array(" + ",".join(str(int(w)) + "L" for w in words) + ")"),
     )
     pcols = []
     for i in range(k):

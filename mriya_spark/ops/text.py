@@ -413,6 +413,42 @@ def _bm25_from_tf(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API —
+    scheme-aware (file://, hdfs://, s3a://), so sidecar files live
+    wherever the parquet does."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return hpath.getFileSystem(conf), hpath
+
+
+def fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API
+    (r9 ADVICE: a local ``open()`` next to a Spark parquet write
+    silently lands on a bogus local path when the dataset root is
+    hdfs:// or s3a:// — the documented 100 TB posture)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API
+    (scheme-aware twin of ``fs_write_text``)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def bm25_write_index(
     df: DataFrame,
     path: str,
@@ -432,7 +468,6 @@ def bm25_write_index(
     afterwards reads a few row groups and joins |query_terms| rows.
     Returns the stats dict."""
     import json
-    import os
 
     tf = _bm25_postings(df, id_col=id_col, text_col=text_col, terms=None)
     (
@@ -451,8 +486,13 @@ def bm25_write_index(
         "sum_dl": int(row["sum_dl"] or 0),
         "id_col": id_col,
     }
-    with open(os.path.join(path, "_stats.json"), "w") as fh:
-        json.dump(stats, fh)
+    # sidecar goes through the Hadoop FS API, not local open(): the
+    # postings just landed wherever `path`'s scheme says (local disk,
+    # HDFS, S3) and the stats must land beside them (r9 ADVICE)
+    fs_write_text(
+        df.sparkSession, path.rstrip("/") + "/_stats.json",
+        json.dumps(stats),
+    )
     return stats
 
 
@@ -472,12 +512,12 @@ def bm25_query_index(
     ``bm25_scores`` on the same corpus (one oracle checks both
     plans)."""
     import json
-    import os
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    with open(os.path.join(path, "_stats.json")) as fh:
-        stats = json.load(fh)
+    stats = json.loads(
+        fs_read_text(spark, path.rstrip("/") + "/_stats.json")
+    )
     id_col = stats.get("id_col", "doc_id")
     qt = [t.lower() for t in query_terms]
     tf = spark.read.parquet(path).filter(F.col("term").isin(qt))

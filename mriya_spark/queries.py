@@ -6494,20 +6494,62 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
         except (OSError, ValueError):
             return False
 
+    # sweep SUPERSEDED digests for this corpus (r9 ADVICE: digests are
+    # keyed by (src, mtime), so every fixture mtime change would leak
+    # the old index dir forever) plus orphaned __build_ stages. Other
+    # SF fixtures' live indexes are different corpus paths and are
+    # left alone; the age gate protects a concurrent run mid-publish.
+    import time as _time
+
+    root = cache_dir("bm25")
+    now = _time.time()
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if not os.path.isdir(full):
+            continue
+        try:
+            if now - os.path.getmtime(full) <= 3600.0:
+                continue
+        except OSError:
+            continue
+        stale = "__build_" in name
+        if not stale:
+            try:
+                with open(os.path.join(full, "_stats.json")) as fh:
+                    st = json.load(fh)
+                stale = st.get("corpus") == src and st.get("mtime") != mtime
+            except (OSError, ValueError):
+                stale = name != digest  # unreadable foreign dir
+        if stale:
+            shutil.rmtree(full, ignore_errors=True)
+
     if _valid():
         return path
     build = f"{path}__build_{_uuid.uuid4().hex[:8]}"
     docs = _cat(spark, sf_dir).table("documents")
     stats = bm25_write_index(docs, build)
     stats.update({"corpus": src, "mtime": mtime})
-    with open(os.path.join(build, "_stats.json"), "w") as fh:
-        json.dump(stats, fh)
+    # rewrite through the same Hadoop-FS helper the index writer uses:
+    # a raw local open() here would leave the checksummed LocalFileSystem
+    # .crc sidecar stale and fail the next fs_read_text
+    from mriya_spark.ops.text import fs_write_text
+
+    fs_write_text(spark, os.path.join(build, "_stats.json"), json.dumps(stats))
     if os.path.isdir(path) and not _valid():
         shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(build, path)
     except OSError:
-        shutil.rmtree(build, ignore_errors=True)
+        # publish race: another builder renamed first. Only trust the
+        # published dir after RE-validating (r9 ADVICE: a torn
+        # concurrent dir must never be read); otherwise serve the
+        # freshly built dir — it validated by construction — and let a
+        # later call retry the publish (the __build_ sweep above GCs
+        # it once it goes stale).
+        if _valid():
+            shutil.rmtree(build, ignore_errors=True)
+            return path
+        return build
     return path
 
 

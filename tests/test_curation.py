@@ -211,6 +211,28 @@ def test_recipe_domain_quota_stage(spark):
     assert len(cap) == 4 and all(r.domain_total == 9 for r in cap)
 
 
+def test_recipe_domain_quota_preserves_user_domain_column(spark):
+    """r9 ADVICE: a corpus that already carries a 'domain' column
+    (common in crawl data) must pass through the DSL domain_quota
+    stage untouched — neither overwritten by url_host nor dropped."""
+    from mriya_spark.curation import CurationSpec
+
+    docs = [
+        (i, f"https://hot.example.com/p/{i}", "txt", f"crawl-{i % 2}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "url", "text", "domain"])
+    spec = CurationSpec.from_obj({
+        "filters": [{"type": "domain_quota", "url_col": "url", "quota": 2}],
+        "dedup": [],
+        "output": ["doc_id", "domain"],
+    })
+    rows = spec.build(df).collect()
+    assert len(rows) == 2  # single host, capped
+    # the surviving rows keep their ORIGINAL domain values
+    assert all(r.domain == f"crawl-{r.doc_id % 2}" for r in rows)
+
+
 def test_oversample_epochs_copy_counts(spark):
     """Each row's copy count is floor(w) or floor(w)+1, the empirical
     mean tracks w (E[copies] = w), w <= 0 rows vanish, and the cap
