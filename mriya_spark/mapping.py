@@ -149,6 +149,7 @@ class MappingSpec:
         where_condition: str,
         rules: list[MappingRule],
         lookups: dict[str, LookupSpec] | None = None,
+        parent_fks: dict[str, str] | None = None,
     ):
         if not rules:
             # same contract as the reference (`mapping_parser.py:15-17`)
@@ -159,6 +160,19 @@ class MappingSpec:
         self.where_condition = where_condition
         self.rules = rules
         self.lookups = lookups or {}
+        #: FK dependencies on OTHER mapping-array elements:
+        #: ``{column_src holding the parent key: parent source_object}``.
+        #: Distinct from ``lookups`` (read-side joins against existing
+        #: tables): a parent_fk points at an object that is itself being
+        #: migrated, so the value must be REWRITTEN to the parent's
+        #: freshly created dst id (``run_mapping_array``).
+        self.parent_fks = dict(parent_fks or {})
+        for fk_col in self.parent_fks:
+            if not any(r.column_src == fk_col for r in rules):
+                raise ValueError(
+                    f"parent_fks references {fk_col!r} but no mapping "
+                    "rule carries that source column"
+                )
 
     # -- parsing ---------------------------------------------------------
     @classmethod
@@ -188,6 +202,7 @@ class MappingSpec:
             where_condition=obj.get("where_condition", ""),
             rules=rules,
             lookups=lookups,
+            parent_fks=obj.get("parent_fks", {}),
         )
 
     @classmethod
@@ -311,3 +326,117 @@ class MappingSpec:
         """Source primary-key column (the reference uses SF ``Id``;
         here: whatever column the src_id rule reads)."""
         return self.src_id_rule.column_src
+
+
+# ---------------------------------------------------------------------------
+# multi-object orchestration
+# ---------------------------------------------------------------------------
+#
+# The reference's mapping document is a JSON ARRAY of specs
+# (`/root/reference/mapping_parser.py:8-25` schema) but v0 only ever runs
+# element [0] (`/root/reference/mriya.py:20`). The product shape it was
+# growing toward — and what any real Salesforce migration needs — is to
+# run EVERY element, parents before the children that reference them,
+# with each child's FK columns rewritten from old parent keys to the
+# parent's freshly created destination ids. That is what
+# ``migration_order`` + ``run_mapping_array`` provide.
+
+
+def migration_order(specs: list[MappingSpec]) -> list[MappingSpec]:
+    """Topologically order mapping specs by ``parent_fks`` dependencies
+    (Kahn's algorithm; stable — array order breaks ties, so an already-
+    ordered document is untouched). A parent_fk naming an object not in
+    the array, or a dependency cycle, is a mapping-document error and
+    fails at plan-build time, not mid-migration."""
+    by_src = {s.source_object: s for s in specs}
+    if len(by_src) != len(specs):
+        raise ValueError("duplicate source_object in mapping array")
+    deps: dict[str, set[str]] = {}
+    for s in specs:
+        parents = set(s.parent_fks.values())
+        missing = parents - set(by_src)
+        if missing:
+            raise ValueError(
+                f"mapping for {s.source_object!r} references parent "
+                f"object(s) {sorted(missing)} not present in the array"
+            )
+        deps[s.source_object] = parents
+    ordered: list[MappingSpec] = []
+    done: set[str] = set()
+    pending = list(specs)
+    while pending:
+        ready = [s for s in pending if deps[s.source_object] <= done]
+        if not ready:
+            cyc = sorted(s.source_object for s in pending)
+            raise ValueError(f"parent_fks dependency cycle among {cyc}")
+        for s in ready:
+            ordered.append(s)
+            done.add(s.source_object)
+        pending = [s for s in pending if s.source_object not in done]
+    return ordered
+
+
+def run_mapping_array(
+    catalog: "Catalog",
+    specs: list[MappingSpec],
+    *,
+    constants: dict[str, dict[str, object]] | None = None,
+    broadcast_parents: bool = True,
+) -> dict[str, DataFrame]:
+    """Run every mapping-array element in FK dependency order; returns
+    ``{source_object: created destination DataFrame}`` where each
+    created frame carries its payload columns plus ``dst_id``.
+
+    Per object: ``extract`` -> ``transform`` -> parent-FK rewrite ->
+    "load" (deterministic surrogate dst ids, ``{destination_object}-
+    {src key}`` — the same stand-in ``run_migration`` uses for the
+    org-assigned id). A child's FK rewrite is ONE equi-join per parent
+    against that parent's (src key -> dst_id) projection — broadcast by
+    default (migration parents are dimension-sized relative to their
+    children; pass ``broadcast_parents=False`` at genuinely large
+    parent cardinality and let AQE pick the strategy). The join is LEFT:
+    an orphan FK (child row pointing at a parent key that was filtered
+    out or never existed) surfaces as a NULL new id rather than
+    silently dropping the child row — the caller decides whether that
+    is a data-quality failure.
+
+    Everything stays one lazy DAG per object; nothing is collected.
+    The whole array compiles before anything runs, so a bad document
+    (cycle, missing parent, FK column not mapped) fails fast.
+    """
+    order = migration_order(specs)
+    created: dict[str, DataFrame] = {}
+    consts = constants or {}
+    for spec in order:
+        extracted = spec.extract(catalog)
+        dst = spec.transform(
+            extracted, constants=consts.get(spec.source_object)
+        )
+        for fk_col_src, parent_obj in spec.parent_fks.items():
+            parent_spec = next(
+                s for s in order if s.source_object == parent_obj
+            )
+            rule = next(
+                r for r in spec.rules if r.column_src == fk_col_src
+            )
+            p_sid = parent_spec.src_id_rule
+            lookup = created[parent_obj].select(
+                F.col(p_sid.column_dst).alias("__p_key"),
+                F.col("dst_id").alias(rule.column_dst),
+            )
+            if broadcast_parents:
+                lookup = F.broadcast(lookup)
+            dst = (
+                dst.withColumnRenamed(rule.column_dst, "__old_fk")
+                .join(lookup, F.col("__old_fk") == F.col("__p_key"), "left")
+                .drop("__old_fk", "__p_key")
+            )
+        sid = spec.src_id_rule
+        created[spec.source_object] = dst.withColumn(
+            "dst_id",
+            F.concat(
+                F.lit(spec.destination_object + "-"),
+                F.col(sid.column_dst).cast("string"),
+            ),
+        )
+    return created

@@ -570,6 +570,130 @@ def migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_migration(spark, sf_dir)
 
 
+#: Multi-object mapping document: the reference's mapping file is a JSON
+#: ARRAY (`/root/reference/mapping_parser.py:8-25`; `mriya.py:20` runs
+#: only `[0]`) — this array exercises the full-document orchestrator.
+#: The CHILD is deliberately FIRST: `run_mapping_array` must order by FK
+#: dependency (`parent_fks`), not array position.
+MULTI_MAPPING = [
+    {
+        "source_object": "customer",
+        "destination_object": "customer_dst",
+        "where_condition": "c_acctbal > 0",
+        "mapping": [
+            {
+                "table_src": "customer",
+                "column_src": "c_custkey",
+                "table_dst": "customer_dst",
+                "column_dst": "old_record_id",
+                "operation": "upd_src",
+                "column_type": "src_id",
+            },
+            {
+                "table_src": "customer",
+                "column_src": "c_name",
+                "table_dst": "customer_dst",
+                "column_dst": "name",
+                "operation": "insert",
+                "column_type": "regular",
+            },
+            {
+                "table_src": "customer",
+                "column_src": "c_acctbal",
+                "table_dst": "customer_dst",
+                "column_dst": "acctbal",
+                "operation": "insert",
+                "column_type": "regular",
+            },
+            {
+                "table_src": "customer",
+                "column_src": "c_nationkey",
+                "table_dst": "customer_dst",
+                "column_dst": "nation_ref",
+                "operation": "insert",
+                "column_type": "regular",
+            },
+        ],
+        "parent_fks": {"c_nationkey": "nation"},
+    },
+    {
+        "source_object": "nation",
+        "destination_object": "nation_dst",
+        "where_condition": "",
+        "mapping": [
+            {
+                "table_src": "nation",
+                "column_src": "n_nationkey",
+                "table_dst": "nation_dst",
+                "column_dst": "old_record_id",
+                "operation": "upd_src",
+                "column_type": "src_id",
+            },
+            {
+                "table_src": "nation",
+                "column_src": "n_name",
+                "table_dst": "nation_dst",
+                "column_dst": "name",
+                "operation": "insert",
+                "column_type": "regular",
+            },
+        ],
+    },
+]
+
+
+@register(
+    "migration_multi_mapping",
+    """
+    SELECT c.c_custkey AS old_record_id,
+           c.c_name AS name,
+           c.c_acctbal AS acctbal,
+           'nation_dst-' || CAST(n.n_nationkey AS VARCHAR) AS nation_ref,
+           'customer_dst-' || CAST(c.c_custkey AS VARCHAR) AS dst_id,
+           'customer_dst-' || CAST(c.c_custkey AS VARCHAR)
+               AS src_backfilled_id
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+    """,
+)
+def migration_multi_mapping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-object mapping orchestration (`mapping.run_mapping_array`):
+    the WHOLE mapping array runs in FK dependency order — parent
+    (nation -> nation_dst) first even though the document lists the
+    child first, then the child (customer -> customer_dst) with its
+    ``c_nationkey`` FK rewritten to the parent's freshly created dst id
+    via one broadcast equi-join, then the child's upd_src backfill.
+    The reference only ever ran element [0] (`mriya.py:20`); this is
+    the product shape it was growing toward. The oracle replays both
+    objects' surrogate id assignment and the FK resolution in one
+    statement."""
+    from mriya_spark.mapping import MappingSpec, run_mapping_array
+
+    cat = Catalog(spark, sf_dir)
+    specs = [MappingSpec.from_obj(o) for o in MULTI_MAPPING]
+    created = run_mapping_array(cat, specs)
+    child_spec = next(s for s in specs if s.source_object == "customer")
+    backfilled = child_spec.backfill(
+        cat.table("customer"), created["customer"]
+    )
+    return created["customer"].join(
+        backfilled.select(
+            F.col("c_custkey").alias("old_record_id"),
+            F.col("c_custkey_dst_id").alias("src_backfilled_id"),
+        ),
+        on="old_record_id",
+        how="left",
+    ).select(
+        "old_record_id",
+        "name",
+        "acctbal",
+        "nation_ref",
+        "dst_id",
+        "src_backfilled_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 sinks: CSV staging + DML merge semantics (S3-S10)
 # ---------------------------------------------------------------------------

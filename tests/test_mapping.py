@@ -78,3 +78,137 @@ def test_missing_lookup_spec_raises(spark, catalog):
     spec = MappingSpec.from_obj(bad)
     with pytest.raises(ValueError, match="lookup"):
         spec.extract(catalog)
+
+
+# -- multi-object orchestration (run_mapping_array) -------------------------
+
+
+def _mini_specs():
+    from mriya_spark.mapping import MappingSpec
+
+    child = MappingSpec.from_obj({
+        "source_object": "customer",
+        "destination_object": "customer_dst",
+        "where_condition": "",
+        "mapping": [
+            {"table_src": "customer", "column_src": "c_custkey",
+             "table_dst": "customer_dst", "column_dst": "old_record_id",
+             "operation": "upd_src", "column_type": "src_id"},
+            {"table_src": "customer", "column_src": "c_nationkey",
+             "table_dst": "customer_dst", "column_dst": "nation_ref",
+             "operation": "insert", "column_type": "regular"},
+        ],
+        "parent_fks": {"c_nationkey": "nation"},
+    })
+    parent = MappingSpec.from_obj({
+        "source_object": "nation",
+        "destination_object": "nation_dst",
+        "where_condition": "",
+        "mapping": [
+            {"table_src": "nation", "column_src": "n_nationkey",
+             "table_dst": "nation_dst", "column_dst": "old_record_id",
+             "operation": "upd_src", "column_type": "src_id"},
+        ],
+    })
+    return child, parent
+
+
+def test_migration_order_resolves_dependencies():
+    from mriya_spark.mapping import migration_order
+
+    child, parent = _mini_specs()
+    # child listed FIRST: ordering must come from parent_fks, not index
+    ordered = migration_order([child, parent])
+    assert [s.source_object for s in ordered] == ["nation", "customer"]
+    # already-ordered document keeps its order (stable)
+    ordered2 = migration_order([parent, child])
+    assert [s.source_object for s in ordered2] == ["nation", "customer"]
+
+
+def test_migration_order_rejects_cycle_and_missing_parent():
+    from mriya_spark.mapping import MappingSpec, migration_order
+
+    child, parent = _mini_specs()
+    with pytest.raises(ValueError, match="not present"):
+        migration_order([child])  # parent missing from array
+    a = MappingSpec.from_obj({
+        "source_object": "a", "destination_object": "a_dst",
+        "where_condition": "",
+        "mapping": [{"table_src": "a", "column_src": "k",
+                     "table_dst": "a_dst", "column_dst": "old_record_id",
+                     "operation": "upd_src", "column_type": "src_id"},
+                    {"table_src": "a", "column_src": "b_fk",
+                     "table_dst": "a_dst", "column_dst": "b_ref",
+                     "operation": "insert", "column_type": "regular"}],
+        "parent_fks": {"b_fk": "b"},
+    })
+    b = MappingSpec.from_obj({
+        "source_object": "b", "destination_object": "b_dst",
+        "where_condition": "",
+        "mapping": [{"table_src": "b", "column_src": "k",
+                     "table_dst": "b_dst", "column_dst": "old_record_id",
+                     "operation": "upd_src", "column_type": "src_id"},
+                    {"table_src": "b", "column_src": "a_fk",
+                     "table_dst": "b_dst", "column_dst": "a_ref",
+                     "operation": "insert", "column_type": "regular"}],
+        "parent_fks": {"a_fk": "a"},
+    })
+    with pytest.raises(ValueError, match="cycle"):
+        migration_order([a, b])
+
+
+def test_parent_fk_must_be_mapped():
+    from mriya_spark.mapping import MappingSpec
+
+    with pytest.raises(ValueError, match="no mapping rule"):
+        MappingSpec.from_obj({
+            "source_object": "customer",
+            "destination_object": "customer_dst",
+            "where_condition": "",
+            "mapping": [
+                {"table_src": "customer", "column_src": "c_custkey",
+                 "table_dst": "customer_dst", "column_dst": "old_record_id",
+                 "operation": "upd_src", "column_type": "src_id"},
+            ],
+            "parent_fks": {"c_nationkey": "nation"},
+        })
+
+
+def test_run_mapping_array_rewrites_child_fk(spark, catalog):
+    from mriya_spark.mapping import run_mapping_array
+
+    child, parent = _mini_specs()
+    created = run_mapping_array(catalog, [child, parent])
+    assert set(created) == {"customer", "nation"}
+    rows = created["customer"].limit(20).collect()
+    assert rows
+    for r in rows:
+        # FK rewritten to the PARENT's created dst id
+        assert r.nation_ref.startswith("nation_dst-")
+        assert r.dst_id == f"customer_dst-{r.old_record_id}"
+
+
+def test_run_mapping_array_orphan_fk_yields_null(spark):
+    """A child row pointing at a parent key the parent migration
+    filtered out surfaces as NULL nation_ref (LEFT join), not a
+    dropped row."""
+    from mriya_spark.catalog import Catalog
+    from mriya_spark.mapping import MappingSpec, run_mapping_array
+
+    child, _ = _mini_specs()
+    parent = MappingSpec.from_obj({
+        "source_object": "nation",
+        "destination_object": "nation_dst",
+        "where_condition": "n_nationkey < 5",  # drop most parents
+        "mapping": [
+            {"table_src": "nation", "column_src": "n_nationkey",
+             "table_dst": "nation_dst", "column_dst": "old_record_id",
+             "operation": "upd_src", "column_type": "src_id"},
+        ],
+    })
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    created = run_mapping_array(cat, [child, parent])
+    out = created["customer"]
+    n_null = out.filter("nation_ref IS NULL").count()
+    n_total = out.count()
+    assert 0 < n_null < n_total  # orphans kept, flagged as NULL
