@@ -626,6 +626,32 @@ def hashed_clf_weights(
     ]
 
 
+def _with_gram_array(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the classifier's gram array as ``__g`` (word unigrams +
+    '_'-joined bigrams over lowercase alnum tokens). ONE definition
+    shared by scoring (``classifier_score``) and training
+    (``classifier_train``) so a model can never be trained on a
+    different featurization than it is scored with.
+
+    coalesce: NULL text must behave like empty text (empty gram
+    array) — without it the arrays go NULL and ``size()`` returns
+    -1 / ``aggregate()`` returns NULL, diverging from the oracle's
+    COALESCE-to-0 (r9 review finding)."""
+    toks = F.expr(
+        f"filter(split(lower(trim(coalesce({text_col}, ''))), "
+        "'[^a-z0-9]+'), x -> x != '')"
+    )
+    return df.withColumn("__t", toks).withColumn(
+        "__g",
+        F.expr(
+            "concat(__t, zip_with("
+            "slice(__t, 1, greatest(size(__t) - 1, 0)), "
+            "slice(__t, 2, greatest(size(__t) - 1, 0)), "
+            "(a, b) -> concat(a, '_', b)))"
+        ),
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: list[int],
@@ -678,23 +704,7 @@ def classifier_score(
     wlit = F.expr(
         "array(" + ",".join(str(int(w)) for w in weights) + ")"
     )
-    # coalesce: NULL text must score like empty text (s_int 0,
-    # n_grams 0, score 0.0) — without it the arrays go NULL and
-    # size() returns -1 / aggregate() returns NULL, diverging from
-    # the oracle's COALESCE-to-0 (r9 review finding)
-    toks = F.expr(
-        f"filter(split(lower(trim(coalesce({text_col}, ''))), "
-        "'[^a-z0-9]+'), x -> x != '')"
-    )
-    out = df.withColumn("__t", toks).withColumn(
-        "__g",
-        F.expr(
-            "concat(__t, zip_with("
-            "slice(__t, 1, greatest(size(__t) - 1, 0)), "
-            "slice(__t, 2, greatest(size(__t) - 1, 0)), "
-            "(a, b) -> concat(a, '_', b)))"
-        ),
-    )
+    out = _with_gram_array(df, text_col)
     if hash_family == "xxhash64":
         bucket = lambda g: (
             F.pmod(F.xxhash64(F.lit(seed), g), n_buckets) + 1
@@ -725,3 +735,115 @@ def classifier_score(
     ).otherwise(F.lit(0.0))
     out = out.withColumn(out_col, score)
     return out if keep_components else out.drop(s_col, n_col)
+
+
+def classifier_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str,
+    n_buckets: int,
+    seed: int = CLF_SEED,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Training-side featurization: ``(id, label, bucket, cnt)`` hashed
+    gram counts — the SAME grams (``_with_gram_array``) and the SAME
+    bucket function ``classifier_score`` uses (0-based here; scoring's
+    ``element_at`` adds the +1), so trained weights plug straight into
+    the scorer. The explode is the training path's one-time cost; the
+    deployed scorer stays scan-local. Output is repartitioned by id
+    and eagerly checkpointed: every training iteration re-reads it,
+    and the per-doc margin groupBy then reuses the id partitioning
+    instead of re-shuffling the corpus each round."""
+    from mriya_spark.portable import md5_long60
+
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    g = F.col("__gram")
+    if hash_family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.lit(seed), g), n_buckets).cast("int")
+    else:
+        bucket = (md5_long60(seed, g) % n_buckets).cast("int")
+    return (
+        _with_gram_array(df.select(id_col, label_col, text_col), text_col)
+        .select(id_col, label_col, F.explode("__g").alias("__gram"))
+        .select(
+            id_col, label_col, bucket.alias("bucket")
+        )
+        .repartition(F.col(id_col))
+        .groupBy(id_col, label_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def classifier_train(
+    df: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    iters: int = 3,
+    seed: int = CLF_SEED,
+    hash_family: str = "md5",
+) -> list[int]:
+    """Train the hashed linear classifier as a batch PERCEPTRON —
+    ``iters`` fixed synchronous passes, ALL-INTEGER arithmetic, so the
+    learned weight state is bit-identical in any engine (integer sums
+    are associative; no float-summation order to worry about — the
+    ``sketch_hll_portable`` posture applied to training). ``label_col``
+    must hold +1 / -1.
+
+    Per pass: margin s_d = Σ_b cnt_db·w_b per doc (the weight vector
+    rides the tasks as a constant-folded literal array, exactly like
+    the deployed scorer), misclassified set {d : y_d·s_d <= 0}, update
+    w_b += Σ_{d misclassified} y_d·cnt_db. The gradient aggregate is
+    ≤ ``n_buckets`` rows — a bounded driver collect (the IVF-centroid
+    control-point pattern), NOT a data-plane collect. Features are
+    built once (``classifier_features``) and reused every pass; with
+    the id repartition the per-pass shuffle is just the n_buckets-group
+    gradient. Converged early (no misclassified docs) => identical to
+    running the remaining passes, so a fixed-iteration relational
+    replay (the ``graph_pagerank`` unrolled-CTE posture) matches
+    exactly.
+
+    Returns the weight list — feed it straight to
+    ``classifier_score`` (same ``seed``/``hash_family``; scale is
+    irrelevant to the sign and monotone for thresholds).
+    """
+    feats = classifier_features(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        label_col=label_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        hash_family=hash_family,
+    )
+    w = [0] * n_buckets
+    for _ in range(iters):
+        wlit = F.expr(
+            "array(" + ",".join(str(int(x)) + "L" for x in w) + ")"
+        )
+        miscls = (
+            feats.withColumn(
+                "__w", F.element_at(wlit, F.col("bucket") + 1)
+            )
+            .groupBy(id_col, label_col)
+            .agg(F.sum(F.col("cnt") * F.col("__w")).alias("__s"))
+            .filter(F.col(label_col) * F.col("__s") <= 0)
+            .select(id_col)
+        )
+        grad = (
+            feats.join(miscls, on=id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col(label_col) * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        if not grad:
+            break  # converged: further passes are no-ops (see above)
+        for r in grad:
+            w[int(r["bucket"])] += int(r["g"])
+    return w

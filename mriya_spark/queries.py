@@ -6963,6 +6963,27 @@ def observed_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_gram_ctes(src: str = "documents") -> str:
+    """The words/grams CTE pair: lowercase-alnum tokens -> unigrams +
+    '_'-joined bigrams over ``src`` (needs doc_id + text). ONE
+    definition shared by the scorer oracles (via ``_clf_scored_ctes``)
+    and the trainer oracle, mirroring ``ops.text._with_gram_array``
+    being shared by ``classifier_score`` and ``classifier_train`` —
+    featurization cannot drift between train and serve on EITHER
+    engine."""
+    return f"""words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM {src}),
+    grams AS (
+      SELECT doc_id, w[i] AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)
+      UNION ALL
+      SELECT doc_id, w[i] || '_' || w[i + 1] AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words))"""
+
+
 def _clf_scored_ctes(src: str = "documents") -> str:
     """The words/grams/scored CTE chain computing the classifier's
     exact integer state (doc_id, s_int, n_grams) over ``src`` (needs
@@ -6982,17 +7003,7 @@ def _clf_scored_ctes(src: str = "documents") -> str:
         f"% {CLF_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT "
         f"% {2 * CLF_WEIGHT_SCALE} - {CLF_WEIGHT_SCALE}"
     )
-    return f"""words AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
-                         x -> x <> '') AS w
-      FROM {src}),
-    grams AS (
-      SELECT doc_id, w[i] AS g
-      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)
-      UNION ALL
-      SELECT doc_id, w[i] || '_' || w[i + 1] AS g
-      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words)),
+    return f"""{_clf_gram_ctes(src)},
     scored AS (
       SELECT doc_id,
              CAST(sum({weight}) AS BIGINT) AS s_int,
@@ -7048,6 +7059,91 @@ def text_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clf_score_s_int").alias("s_int"),
         F.col("clf_score_n_grams").alias("n_grams"),
         F.col("clf_score").alias("score"),
+    )
+
+
+_CLF_TRAIN_BUCKETS = 256
+_CLF_TRAIN_ITERS = 3
+
+
+def _clf_train_oracle_sql(
+    n_buckets: int = _CLF_TRAIN_BUCKETS, iters: int = _CLF_TRAIN_ITERS
+) -> str:
+    """Unrolled batch-perceptron oracle: a FIXED pass count over
+    all-integer arithmetic is exactly replayable (the
+    ``graph_pagerank`` unrolled-CTE posture, but with NO float
+    rounding anywhere — integer sums are associative, so engine
+    summation order cannot matter). Every CAST back to BIGINT guards
+    DuckDB's HUGEINT sum widening (the check_oracle_types rule)."""
+    from mriya_spark.ops.text import CLF_SEED
+
+    bucket = (
+        f"('0x' || substr(md5('{CLF_SEED}_' || g), 1, 15))::BIGINT "
+        f"% {n_buckets}"
+    )
+    ctes = [f"""{_clf_gram_ctes('documents')},
+    feats0 AS (
+      SELECT doc_id, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY 1, 2),
+    labels AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      FROM documents),
+    f AS (
+      SELECT f0.doc_id, l.y, f0.bucket, f0.cnt
+      FROM feats0 f0 JOIN labels l USING (doc_id)),
+    w0 AS (
+      SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT) AS bucket,
+             CAST(0 AS BIGINT) AS w)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    m{i} AS (
+      SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.w) AS BIGINT) AS s
+      FROM f JOIN w{i} w USING (bucket) GROUP BY 1, 2),
+    g{i} AS (
+      SELECT f.bucket, CAST(sum(f.y * f.cnt) AS BIGINT) AS g
+      FROM f JOIN m{i} m ON f.doc_id = m.doc_id AND m.y * m.s <= 0
+      GROUP BY 1),
+    w{i + 1} AS (
+      SELECT w.bucket, w.w + coalesce(g.g, 0) AS w
+      FROM w{i} w LEFT JOIN g{i} g USING (bucket))""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT bucket, w FROM w{iters} ORDER BY bucket"
+    )
+
+
+@register("text_classifier_train", _clf_train_oracle_sql())
+def text_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed linear classifier (``ops.text
+    .classifier_train``): batch perceptron on the lang=='en' signal,
+    3 fixed all-integer passes over hashed gram-count features — the
+    same grams and the same bucket function the deployed scan-local
+    scorer uses, so the learned vector plugs straight into
+    ``classifier_score`` (closing the r9 loop where scoring used
+    md5-derived stand-in weights). The oracle replays every pass as
+    unrolled CTEs; with pure-integer state a single flipped count,
+    margin, or update anywhere fails the hash. Per pass the only
+    exchange is the <=256-group gradient aggregate (features built
+    once, id-partitioned, checkpointed); the gradient collect is
+    bucket-count bounded — a control point, not a data-plane
+    collect."""
+    from mriya_spark.ops.text import classifier_train
+
+    docs = _cat(spark, sf_dir).table("documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long").alias(
+            "y"
+        ),
+    )
+    w = classifier_train(
+        docs,
+        label_col="y",
+        n_buckets=_CLF_TRAIN_BUCKETS,
+        iters=_CLF_TRAIN_ITERS,
+    )
+    return spark.createDataFrame(
+        [(i, int(wi)) for i, wi in enumerate(w)], "bucket long, w long"
     )
 
 

@@ -1127,3 +1127,108 @@ def test_bm25_index_probe_equals_scan_and_prunes(spark, tmp_path):
     assert bm25_query_index(spark, idx, ["zzzznope"]).count() == 0
     with pytest.raises(ValueError, match="non-empty"):
         bm25_query_index(spark, idx, [])
+
+
+def test_classifier_train_matches_python_perceptron(spark):
+    """classifier_train == a pure-Python batch perceptron over the
+    same hashed gram-count features (the classifier_score parity test,
+    applied to training): identical weight vector after every pass,
+    early convergence included."""
+    import hashlib
+    import re as _re
+
+    from mriya_spark.ops.text import CLF_SEED, classifier_train
+
+    NB = 32
+    docs = [
+        (1, "good clean prose with words", 1),
+        (2, "more good text here", 1),
+        (3, "zz qq xx junk junk zz", -1),
+        (4, "qq zz xx xx", -1),
+        (5, "", 1),  # gram-less doc: must not contribute
+        (6, "good words again", 1),
+    ]
+
+    def feats(text):
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.strip().lower()) if t]
+        grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        out = {}
+        for g in grams:
+            b = int(
+                hashlib.md5(f"{CLF_SEED}_{g}".encode()).hexdigest()[:15], 16
+            ) % NB
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    def py_train(iters):
+        w = [0] * NB
+        for _ in range(iters):
+            upd = [0] * NB
+            any_mis = False
+            for _i, text, y in docs:
+                f = feats(text)
+                if not f:
+                    continue
+                s = sum(c * w[b] for b, c in f.items())
+                if y * s <= 0:
+                    any_mis = True
+                    for b, c in f.items():
+                        upd[b] += y * c
+            if not any_mis:
+                break
+            w = [a + u for a, u in zip(w, upd)]
+        return w
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, y long")
+    for iters in (1, 3, 8):
+        got = classifier_train(
+            df, label_col="y", n_buckets=NB, iters=iters
+        )
+        assert got == py_train(iters), iters
+
+
+def test_classifier_trained_weights_feed_score_unchanged(spark):
+    """The r9-verdict loop closed: weights learned by classifier_train
+    plug straight into the UNCHANGED deployed scorer (same grams, same
+    buckets, scan-local plan) and separate the training classes."""
+    from mriya_spark.ops.text import classifier_score, classifier_train
+
+    pos = [(i, f"the quick brown fox number {i} jumps high") for i in range(12)]
+    neg = [(100 + i, f"zzz qqq xxx {i} vvv kkk") for i in range(12)]
+    rows = [(i, t, 1) for i, t in pos] + [(i, t, -1) for i, t in neg]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+
+    w = classifier_train(df, label_col="y", n_buckets=64, iters=5)
+    assert len(w) == 64 and any(x != 0 for x in w)
+
+    scored = classifier_score(
+        df, w, keep_components=True
+    )
+    got = {r.doc_id: r.clf_score_s_int for r in scored.collect()}
+    # every training doc on the right side of the margin (the tiny
+    # corpus is linearly separable in gram space)
+    for i, _t, y in rows:
+        assert y * got[i] > 0, (i, got[i], y)
+    # and the scoring plan is still exchange-free (deployment shape)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_classifier_train_xxhash_family(spark):
+    """Production hash family trains too, and its weights only make
+    sense scored with the SAME family."""
+    from mriya_spark.ops.text import classifier_score, classifier_train
+
+    rows = [(i, f"alpha beta gamma {i}", 1) for i in range(8)] + [
+        (50 + i, f"omega zeta {i} theta", -1) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    w = classifier_train(
+        df, label_col="y", n_buckets=64, iters=5, hash_family="xxhash64"
+    )
+    scored = classifier_score(
+        df, w, hash_family="xxhash64", keep_components=True
+    )
+    got = {r.doc_id: r.clf_score_s_int for r in scored.collect()}
+    for i, _t, y in rows:
+        assert y * got[i] > 0, (i, got[i], y)
