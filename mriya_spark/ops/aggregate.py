@@ -139,3 +139,123 @@ def merge_agg(
             ).alias(c)
         )
     return joined.select(*out_cols)
+
+
+# -- mergeable quantile sketch (portable md5 family) -------------------
+#
+# The percentile analogue of the portable HLL: `percentile_sampled`
+# gives a one-shot deterministic sample, but the 100 TB quantile path
+# needs a SKETCH — bounded state, associative merge, and (here) a
+# canonical final state an oracle can replay. This is the KLL
+# bottom-sampler run to a single level: every row draws a 60-bit
+# md5 uniform; the sketch at level L keeps exactly the rows with
+# u60 < 2^(60-L) (an exact 2^-L uniform subsample), with L the
+# smallest level whose survivor count fits the budget k. Because the
+# state is a pure FUNCTION of the data and the hash — not of
+# partitioning, arrival order, or merge shape — it is bit-identical
+# in any engine, and the merge is exact: union the states, re-raise
+# the level until <= k survive (the survivor predicate at a higher
+# level is a subset filter of the state, so merging loses nothing a
+# direct sketch of the union would have kept). Rank error of the
+# quantile estimates is the uniform-sample bound O(1/sqrt(k)).
+
+QSKETCH_MAX_LEVEL = 40
+QSKETCH_K = 512
+QSKETCH_SEED = 17
+
+
+def quantile_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    key_col: str,
+    k: int = QSKETCH_K,
+    seed: int = QSKETCH_SEED,
+) -> tuple[int, DataFrame]:
+    """Build the sketch: returns ``(level, state)`` where ``state`` is
+    the <= ``k``-row DataFrame ``(u60, value)`` of level-``level``
+    survivors. Two passes, both map-heavy: one scalar aggregate
+    computing the survivor count at EVERY candidate level (41 summed
+    flags, map-side combined to a single row — the level pick is a
+    bounded driver scalar, the IVF-centroid control-point pattern),
+    then one scan-local integer filter ``u60 < 2^(60-level)`` that a
+    parquet reader could push down. Nothing shuffles on the data
+    side; the state itself is sketch-sized."""
+    from mriya_spark.portable import md5_long60
+
+    u = df.select(
+        md5_long60(seed, F.col(key_col)).alias("u60"),
+        F.col(value_col).alias("value"),
+    )
+    counts = u.agg(
+        *[
+            F.sum(
+                (F.col("u60") < F.lit(1 << (60 - l))).cast("long")
+            ).alias(f"c{l}")
+            for l in range(QSKETCH_MAX_LEVEL + 1)
+        ]
+    ).collect()[0]
+    level = next(
+        (
+            l
+            for l in range(QSKETCH_MAX_LEVEL + 1)
+            if int(counts[f"c{l}"] or 0) <= k
+        ),
+        None,
+    )
+    if level is None:
+        raise ValueError(
+            f"no level <= {QSKETCH_MAX_LEVEL} fits k={k} survivors"
+        )
+    state = u.filter(F.col("u60") < F.lit(1 << (60 - level)))
+    return level, state
+
+
+def quantile_sketch_merge(
+    sketches: Sequence[tuple[int, DataFrame]],
+    *,
+    k: int = QSKETCH_K,
+) -> tuple[int, DataFrame]:
+    """Associative merge: union the states, start from the max input
+    level, and raise until <= ``k`` survive. Counting happens on
+    sketch-sized unions (<= sum of the input budgets), never on raw
+    data — this is the rollup step a 1000-executor tree aggregation
+    or a cross-day sketch store runs. The result equals the direct
+    sketch of the concatenated inputs (tested), which is the whole
+    point of a mergeable summary."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    level = max(lv for lv, _ in sketches)
+    state = sketches[0][1]
+    for _, s in sketches[1:]:
+        state = state.unionByName(s)
+    state = state.filter(F.col("u60") < F.lit(1 << (60 - level)))
+    state = state.localCheckpoint(eager=True)
+    while state.count() > k:
+        if level >= QSKETCH_MAX_LEVEL:
+            raise ValueError("merge exceeded QSKETCH_MAX_LEVEL")
+        level += 1
+        state = state.filter(F.col("u60") < F.lit(1 << (60 - level)))
+    return level, state
+
+
+def quantiles_from_sketch(
+    state: DataFrame, qs: Sequence[float]
+) -> DataFrame:
+    """Estimate quantiles from the sketch state: the survivors are an
+    exact uniform subsample, so the q-quantile estimate is the value
+    at rank ``max(1, ceil(q*m))`` of the value-sorted state
+    (ties broken by u60 for a deterministic, engine-replayable rank).
+    The global sort is over <= k rows — sketch-sized, not data-sized.
+    Returns ``(q, est)`` rows."""
+    import math
+
+    m = state.count()
+    if m == 0:
+        raise ValueError("empty sketch state")
+    targets = [(float(q), max(1, math.ceil(q * m))) for q in qs]
+    tdf = state.sparkSession.createDataFrame(targets, "q double, r long")
+    ranked = state.withColumn(
+        "r", F.row_number().over(Window.orderBy("value", "u60"))
+    )
+    return ranked.join(F.broadcast(tdf), "r").select("q", "value")

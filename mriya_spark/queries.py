@@ -4232,6 +4232,108 @@ def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qsketch_state_ctes() -> str:
+    """State-replay CTEs for the portable quantile sketch over
+    ``orders.o_totalprice`` keyed by ``o_orderkey``: re-derive every
+    60-bit draw, recount survivors at every candidate level, pick the
+    same minimal level, and emit the same survivor set — the whole
+    level decision is integer comparisons, so there is nothing to
+    round."""
+    from mriya_spark.ops.aggregate import QSKETCH_K, QSKETCH_SEED
+
+    return f"""u AS (
+      SELECT ('0x' || substr(md5('{QSKETCH_SEED}_' ||
+                 CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS u60,
+             o_totalprice AS value
+      FROM orders),
+    lv AS (
+      SELECT t.l,
+             CAST(count(*) FILTER (
+               WHERE u.u60 < (CAST(1 AS BIGINT) << (60 - t.l))
+             ) AS BIGINT) AS c
+      FROM range(0, 41) t(l) CROSS JOIN u GROUP BY t.l),
+    sel AS (SELECT CAST(min(l) AS BIGINT) AS level
+            FROM lv WHERE c <= {QSKETCH_K}),
+    state AS (
+      SELECT sel.level, u.u60, u.value
+      FROM u CROSS JOIN sel
+      WHERE u.u60 < (CAST(1 AS BIGINT) << (60 - CAST(sel.level AS INTEGER))))"""
+
+
+def _qsketch_state_oracle_sql() -> str:
+    return f"""
+    WITH {_qsketch_state_ctes()}
+    SELECT level, u60, value FROM state
+    """
+
+
+def _qsketch_estimate_oracle_sql() -> str:
+    return f"""
+    WITH {_qsketch_state_ctes()},
+    ranked AS (
+      SELECT value, u60, row_number() OVER (ORDER BY value, u60) AS r
+      FROM state),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM state),
+    targets AS (
+      -- inner CAST: DuckDB types the VALUES literals DECIMAL(3,2) —
+      -- the driver canonicalizer does not coerce that (the
+      -- check_oracle_types rule), and the rank must come from the
+      -- SAME IEEE double product the Spark side ceils
+      SELECT q, GREATEST(1, CAST(ceil(q * (SELECT m FROM m)) AS BIGINT)) AS r
+      FROM (SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)) s)
+    SELECT t.q, rk.value FROM targets t JOIN ranked rk USING (r)
+    """
+
+
+@register("sketch_quantile_portable", _qsketch_state_oracle_sql())
+def sketch_quantile_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch in the portable md5 family
+    (``ops.aggregate.quantile_sketch``): the KLL bottom-sampler run to
+    one level — every row draws a 60-bit md5 uniform, the sketch keeps
+    the exact 2^-L subsample at the smallest level L whose survivor
+    count fits k=512. The state is a pure function of data + hash
+    (partitioning/merge-order independent), so the oracle replays it
+    bit-for-bit: level pick and survivor set are ALL integer
+    comparisons, the 100 TB quantile path with nothing float to
+    diverge. Associative merge (union + re-raise level) equals the
+    direct sketch — pinned in tests. Plan: one 41-flag scalar
+    aggregate (map-side combined) + one scan-local integer filter."""
+    from mriya_spark.ops.aggregate import quantile_sketch
+
+    o = _cat(spark, sf_dir).table("orders")
+    level, state = quantile_sketch(
+        o, value_col="o_totalprice", key_col="o_orderkey"
+    )
+    return state.select(
+        F.lit(level).cast("long").alias("level"), "u60", "value"
+    )
+
+
+@register("sketch_quantile_estimate", _qsketch_estimate_oracle_sql())
+def sketch_quantile_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates read off the sketch
+    (``ops.aggregate.quantiles_from_sketch``): the survivors are an
+    exact uniform subsample, so the q-quantile is the value at rank
+    ceil(q*m) of the value-sorted state (u60 tie-break — a
+    deterministic, engine-replayable rank). The sort is sketch-sized
+    (<= 512 rows), never data-sized; the oracle replays state AND
+    estimator in one statement. Rank error is the uniform-sample
+    O(1/sqrt(k)) bound, pinned against exact percentiles in tests."""
+    from mriya_spark.ops.aggregate import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    o = _cat(spark, sf_dir).table("orders")
+    _level, state = quantile_sketch(
+        o, value_col="o_totalprice", key_col="o_orderkey"
+    )
+    return quantiles_from_sketch(
+        state, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 @register(
     "udaf_geomean",
     """

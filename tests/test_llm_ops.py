@@ -1232,3 +1232,66 @@ def test_classifier_train_xxhash_family(spark):
     got = {r.doc_id: r.clf_score_s_int for r in scored.collect()}
     for i, _t, y in rows:
         assert y * got[i] > 0, (i, got[i], y)
+
+
+def test_quantile_sketch_merge_equals_direct(spark, catalog):
+    """Mergeability — the sketch's reason to exist: sketching two
+    disjoint halves and merging gives the IDENTICAL (level, state) as
+    sketching the whole table. (The state is a pure function of
+    data + hash, so this is exact equality, not approximate.)"""
+    from mriya_spark.ops.aggregate import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    o = catalog.table("orders")
+    lo = o.filter("o_orderkey % 2 = 0")
+    hi = o.filter("o_orderkey % 2 = 1")
+    kw = dict(value_col="o_totalprice", key_col="o_orderkey", k=64)
+    l_full, s_full = quantile_sketch(o, **kw)
+    merged_l, merged_s = quantile_sketch_merge(
+        [quantile_sketch(lo, **kw), quantile_sketch(hi, **kw)], k=64
+    )
+    assert merged_l == l_full
+    full_set = {(r.u60, r.value) for r in s_full.collect()}
+    merged_set = {(r.u60, r.value) for r in merged_s.collect()}
+    assert merged_set == full_set
+    assert 0 < len(full_set) <= 64
+
+
+def test_quantile_sketch_estimates_within_rank_error(spark, catalog):
+    """The uniform-sample rank-error bound holds in practice: every
+    estimated quantile's TRUE rank is within ~3/sqrt(k) of the target
+    (deterministic draws, so this is a fixed fact of the fixture, not
+    a flaky statistical assertion)."""
+    from mriya_spark.ops.aggregate import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    o = catalog.table("orders")
+    _lv, state = quantile_sketch(
+        o, value_col="o_totalprice", key_col="o_orderkey", k=512
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ests = {r.q: r.value for r in quantiles_from_sketch(state, qs).collect()}
+    vals = sorted(r.o_totalprice for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    import bisect
+
+    for q in qs:
+        true_rank = bisect.bisect_right(vals, ests[q]) / n
+        assert abs(true_rank - q) < 3 / (512 ** 0.5), (q, true_rank)
+
+
+def test_quantile_sketch_level_zero_when_small(spark):
+    """n <= k keeps everything at level 0 — the sketch degrades to the
+    exact dataset, so small-table quantiles are exact."""
+    from mriya_spark.ops.aggregate import quantile_sketch
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double"
+    )
+    level, state = quantile_sketch(df, value_col="v", key_col="k", k=512)
+    assert level == 0
+    assert state.count() == 50
