@@ -521,6 +521,44 @@ FLAGSHIP_MAPPING = {
 }
 
 
+class _FrameCatalog:
+    """Catalog adapter serving pinned DataFrames for some tables and
+    delegating the rest — lets ``MappingSpec.extract`` (which reads
+    ``catalog.table(source_object)``) run over a stream micro-batch
+    while lookup dims still come from parquet."""
+
+    def __init__(self, frames: dict[str, DataFrame], fallback) -> None:
+        self._frames = frames
+        self._fallback = fallback
+
+    def table(self, name: str) -> DataFrame:
+        got = self._frames.get(name)
+        return got if got is not None else self._fallback.table(name)
+
+
+def _migration_frames(cat, spec) -> DataFrame:
+    """The shared migration DAG: extract (scan+lookup+where+prune) ->
+    transform (rename+lit) -> "load" (deterministic surrogate dst
+    ids) -> backfill join -> destination rows + backfill
+    confirmation. ONE definition run by the batch flagship
+    (``run_migration``) and, per micro-batch, by the streaming twin
+    (``stream_migration_pipeline``) — the two cannot drift."""
+    extracted = spec.extract(cat)
+    dst = spec.transform(extracted, constants={"company_name": "ACME-HOLDING"})
+    created = dst.withColumn(
+        "dst_id", F.concat(F.lit("DST-"), F.col("old_record_id").cast("string"))
+    )
+    backfilled = spec.backfill(cat.table(spec.source_object), created)
+    return created.join(
+        backfilled.select(
+            F.col("c_custkey").alias("old_record_id"),
+            F.col("c_custkey_dst_id").alias("src_backfilled_id"),
+        ),
+        on="old_record_id",
+        how="left",
+    )
+
+
 def run_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole pipeline (`/root/reference/mriya.py` stages
     6-10) as one lazy DAG: extract (scan+lookup+where+prune) ->
@@ -532,27 +570,13 @@ def run_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     spec = MappingSpec.from_obj(FLAGSHIP_MAPPING)
-    extracted = spec.extract(cat)
-    dst = spec.transform(extracted, constants={"company_name": "ACME-HOLDING"})
-    # "load": destination assigns ids; deterministic surrogate here
-    created = dst.withColumn(
-        "dst_id", F.concat(F.lit("DST-"), F.col("old_record_id").cast("string"))
-    )
-    backfilled = spec.backfill(cat.table("customer"), created)
-    # final state: destination rows + the src-side backfill confirmation
-    return created.join(
-        backfilled.select(
-            F.col("c_custkey").alias("old_record_id"),
-            F.col("c_custkey_dst_id").alias("src_backfilled_id"),
-        ),
-        on="old_record_id",
-        how="left",
-    )
+    return _migration_frames(cat, spec)
 
 
-@register(
-    "migration_pipeline",
-    """
+#: One oracle for BOTH migration twins: the batch flagship and the
+#: incremental foreachBatch restatement must converge to the same
+#: final state.
+_MIGRATION_ORACLE_SQL = """
     SELECT c.c_custkey AS old_record_id,
            c.c_name AS name,
            c.c_acctbal AS acctbal,
@@ -564,8 +588,10 @@ def run_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > 0
-    """,
-)
+    """
+
+
+@register("migration_pipeline", _MIGRATION_ORACLE_SQL)
 def migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_migration(spark, sf_dir)
 
@@ -5991,6 +6017,70 @@ def connector_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python stream sources don't support Trigger.AvailableNow
     out = S.run_until_idle(stream.select("c_custkey", "c_name", "c_acctbal"))
     return out
+
+
+@register("stream_migration_pipeline", _MIGRATION_ORACLE_SQL)
+def stream_migration_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship migration restated INCREMENTALLY: the connector
+    stream source pages the mock org in 500-row micro-batches (the
+    §2.9 mapping of ``bulk_load``'s async-job/queryMore shape), and
+    every micro-batch runs the SAME migration DAG as the batch twin
+    (``_migration_frames`` — extract with broadcast nation lookup +
+    WHERE, transform, surrogate load, backfill) via a
+    ``_FrameCatalog`` pinning the batch as the source table, then
+    MERGES into a bucketed parquet target keyed on ``old_record_id``.
+    Deterministic dst ids + keyed merge => replaying any batch is a
+    no-op (replay-idempotence pinned in tests/test_streaming.py), and
+    the final target state equals the batch pipeline — so both twins
+    share ``_MIGRATION_ORACLE_SQL``. Per batch the merge IO is
+    O(batch + touched buckets), never O(target)."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+    from mriya_spark.connector.salesforce import (
+        CUSTOMER_DDL,
+        SalesforceMockDataSource,
+    )
+    from mriya_spark.mapping import MappingSpec
+
+    spark.dataSource.register(SalesforceMockDataSource)
+    org = _seeded_org(spark, sf_dir)
+    stream = (
+        spark.readStream.format("salesforce_mock")
+        .schema(CUSTOMER_DDL)
+        .option("org_dir", org)
+        .option("object", "Account")
+        .option("stream_batch_size", 500)
+        .load()
+    )
+    spec = MappingSpec.from_obj(FLAGSHIP_MAPPING)
+    cat = _cat(spark, sf_dir)
+    _sweep_stale("stream_v2", "mig_target_")
+    target = _os.path.join(
+        _cache_subdir("stream_v2"), f"mig_target_{_uuid.uuid4().hex[:8]}"
+    )
+
+    def migrate_batch(batch: DataFrame, epoch_id: int) -> None:
+        out = _migration_frames(
+            _FrameCatalog({spec.source_object: batch}, cat), spec
+        )
+        S.merge_upsert_batch(
+            out, target, key="old_record_id", order_by=("old_record_id",)
+        )
+
+    S.run_foreach_batch(
+        stream, migrate_batch, ckpt_prefix="ckpt_mig_", available_now=False
+    )
+    return spark.read.parquet(target).select(
+        "old_record_id",
+        "name",
+        "acctbal",
+        "segment",
+        "nation_name",
+        "company_name",
+        "dst_id",
+        "src_backfilled_id",
+    )
 
 
 @register(

@@ -278,6 +278,7 @@ def merge_upsert_batch(
     *,
     key: str = "user_id",
     n_buckets: int = 16,
+    order_by: tuple[str, ...] = ("ts", "event_id"),
 ) -> None:
     """One micro-batch's merge into the bucketed parquet target —
     version-aware: between target and batch rows for the same key, the
@@ -302,8 +303,12 @@ def merge_upsert_batch(
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
     def keep_latest(df: DataFrame) -> DataFrame:
+        # ``order_by`` picks the winner among same-key rows (default:
+        # latest event). A caller whose rows are deterministic per key
+        # (the migration twin) passes the key itself — ties are
+        # identical rows, so any winner yields the same target state.
         w = Window.partitionBy(key).orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
+            *[F.col(c).desc() for c in order_by]
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -368,29 +373,51 @@ def foreach_batch_upsert(
     same signature would front a Delta/Iceberg MERGE, which is this
     exact plan with a transaction log on top).
     """
-    spark = events.sparkSession
-    from mriya_spark.cachedir import sweep_stale
-
-    sweep_stale("stream_v2", "ckpt_upsert_")  # r6 ADVICE: age-gated GC
-    ckpt = f"{_STAGE_ROOT}/ckpt_upsert_{uuid.uuid4().hex[:12]}"
-
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         merge_upsert_batch(
             batch, target_path, key=key, n_buckets=n_buckets
         )
 
-    # the clamp also covers merge_batch's inner batch jobs (window +
-    # bucket rewrite), which run while the stream is active
+    run_foreach_batch(events, merge_batch, ckpt_prefix="ckpt_upsert_")
+    return target_path
+
+
+def run_foreach_batch(
+    stream: DataFrame,
+    batch_fn,
+    *,
+    ckpt_prefix: str = "ckpt_fb_",
+    available_now: bool = True,
+) -> None:
+    """Drain ``stream`` through ``batch_fn`` to completion —
+    checkpoint + the shuffle-partition clamp — the shared runner
+    behind every foreachBatch sink here (upsert, corpus/near-dup
+    ingest, the streaming migration twin). The clamp also covers
+    ``batch_fn``'s inner batch jobs, which run while the stream is
+    active; the checkpoint is per-call and swept age-gated (r6
+    ADVICE). ``available_now=False`` switches to the
+    processAllAvailable/stop protocol for sources that don't support
+    ``Trigger.AvailableNow`` (Python DSv2 stream readers — the
+    ``run_until_idle`` caveat)."""
+    spark = stream.sparkSession
+    from mriya_spark.cachedir import sweep_stale
+
+    sweep_stale("stream_v2", ckpt_prefix)
+    ckpt = f"{_STAGE_ROOT}/{ckpt_prefix}{uuid.uuid4().hex[:12]}"
     with _bounded_state_partitions(spark, 8):
-        q = (
-            events.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        writer = stream.writeStream.foreachBatch(batch_fn).option(
+            "checkpointLocation", ckpt
         )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return target_path
 
 
 def stateful_user_counts(events: DataFrame) -> DataFrame:

@@ -513,3 +513,54 @@ def test_neardup_index_compact_removes_replay_duplicates(spark, tmp_path):
     kept = [r.doc_id for r in spark.read.parquet(target).collect()
             if r.doc_id >= 3_000_000]
     assert len(kept) <= 1, kept
+
+
+def test_stream_migration_replay_is_idempotent(spark, tmp_path):
+    """The streaming migration twin's per-batch body (shared
+    _migration_frames DAG + keyed merge) must tolerate Spark's
+    crash-retry batch replay: re-applying any micro-batch leaves the
+    target in the same final state, and that state equals the batch
+    flagship's output."""
+    from mriya_spark.catalog import Catalog
+    from mriya_spark.mapping import MappingSpec
+    from mriya_spark.queries import (
+        FLAGSHIP_MAPPING,
+        _FrameCatalog,
+        _migration_frames,
+        run_migration,
+    )
+    import mriya_spark.streaming as S
+
+    cat = Catalog(spark, SF)
+    spec = MappingSpec.from_obj(FLAGSHIP_MAPPING)
+    cust = cat.table("customer")
+    b1 = cust.filter("c_custkey % 2 = 0")
+    b2 = cust.filter("c_custkey % 2 = 1")
+    target = str(tmp_path / "mig_target")
+
+    def apply(batch):
+        out = _migration_frames(_FrameCatalog({"customer": batch}, cat), spec)
+        S.merge_upsert_batch(
+            out, target, key="old_record_id", order_by=("old_record_id",),
+            n_buckets=4,
+        )
+
+    apply(b1)
+    apply(b2)
+    want = sorted(
+        (r.old_record_id, r.dst_id, r.src_backfilled_id)
+        for r in spark.read.parquet(target).collect()
+    )
+    apply(b1)  # crash-retry replay of an already-committed batch
+    got = sorted(
+        (r.old_record_id, r.dst_id, r.src_backfilled_id)
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == want
+
+    # incremental final state == the batch flagship
+    batch_rows = sorted(
+        (r.old_record_id, r.dst_id, r.src_backfilled_id)
+        for r in run_migration(spark, SF).collect()
+    )
+    assert got == batch_rows
