@@ -50,6 +50,14 @@ HEADLINE = [
     "table_diff",            # null-safe full-outer snapshot diff (4)
     "pipeline_training_export",  # capstone curation->shards->verify
     "text_classifier_score",     # scan-local hashed linear classifier
+    # r10 additions: the iterative DAGs (driver-side loop cost is
+    # invisible to single-query plan audits — only a wall-clock trend
+    # line catches a regression in checkpoint cadence or per-round
+    # shuffle count), plus the two r9 pay-once/probe-pruned paths
+    "graph_pagerank",        # 5 power iterations, localCheckpoint cadence
+    "dedup_clusters",        # connected components: label-propagation loop
+    "search_bm25_indexed",   # materialized-postings probe (index reused)
+    "sketch_hll_portable",   # md5-family HLL registers + merge
 ]
 
 

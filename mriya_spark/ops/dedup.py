@@ -145,7 +145,27 @@ def ngram_jaccard_pairs_from_shingles(
     lost only for pairs whose shared shingles are ALL hot (which a
     boilerplate phrase is, and near-dup content is not). ``None`` = the
     fully exact oracle form.
+
+    The shingled frame is scope-persisted before the explode, for two
+    reasons: it feeds three plan references (both self-join sides +
+    sizes), and — the expensive one — Catalyst's
+    InferFiltersFromGenerate turns ``explode(shingles)`` into a
+    ``size(shingles) > 0`` filter that gets pushed INTO the scan with
+    the whole tokenize->hash expression inlined once per array
+    reference, re-tokenizing every document dozens of times per pass
+    (measured 8s vs 0.2s on a 400-doc corpus, r10). Materializing the
+    arrays makes the inferred filter a cheap column test.
     """
+    with cache_scope():
+        sh = scoped_persist(sh)
+        return _jaccard_pairs_from_cached(
+            sh, threshold=threshold, max_shingle_df=max_shingle_df
+        )
+
+
+def _jaccard_pairs_from_cached(
+    sh: DataFrame, *, threshold: float, max_shingle_df: int | None
+) -> DataFrame:
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is None:
         sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))

@@ -2074,12 +2074,19 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns pairwise output into keep-one-per-group survivors. Spark:
     iterative min-label propagation; oracle: recursive-CTE transitive
     closure over the identical exact pair set."""
+    from mriya_spark.caching import cache_scope
     from mriya_spark.ops.dedup import connected_components, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(
-        _neardup_corpus(spark, sf_dir), text_col="text", n=3, threshold=0.5
-    )
-    return connected_components(pairs)
+    # ONE scope around both stages: connected_components opening its
+    # own OUTERMOST scope would evict the pair stage's shingle cache
+    # first, and its edges materialization would re-run the whole
+    # tokenize->hash->join pipeline (r10: 17s -> ~2s at sf0.1)
+    with cache_scope():
+        pairs = ngram_jaccard_pairs(
+            _neardup_corpus(spark, sf_dir), text_col="text", n=3,
+            threshold=0.5,
+        )
+        return connected_components(pairs)
 
 
 @register("dedup_minhash_lsh", None)  # LSH recall < 1 by design -> rows-only
