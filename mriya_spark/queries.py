@@ -7346,6 +7346,75 @@ def text_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_train_score_oracle_sql() -> str:
+    """Train AND serve in one statement: unroll the perceptron to its
+    final weight CTE, then score every document against it — the
+    end-to-end loop (learn -> inline -> score) cross-verified with
+    nothing but integer state."""
+    from mriya_spark.ops.text import CLF_SEED
+
+    n, iters = _CLF_TRAIN_BUCKETS, _CLF_TRAIN_ITERS
+    train = _clf_train_oracle_sql(n, iters)
+    # reuse the full training CTE chain; swap the final SELECT for a
+    # scoring tail over the learned w{iters}
+    body = train[: train.rindex("SELECT bucket, w")]
+    bucket = (
+        f"('0x' || substr(md5('{CLF_SEED}_' || g), 1, 15))::BIGINT % {n}"
+    )
+    return (
+        body
+        + f""",
+    gb AS (SELECT doc_id, {bucket} AS bucket FROM grams),
+    sc AS (
+      SELECT gb.doc_id,
+             CAST(sum(w.w) AS BIGINT) AS s_int,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM gb JOIN w{iters} w USING (bucket) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(sc.s_int, 0) AS s_int,
+           COALESCE(sc.n_grams, 0) AS n_grams
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    )
+
+
+@register("text_classifier_train_score", _clf_train_score_oracle_sql())
+def text_classifier_train_score_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The train->serve loop closed END TO END: weights learned by the
+    batch perceptron feed the UNCHANGED scan-local scorer
+    (``classifier_score`` — the deployment plan, weight vector as one
+    SQL-parsed literal array, zero exchanges in the scoring pass), and
+    the oracle replays training AND scoring in one statement. Every
+    doc's exact integer margin against the learned model is the
+    checked value — a flipped gradient in any pass, a drifted bucket,
+    or a train/serve featurization mismatch all fail the hash."""
+    from mriya_spark.ops.text import classifier_score, classifier_train
+
+    docs = _cat(spark, sf_dir).table("documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long").alias(
+            "y"
+        ),
+    )
+    w = classifier_train(
+        docs,
+        label_col="y",
+        n_buckets=_CLF_TRAIN_BUCKETS,
+        iters=_CLF_TRAIN_ITERS,
+    )
+    scored = classifier_score(
+        docs.select("doc_id", "text"), w, keep_components=True
+    )
+    return scored.select(
+        "doc_id",
+        F.col("clf_score_s_int").alias("s_int"),
+        F.col("clf_score_n_grams").alias("n_grams"),
+    )
+
+
 #: Deterministic domain universe for the curation fixtures: documents
 #: has no url column, so one is derived from doc_id — a squared
 #: md5-uniform picks the domain (squaring skews mass toward the low
