@@ -145,6 +145,9 @@ def main() -> None:
         "text_classifier_score", "events_funnel_singlescan",
         "table_profile_hll", "curation_domain_quota",
         "search_bm25_indexed", "quality_outlier_iqr",
+        "migration_multi_mapping", "text_classifier_train_score",
+        "sketch_quantile_portable", "sketch_quantile_estimate",
+        "stream_migration_pipeline",
     ]
 
     spark = get_spark(app_name="plan_audit")
