@@ -522,3 +522,25 @@ def test_pinned_shuffle_counts_on_r8_ops(spark, queries):
         for name in expected
     }
     assert got == expected
+
+
+def test_exact_jaccard_explode_keeps_tokenizer_out_of_scan_filters(spark):
+    """r10 regression guard for the InferFiltersFromGenerate trap:
+    Catalyst infers `size(shingles) > 0` from explode(shingles) and —
+    when the array is built in an unpersisted projection — pushes it
+    into the parquet scan with the tokenize->hash expression inlined
+    once per array reference, re-tokenizing every doc dozens of times
+    per pass (measured 40x on pair generation). The shingled frame is
+    now scope-persisted; no scan filter may contain the tokenizer."""
+    from mriya_spark.ops.dedup import ngram_jaccard_pairs
+    from mriya_spark.queries import _neardup_corpus
+
+    pairs = ngram_jaccard_pairs(
+        _neardup_corpus(spark, SF), text_col="text", n=3, threshold=0.5
+    )
+    plan = executed_plan(pairs)
+    for line in plan.split("\n"):
+        if "FileScan" in line or (
+            "Filter" in line and "InMemory" not in line
+        ):
+            assert "split(" not in line, line[:400]
