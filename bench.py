@@ -196,12 +196,19 @@ def main() -> None:
                     "which disappears when benched in isolation — the "
                     "recorded r6->r7 +19% was HOST drift (r6's own tree "
                     "re-benches 21% slower today), not a code regression. "
-                    "Method: SCALE.md 'Measurement discipline'. r9 adds 6 "
-                    "queries to the headline (search_hybrid_rrf, "
-                    "events_funnel, events_funnel_singlescan, table_diff, "
-                    "pipeline_training_export, text_classifier_score) — r9 "
-                    "totals are therefore NOT comparable to r8 totals; "
-                    "compare per-query or on the 20-query common set."
+                    "Method: SCALE.md 'Measurement discipline'. r10 adds 4 "
+                    "queries to the headline (graph_pagerank, "
+                    "dedup_clusters, search_bm25_indexed, "
+                    "sketch_hll_portable) — r10 totals are NOT comparable "
+                    "to r9 totals; compare per-query or on the 26-query "
+                    "common set. r10 interleaved A/B (r9 tip vs r10 tip, 3 "
+                    "alternating session pairs, steady-epoch min-of-warm "
+                    "after dropping each side's first-session epoch "
+                    "outlier): r9 14.78s vs r10 14.34s (-3.0%), every "
+                    "outside-band delta an improvement. dedup_clusters "
+                    "itself dropped 16.2s -> ~1.5s this round "
+                    "(InferFiltersFromGenerate fix + one shared cache "
+                    "scope, see SCALE.md)."
                 ),
             }
         )
