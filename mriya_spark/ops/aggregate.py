@@ -259,3 +259,73 @@ def quantiles_from_sketch(
         "r", F.row_number().over(Window.orderBy("value", "u60"))
     )
     return ranked.join(F.broadcast(tdf), "r").select("q", "value")
+
+
+def quantile_sketch_grouped(
+    df: DataFrame,
+    *,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    k: int = QSKETCH_K,
+    seed: int = QSKETCH_SEED,
+) -> DataFrame:
+    """Per-group quantile sketches PLUS their merge, in one frame:
+    ``(segment, level, u60, value)`` state rows for every group and a
+    ``'__merged'`` segment holding the merge of all of them (the
+    ``sketch_hll_portable`` segments+merge posture). This is the
+    rollup shape — per-day/per-source sketches stored cheap, any
+    combination answerable later without touching raw data.
+
+    One grouped aggregate computes all 41 candidate-level survivor
+    counts per group (G rows collected — bounded, the dimension-sized
+    control point); the survivor filter is a broadcast threshold join,
+    scan-local on the data side. The merged segment goes through the
+    REAL ``quantile_sketch_merge`` path — union of sketch-sized
+    states, level re-raised — so the gate checks the merge recurrence
+    itself, not a re-derivation from raw rows."""
+    from mriya_spark.portable import md5_long60
+
+    u = df.select(
+        F.col(group_col).cast("string").alias("segment"),
+        md5_long60(seed, F.col(key_col)).alias("u60"),
+        F.col(value_col).alias("value"),
+    )
+    counts = u.groupBy("segment").agg(
+        *[
+            F.sum(
+                (F.col("u60") < F.lit(1 << (60 - l))).cast("long")
+            ).alias(f"c{l}")
+            for l in range(QSKETCH_MAX_LEVEL + 1)
+        ]
+    ).collect()
+    levels: dict[str, int] = {}
+    for row in counts:
+        levels[row["segment"]] = next(
+            l
+            for l in range(QSKETCH_MAX_LEVEL + 1)
+            if int(row[f"c{l}"] or 0) <= k
+        )
+    spark = df.sparkSession
+    ldf = spark.createDataFrame(
+        [(s, lv, 1 << (60 - lv)) for s, lv in levels.items()],
+        "segment string, level long, thr long",
+    )
+    state = (
+        u.join(F.broadcast(ldf), "segment")
+        .filter(F.col("u60") < F.col("thr"))
+        .select("segment", "level", "u60", "value")
+        .localCheckpoint(eager=True)
+    )
+    per_group = [
+        (lv, state.filter(F.col("segment") == s).select("u60", "value"))
+        for s, lv in levels.items()
+    ]
+    m_level, m_state = quantile_sketch_merge(per_group, k=k)
+    merged = m_state.select(
+        F.lit("__merged").alias("segment"),
+        F.lit(m_level).cast("long").alias("level"),
+        "u60",
+        "value",
+    )
+    return state.unionByName(merged)

@@ -4343,6 +4343,81 @@ def sketch_quantile_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qsketch_grouped_oracle_sql(k: int = 256) -> str:
+    """Grouped-state replay: per-segment level picks and survivor
+    sets, plus the merged segment re-derived by the SAME recurrence
+    ``quantile_sketch_merge`` runs — start at the max per-segment
+    level, raise until <= k of the UNIONED state survive. All integer
+    comparisons; nothing to round."""
+    from mriya_spark.ops.aggregate import QSKETCH_SEED
+
+    u60 = (
+        f"('0x' || substr(md5('{QSKETCH_SEED}_' ||"
+        " CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return f"""
+    WITH u AS (
+      SELECT CAST(event_type AS VARCHAR) AS segment,
+             {u60} AS u60, value
+      FROM events),
+    lv AS (
+      SELECT u.segment, t.l,
+             CAST(count(*) FILTER (
+               WHERE u.u60 < (CAST(1 AS BIGINT) << (60 - t.l))
+             ) AS BIGINT) AS c
+      FROM range(0, 41) t(l) CROSS JOIN u GROUP BY 1, 2),
+    sel AS (SELECT segment, CAST(min(l) AS BIGINT) AS level
+            FROM lv WHERE c <= {k} GROUP BY 1),
+    state AS (
+      SELECT u.segment, sel.level, u.u60, u.value
+      FROM u JOIN sel USING (segment)
+      WHERE u.u60 < (CAST(1 AS BIGINT) << (60 - CAST(sel.level AS INTEGER)))),
+    mstart AS (SELECT CAST(max(level) AS INTEGER) AS l0 FROM sel),
+    mlv AS (
+      SELECT t.l,
+             CAST(count(*) FILTER (
+               WHERE s.u60 < (CAST(1 AS BIGINT) << (60 - t.l))
+             ) AS BIGINT) AS c
+      FROM range(0, 41) t(l) CROSS JOIN state s
+      WHERE t.l >= (SELECT l0 FROM mstart) GROUP BY t.l),
+    msel AS (SELECT CAST(min(l) AS BIGINT) AS level FROM mlv WHERE c <= {k}),
+    merged AS (
+      SELECT '__merged' AS segment, msel.level, s.u60, s.value
+      FROM state s CROSS JOIN msel
+      WHERE s.u60 < (CAST(1 AS BIGINT) << (60 - CAST(msel.level AS INTEGER))))
+    SELECT segment, level, u60, value FROM state
+    UNION ALL
+    SELECT segment, level, u60, value FROM merged
+    """
+
+
+@register("sketch_quantile_grouped", _qsketch_grouped_oracle_sql())
+def sketch_quantile_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketches + their MERGE, hash-checked
+    (``ops.aggregate.quantile_sketch_grouped``): one sketch of
+    ``events.value`` per event_type and a ``'__merged'`` segment built
+    by the real ``quantile_sketch_merge`` recurrence (union the
+    sketch-sized states, re-raise the level) — the rollup shape: store
+    per-day/per-source sketches cheap, answer any combination later
+    without raw data. The oracle re-derives every per-segment level,
+    survivor set, AND the merge recurrence itself; a wrong merge that
+    happened to estimate well would still fail the hash. One grouped
+    aggregate (41 integer flags per group) + a broadcast threshold
+    join is all the corpus-side work."""
+    from mriya_spark.ops.aggregate import quantile_sketch_grouped
+
+    e = _cat(spark, sf_dir).table("events").select(
+        "event_id", "event_type", "value"
+    )
+    return quantile_sketch_grouped(
+        e,
+        value_col="value",
+        key_col="event_id",
+        group_col="event_type",
+        k=256,
+    )
+
+
 @register("sketch_quantile_estimate", _qsketch_estimate_oracle_sql())
 def sketch_quantile_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimates read off the sketch

@@ -1295,3 +1295,32 @@ def test_quantile_sketch_level_zero_when_small(spark):
     level, state = quantile_sketch(df, value_col="v", key_col="k", k=512)
     assert level == 0
     assert state.count() == 50
+
+
+def test_quantile_sketch_grouped_merge_equals_whole_table(spark, catalog):
+    """The '__merged' segment of the grouped sketch must equal the
+    direct sketch of the whole table — mergeability holding at the
+    exact state level, through the real merge recurrence."""
+    from mriya_spark.ops.aggregate import (
+        quantile_sketch,
+        quantile_sketch_grouped,
+    )
+
+    e = catalog.table("events").select("event_id", "event_type", "value")
+    grouped = quantile_sketch_grouped(
+        e, value_col="value", key_col="event_id", group_col="event_type",
+        k=64,
+    )
+    merged = {
+        (r.u60, r.value)
+        for r in grouped.filter("segment = '__merged'").collect()
+    }
+    lv_direct, st_direct = quantile_sketch(
+        e, value_col="value", key_col="event_id", k=64
+    )
+    direct = {(r.u60, r.value) for r in st_direct.collect()}
+    assert merged == direct
+    m_levels = {
+        r.level for r in grouped.filter("segment = '__merged'").collect()
+    }
+    assert m_levels == {lv_direct}
