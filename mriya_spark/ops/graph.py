@@ -57,12 +57,14 @@ def pagerank(
         # whole un-checkpointed chain, multiplying the dominant
         # per-iteration shuffle ~2-3x
         with_deg = ranks.join(deg, "id", "left").localCheckpoint()
-        # mass of dangling vertices, redistributed uniformly (driver
-        # scalar — bounded control point, not a data-plane collect)
-        dangling = (
+        # mass of dangling vertices, redistributed uniformly — fused
+        # into the plan as a broadcast one-row aggregate (r10: was a
+        # per-round driver collect; a 1000-executor run pays a full
+        # driver sync barrier per iteration for that, and the fused
+        # form is the identical float math on identical operands)
+        dang = (
             with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m"))
         )
         contribs = (
             edges.join(
@@ -76,12 +78,19 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = verts.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        ranks = (
+            verts.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("__m") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
     return ranks.localCheckpoint()
