@@ -747,15 +747,18 @@ def classifier_features(
     seed: int = CLF_SEED,
     hash_family: str = "md5",
 ) -> DataFrame:
-    """Training-side featurization: ``(id, label, bucket, cnt)`` hashed
-    gram counts — the SAME grams (``_with_gram_array``) and the SAME
-    bucket function ``classifier_score`` uses (0-based here; scoring's
-    ``element_at`` adds the +1), so trained weights plug straight into
-    the scorer. The explode is the training path's one-time cost; the
-    deployed scorer stays scan-local. Output is repartitioned by id
-    and eagerly checkpointed: every training iteration re-reads it,
-    and the per-doc margin groupBy then reuses the id partitioning
-    instead of re-shuffling the corpus each round."""
+    """Training-side featurization, PACKED per document:
+    ``(id, label, f: array<struct<bucket int, cnt long>>)`` — the SAME
+    grams (``_with_gram_array``) and the SAME bucket function
+    ``classifier_score`` uses (0-based here; scoring's ``element_at``
+    adds the +1), so trained weights plug straight into the scorer.
+    The explode+count+repack is the one-time build cost; packing one
+    row per doc is what lets every training pass compute its margins
+    SCAN-LOCALLY (an ``aggregate()`` over the array against the
+    inlined weight vector — no per-pass corpus shuffle; the
+    checkpointed partitioning alone doesn't survive AQE replanning,
+    measured r10). Gram-less docs are absent from the output — they
+    carry zero gradient either way."""
     from mriya_spark.portable import md5_long60
 
     if hash_family not in ("md5", "xxhash64"):
@@ -765,15 +768,19 @@ def classifier_features(
         bucket = F.pmod(F.xxhash64(F.lit(seed), g), n_buckets).cast("int")
     else:
         bucket = (md5_long60(seed, g) % n_buckets).cast("int")
-    return (
+    counts = (
         _with_gram_array(df.select(id_col, label_col, text_col), text_col)
         .select(id_col, label_col, F.explode("__g").alias("__gram"))
-        .select(
-            id_col, label_col, bucket.alias("bucket")
-        )
+        .select(id_col, label_col, bucket.alias("bucket"))
         .repartition(F.col(id_col))
         .groupBy(id_col, label_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counts.groupBy(id_col, label_col)
+        .agg(
+            F.collect_list(F.struct("bucket", "cnt")).alias("f")
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -796,18 +803,19 @@ def classifier_train(
     ``sketch_hll_portable`` posture applied to training). ``label_col``
     must hold +1 / -1.
 
-    Per pass: margin s_d = Σ_b cnt_db·w_b per doc (the weight vector
-    rides the tasks as a constant-folded literal array, exactly like
-    the deployed scorer), misclassified set {d : y_d·s_d <= 0}, update
-    w_b += Σ_{d misclassified} y_d·cnt_db. The gradient aggregate is
-    ≤ ``n_buckets`` rows — a bounded driver collect (the IVF-centroid
-    control-point pattern), NOT a data-plane collect. Features are
-    built once (``classifier_features``) and reused every pass; with
-    the id repartition the per-pass shuffle is just the n_buckets-group
-    gradient. Converged early (no misclassified docs) => identical to
-    running the remaining passes, so a fixed-iteration relational
-    replay (the ``graph_pagerank`` unrolled-CTE posture) matches
-    exactly.
+    Per pass: margin s_d = Σ_b cnt_db·w_b per doc, computed
+    SCAN-LOCALLY — an ``aggregate()`` over the packed per-doc feature
+    array against the weight vector riding the tasks as a
+    constant-folded literal (exactly the deployed scorer's shape);
+    misclassified set {d : y_d·s_d <= 0} is a scan-local filter; the
+    ONLY exchange per pass is the ≤ ``n_buckets``-group gradient
+    aggregate (map-side combined), whose result is a bounded driver
+    collect (the IVF-centroid control-point pattern), NOT a
+    data-plane collect. Features are built once
+    (``classifier_features``) and reused every pass. Converged early
+    (no misclassified docs) => identical to running the remaining
+    passes, so a fixed-iteration relational replay (the
+    ``graph_pagerank`` unrolled-CTE posture) matches exactly.
 
     Returns the weight list — feed it straight to
     ``classifier_score`` (same ``seed``/``hash_family``; scale is
@@ -824,22 +832,18 @@ def classifier_train(
     )
     w = [0] * n_buckets
     for _ in range(iters):
-        wlit = F.expr(
-            "array(" + ",".join(str(int(x)) + "L" for x in w) + ")"
+        wtxt = "array(" + ",".join(str(int(x)) + "L" for x in w) + ")"
+        margin = F.expr(
+            f"aggregate(f, 0L, (acc, x) -> "
+            f"acc + x.cnt * element_at({wtxt}, x.bucket + 1))"
         )
-        miscls = (
-            feats.withColumn(
-                "__w", F.element_at(wlit, F.col("bucket") + 1)
-            )
-            .groupBy(id_col, label_col)
-            .agg(F.sum(F.col("cnt") * F.col("__w")).alias("__s"))
-            .filter(F.col(label_col) * F.col("__s") <= 0)
-            .select(id_col)
+        mis = feats.withColumn("__s", margin).filter(
+            F.col(label_col) * F.col("__s") <= 0
         )
         grad = (
-            feats.join(miscls, on=id_col)
-            .groupBy("bucket")
-            .agg(F.sum(F.col(label_col) * F.col("cnt")).alias("g"))
+            mis.select(label_col, F.explode("f").alias("x"))
+            .groupBy("x.bucket")
+            .agg(F.sum(F.col(label_col) * F.col("x.cnt")).alias("g"))
             .collect()
         )
         if not grad:
