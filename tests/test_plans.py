@@ -544,3 +544,34 @@ def test_exact_jaccard_explode_keeps_tokenizer_out_of_scan_filters(spark):
             "Filter" in line and "InMemory" not in line
         ):
             assert "split(" not in line, line[:400]
+
+
+def test_classifier_training_pass_has_one_exchange(spark):
+    """r10: a perceptron training pass must be map-only except the
+    <= n_buckets-group gradient aggregate — margins come from a
+    scan-local aggregate() over the packed per-doc feature arrays, so
+    the feature corpus is never re-shuffled per pass."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark.catalog import Catalog
+    from mriya_spark.ops.text import classifier_features
+
+    cat = Catalog(spark, SF)
+    docs = cat.table("documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long").alias("y"),
+    )
+    feats = classifier_features(docs, label_col="y", n_buckets=32)
+    wtxt = "array(" + ",".join(["0L"] * 32) + ")"
+    margin = F.expr(
+        f"aggregate(f, 0L, (acc, x) -> "
+        f"acc + x.cnt * element_at({wtxt}, x.bucket + 1))"
+    )
+    mis = feats.withColumn("__s", margin).filter(F.col("y") * F.col("__s") <= 0)
+    grad = (
+        mis.select("y", F.explode("f").alias("x"))
+        .groupBy("x.bucket")
+        .agg(F.sum(F.col("y") * F.col("x.cnt")).alias("g"))
+    )
+    assert n_shuffles(executed_plan(grad)) == 1
