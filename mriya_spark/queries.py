@@ -4265,20 +4265,24 @@ def sketch_hll_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qsketch_state_ctes() -> str:
+def _qsketch_state_ctes(
+    table: str = "orders",
+    key: str = "o_orderkey",
+    value: str = "o_totalprice",
+) -> str:
     """State-replay CTEs for the portable quantile sketch over
-    ``orders.o_totalprice`` keyed by ``o_orderkey``: re-derive every
-    60-bit draw, recount survivors at every candidate level, pick the
-    same minimal level, and emit the same survivor set — the whole
-    level decision is integer comparisons, so there is nothing to
-    round."""
+    ``table.value`` keyed by ``key`` (default: the orders fixture):
+    re-derive every 60-bit draw, recount survivors at every candidate
+    level, pick the same minimal level, and emit the same survivor
+    set — the whole level decision is integer comparisons, so there
+    is nothing to round."""
     from mriya_spark.ops.aggregate import QSKETCH_K, QSKETCH_SEED
 
     return f"""u AS (
       SELECT ('0x' || substr(md5('{QSKETCH_SEED}_' ||
-                 CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS u60,
-             o_totalprice AS value
-      FROM orders),
+                 CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS u60,
+             {value} AS value
+      FROM {table}),
     lv AS (
       SELECT t.l,
              CAST(count(*) FILTER (
@@ -4440,6 +4444,38 @@ def sketch_quantile_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_sketch(
         state, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
+
+
+def _qsketch_events_oracle_sql() -> str:
+    return f"""
+    WITH {_qsketch_state_ctes("events", "event_id", "value")}
+    SELECT level, u60, value FROM state
+    """
+
+
+@register("stream_sketch_quantile", _qsketch_events_oracle_sql())
+def stream_sketch_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch maintained INCREMENTALLY over the event stream
+    (``streaming.stream_quantile_ingest``): each micro-batch is
+    sketched to its bounded survivor state and merged into the
+    persisted sketch — O(batch + sketch) per batch, never O(history).
+    The state's merge-order independence (the mergeability theorem the
+    batch tests prove) means the final persisted file is BIT-IDENTICAL
+    to the batch sketch of the whole table, so this streaming twin is
+    hash-checked against the same replay oracle as the batch form —
+    the streaming analogue of ``sketch_quantile_portable``, and the
+    shape a day-over-day sketch store runs at 100 TB."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir, max_files_per_trigger=4)
+    _sweep_stale("stream_v2", "qsketch_")
+    target = _os.path.join(
+        _cache_subdir("stream_v2"), f"qsketch_{_uuid.uuid4().hex[:8]}"
+    )
+    S.stream_quantile_ingest(ev, target, value_col="value", key_col="event_id")
+    return spark.read.parquet(target).select("level", "u60", "value")
 
 
 @register(

@@ -1159,3 +1159,97 @@ def stage_neardup_docs(
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+def stream_quantile_ingest(
+    stream: DataFrame,
+    target_path: str,
+    *,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    k: int | None = None,
+    seed: int | None = None,
+) -> str:
+    """Incremental quantile-sketch maintenance over a stream: each
+    micro-batch is sketched down to its bounded survivor state, then
+    merged with the persisted sketch — per-batch work is
+    O(batch + sketch), never O(history), and the persisted file IS the
+    queryable artifact (read it, run ``quantiles_from_sketch``).
+
+    Because the sketch state is a pure function of data + hash
+    (merge-order independent — the mergeability invariant
+    ``quantile_sketch_merge`` proves), the final persisted state is
+    BIT-IDENTICAL to the batch sketch of everything the stream
+    delivered, so the streaming twin shares the batch oracle. Replay
+    of a committed batch re-contributes exact duplicate survivor rows,
+    which the (u60, value) dedup in the merge drops — idempotent under
+    the crash-retry contract (tested)."""
+    from mriya_spark.ops.aggregate import (
+        QSKETCH_K,
+        QSKETCH_SEED,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    kk = QSKETCH_K if k is None else k
+    sd = QSKETCH_SEED if seed is None else seed
+
+    def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
+        quantile_ingest_batch(
+            batch, target_path,
+            value_col=value_col, key_col=key_col, k=kk, seed=sd,
+        )
+
+    run_foreach_batch(stream, sketch_batch, ckpt_prefix="ckpt_qsk_")
+    return target_path
+
+
+def quantile_ingest_batch(
+    batch: DataFrame,
+    target_path: str,
+    *,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    k: int | None = None,
+    seed: int | None = None,
+) -> None:
+    """One micro-batch's sketch-and-merge into the persisted quantile
+    sketch (the per-batch body of ``stream_quantile_ingest``, exposed
+    so replay semantics are testable directly — the
+    ``neardup_ingest_batch`` pattern). Single-writer contract as for
+    ``merge_upsert_batch``."""
+    from mriya_spark.ops.aggregate import (
+        QSKETCH_K,
+        QSKETCH_SEED,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    kk = QSKETCH_K if k is None else k
+    sd = QSKETCH_SEED if seed is None else seed
+    spark = batch.sparkSession
+    lv, st = quantile_sketch(
+        batch, value_col=value_col, key_col=key_col, k=kk, seed=sd
+    )
+    allstate = st.select("u60", "value")
+    if os.path.exists(target_path):
+        prev = spark.read.parquet(target_path)
+        prev_lv = prev.agg(F.max("level")).collect()[0][0]
+        lv = max(lv, int(prev_lv if prev_lv is not None else 0))
+        allstate = allstate.unionByName(
+            prev.select("u60", "value")
+        ).dropDuplicates(["u60", "value"])
+    m_lv, m_state = quantile_sketch_merge([(lv, allstate)], k=kk)
+    out = m_state.select(
+        F.lit(m_lv).cast("long").alias("level"), "u60", "value"
+    )
+    # stage through a tmp: the merged state derives from READING
+    # target_path, so a direct overwrite would clobber its own input
+    tmp = f"{target_path}.tmp_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    try:
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            target_path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

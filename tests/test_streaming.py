@@ -564,3 +564,41 @@ def test_stream_migration_replay_is_idempotent(spark, tmp_path):
         for r in run_migration(spark, SF).collect()
     )
     assert got == batch_rows
+
+
+def test_stream_quantile_ingest_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed micro-batch re-contributes exact duplicate
+    survivor rows; the (u60, value) dedup in the merge drops them, so
+    the persisted sketch is unchanged — and the final state equals the
+    direct batch sketch of everything ingested (the mergeability
+    invariant, streaming edition)."""
+    import mriya_spark.streaming as S
+    from mriya_spark.ops.aggregate import quantile_sketch
+
+    ev = spark.read.parquet(S.stage_events_files(spark, SF)).select(
+        "event_id", "value"
+    )
+    b1 = ev.filter("event_id % 2 = 0")
+    b2 = ev.filter("event_id % 2 = 1")
+    target = str(tmp_path / "qsketch")
+
+    S.quantile_ingest_batch(b1, target)
+    S.quantile_ingest_batch(b2, target)
+    want = sorted(
+        (r.level, r.u60, r.value)
+        for r in spark.read.parquet(target).collect()
+    )
+    S.quantile_ingest_batch(b1, target)  # crash-retry replay
+    got = sorted(
+        (r.level, r.u60, r.value)
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == want
+
+    lv_direct, st_direct = quantile_sketch(
+        ev, value_col="value", key_col="event_id"
+    )
+    direct = sorted(
+        (lv_direct, r.u60, r.value) for r in st_direct.collect()
+    )
+    assert got == direct
