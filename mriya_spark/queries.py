@@ -668,9 +668,9 @@ MULTI_MAPPING = [
 ]
 
 
-@register(
-    "migration_multi_mapping",
-    """
+#: One oracle for BOTH multi-object twins: the Catalog-plan form and
+#: the through-the-connector e2e must produce the same final state.
+_MULTI_MAPPING_ORACLE_SQL = """
     SELECT c.c_custkey AS old_record_id,
            c.c_name AS name,
            c.c_acctbal AS acctbal,
@@ -681,8 +681,10 @@ MULTI_MAPPING = [
     FROM customer c
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > 0
-    """,
-)
+    """
+
+
+@register("migration_multi_mapping", _MULTI_MAPPING_ORACLE_SQL)
 def migration_multi_mapping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-object mapping orchestration (`mapping.run_mapping_array`):
     the WHOLE mapping array runs in FK dependency order — parent
@@ -718,6 +720,96 @@ def migration_multi_mapping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst_id",
         "src_backfilled_id",
     )
+
+
+@register("migration_multi_e2e", _MULTI_MAPPING_ORACLE_SQL)
+def migration_multi_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-object orchestration run END TO END through the
+    connector: both source objects are bulk-inserted into a throwaway
+    mock org (chunked ≤200-row DML), read back through the DSv2
+    reader, run through ``run_mapping_array`` (parent first, child FK
+    rewritten to the parent's fresh dst ids), and BOTH destination
+    objects are bulk-loaded back into the org; the checked output
+    joins the RE-READ child destination rows with the child's backfill
+    updates. Proves the whole product shape — multi-object mapping +
+    connector write/read fidelity both directions + backfill — in one
+    hash-checked frame, sharing the Catalog-form twin's oracle."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from mriya_spark.connector.salesforce import (
+        CUSTOMER_DDL,
+        SalesforceMockDataSource,
+        read_object,
+    )
+    from mriya_spark.mapping import MappingSpec, run_mapping_array
+
+    spark.dataSource.register(SalesforceMockDataSource)
+    _sweep_stale("org", "multi_")
+    org = _os.path.join(
+        _cache_subdir("org"), f"multi_{_uuid.uuid4().hex[:8]}"
+    )
+    nation_ddl = "n_nationkey int, n_name string"
+    child_dst_ddl = (
+        "old_record_id long, name string, acctbal double, "
+        "nation_ref string, dst_id string"
+    )
+    try:
+        cat = _cat(spark, sf_dir)
+        # stage 1 — bulk insert BOTH source objects into the org
+        for obj, df in (
+            ("customer", cat.table("customer").select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment",
+            )),
+            ("nation", cat.table("nation").select(
+                "n_nationkey", "n_name"
+            )),
+        ):
+            (
+                df.write.format("salesforce_mock").mode("append")
+                .option("org_dir", org).option("object", obj).save()
+            )
+        # stage 2 — read back through the connector; orchestrate
+        frames = {
+            "customer": read_object(spark, org, "customer", CUSTOMER_DDL),
+            "nation": read_object(spark, org, "nation", nation_ddl),
+        }
+        specs = [MappingSpec.from_obj(o) for o in MULTI_MAPPING]
+        created = run_mapping_array(_FrameCatalog(frames, None), specs)
+        # stage 3 — bulk load BOTH destination objects into the org
+        for obj, df in (
+            ("nation_dst", created["nation"]),
+            ("customer_dst", created["customer"]),
+        ):
+            (
+                df.write.format("salesforce_mock").mode("append")
+                .option("org_dir", org).option("object", obj).save()
+            )
+        # stage 4 — re-read the LOADED child dst; backfill against the
+        # connector-read source; emit the checked frame
+        loaded = read_object(spark, org, "customer_dst", child_dst_ddl)
+        child_spec = next(
+            s for s in specs if s.source_object == "customer"
+        )
+        backfilled = child_spec.backfill(frames["customer"], loaded)
+        return (
+            loaded.join(
+                backfilled.select(
+                    F.col("c_custkey").alias("old_record_id"),
+                    F.col("c_custkey_dst_id").alias("src_backfilled_id"),
+                ),
+                on="old_record_id",
+                how="left",
+            )
+            .select(
+                "old_record_id", "name", "acctbal", "nation_ref",
+                "dst_id", "src_backfilled_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(org, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
