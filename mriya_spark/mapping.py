@@ -168,10 +168,24 @@ class MappingSpec:
         #: freshly created dst id (``run_mapping_array``).
         self.parent_fks = dict(parent_fks or {})
         for fk_col in self.parent_fks:
-            if not any(r.column_src == fk_col for r in rules):
+            # exactly ONE transform-surviving rule must carry the FK:
+            # zero means nothing to rewrite; dst_id-typed rules never
+            # reach the output (transform drops them), so counting one
+            # would fail later with an opaque unresolved-column error;
+            # several is ambiguous (which dst column holds the parent
+            # reference to rewrite?) — all are mapping-document errors
+            # and fail HERE, at load time (r10 review)
+            carriers = [
+                r
+                for r in rules
+                if r.column_src == fk_col and r.column_type != "dst_id"
+            ]
+            if len(carriers) != 1:
                 raise ValueError(
-                    f"parent_fks references {fk_col!r} but no mapping "
-                    "rule carries that source column"
+                    f"parent_fks references {fk_col!r}, which must be "
+                    f"carried by exactly one non-dst_id mapping rule "
+                    f"(found {len(carriers)}); split the mapping if a "
+                    "second copy of the old parent key is wanted"
                 )
 
     # -- parsing ---------------------------------------------------------
@@ -416,8 +430,12 @@ def run_mapping_array(
             parent_spec = next(
                 s for s in order if s.source_object == parent_obj
             )
+            # unique by the __init__ validation (exactly one non-dst_id
+            # carrier per parent_fks column)
             rule = next(
-                r for r in spec.rules if r.column_src == fk_col_src
+                r
+                for r in spec.rules
+                if r.column_src == fk_col_src and r.column_type != "dst_id"
             )
             p_sid = parent_spec.src_id_rule
             lookup = created[parent_obj].select(

@@ -299,26 +299,46 @@ def quantile_sketch_grouped(
             for l in range(QSKETCH_MAX_LEVEL + 1)
         ]
     ).collect()
-    levels: dict[str, int] = {}
+    levels: dict[str | None, int] = {}
     for row in counts:
-        levels[row["segment"]] = next(
-            l
-            for l in range(QSKETCH_MAX_LEVEL + 1)
-            if int(row[f"c{l}"] or 0) <= k
+        lv = next(
+            (
+                l
+                for l in range(QSKETCH_MAX_LEVEL + 1)
+                if int(row[f"c{l}"] or 0) <= k
+            ),
+            None,
         )
+        if lv is None:
+            raise ValueError(
+                f"group {row['segment']!r}: no level <= "
+                f"{QSKETCH_MAX_LEVEL} fits k={k} survivors"
+            )
+        levels[row["segment"]] = lv
     spark = df.sparkSession
     ldf = spark.createDataFrame(
         [(s, lv, 1 << (60 - lv)) for s, lv in levels.items()],
         "segment string, level long, thr long",
     )
+    # null-SAFE join (r10 review): a NULL group is a real segment —
+    # a plain equi-join would silently drop its rows from both its
+    # own state and '__merged', breaking merged == direct-sketch
     state = (
-        u.join(F.broadcast(ldf), "segment")
+        u.join(
+            F.broadcast(ldf.withColumnsRenamed({"segment": "__lseg"})),
+            u["segment"].eqNullSafe(F.col("__lseg")),
+        )
         .filter(F.col("u60") < F.col("thr"))
         .select("segment", "level", "u60", "value")
         .localCheckpoint(eager=True)
     )
     per_group = [
-        (lv, state.filter(F.col("segment") == s).select("u60", "value"))
+        (
+            lv,
+            state.filter(
+                F.col("segment").eqNullSafe(F.lit(s))
+            ).select("u60", "value"),
+        )
         for s, lv in levels.items()
     ]
     m_level, m_state = quantile_sketch_merge(per_group, k=k)

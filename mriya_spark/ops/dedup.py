@@ -157,9 +157,17 @@ def ngram_jaccard_pairs_from_shingles(
     arrays makes the inferred filter a cheap column test.
     """
     with cache_scope():
-        sh = scoped_persist(sh)
+        # skip the persist when the caller already did it (`_curate`
+        # hands in its scope-persisted surv_sh projection): a second
+        # persist would store a full duplicate of the shingle arrays —
+        # the dominant column — in executor memory for the scope's
+        # lifetime (r10 review)
+        if sh.storageLevel.useMemory or sh.storageLevel.useDisk:
+            cached = sh
+        else:
+            cached = scoped_persist(sh)
         return _jaccard_pairs_from_cached(
-            sh, threshold=threshold, max_shingle_df=max_shingle_df
+            cached, threshold=threshold, max_shingle_df=max_shingle_df
         )
 
 

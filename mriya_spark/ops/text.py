@@ -413,40 +413,15 @@ def _bm25_from_tf(
     )
 
 
-def _hadoop_fs(spark, path: str):
-    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API —
-    scheme-aware (file://, hdfs://, s3a://), so sidecar files live
-    wherever the parquet does."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    return hpath.getFileSystem(conf), hpath
-
-
-def fs_write_text(spark, path: str, text: str) -> None:
-    """Write a small text file through the Hadoop FileSystem API
-    (r9 ADVICE: a local ``open()`` next to a Spark parquet write
-    silently lands on a bogus local path when the dataset root is
-    hdfs:// or s3a:// — the documented 100 TB posture)."""
-    fs, hpath = _hadoop_fs(spark, path)
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def fs_read_text(spark, path: str) -> str:
-    """Read a small text file through the Hadoop FileSystem API
-    (scheme-aware twin of ``fs_write_text``)."""
-    fs, hpath = _hadoop_fs(spark, path)
-    stream = fs.open(hpath)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
+# Scheme-aware sidecar IO lives in ``mriya_spark.fsutil``; re-exported
+# here for the existing import sites (bm25 index machinery).
+from mriya_spark.fsutil import (  # noqa: E402,F401
+    _hadoop_fs,
+    fs_delete,
+    fs_exists,
+    fs_read_text,
+    fs_write_text,
+)
 
 
 def bm25_write_index(

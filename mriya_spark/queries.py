@@ -792,7 +792,14 @@ def migration_multi_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         child_spec = next(
             s for s in specs if s.source_object == "customer"
         )
-        backfilled = child_spec.backfill(frames["customer"], loaded)
+        # FRESH .load() for the backfill source: reusing
+        # frames["customer"] would violate read_object's documented
+        # one-loaded-DataFrame-per-predicate contract — the extract's
+        # pushed WHERE could silently ride along into the unfiltered
+        # backfill scan (r10 review)
+        backfilled = child_spec.backfill(
+            read_object(spark, org, "customer", CUSTOMER_DDL), loaded
+        )
         return (
             loaded.join(
                 backfilled.select(
@@ -5188,7 +5195,13 @@ def _curate(corpus: DataFrame, *, near_dup: str, threshold: float) -> DataFrame:
                 survivors.select("doc_id", "text"), n=3, threshold=threshold
             )
         else:
-            pairs = dedup.ngram_jaccard_pairs_from_shingles(shingles, threshold=threshold)
+            # pass the PERSISTED frame itself (not a projection of it):
+            # ngram_jaccard_pairs_from_shingles skips its own persist
+            # when the input's storage level is already set, and a
+            # projection would report StorageLevel.NONE (r10 review)
+            pairs = dedup.ngram_jaccard_pairs_from_shingles(
+                surv_sh, threshold=threshold
+            )
         return (
             surv_sh.join(
                 pairs.select(F.col("doc_b").alias("doc_id")).distinct(),

@@ -324,7 +324,12 @@ def merge_upsert_batch(
         r["__bucket"]
         for r in batch.select(bucket_of.alias("__bucket")).distinct().collect()
     ]
-    if os.path.exists(target_path):
+    # scheme-aware existence check (r10 review): an hdfs://s3a://
+    # target would read as "absent" to os.path.exists and every batch
+    # would silently reset it to just its own rows
+    from mriya_spark.fsutil import fs_delete, fs_exists
+
+    if fs_exists(spark, target_path):
         target = spark.read.parquet(target_path).filter(
             F.col("__bucket").isin(touched)  # dir-pruned scan
         )
@@ -348,7 +353,7 @@ def merge_upsert_batch(
             .parquet(target_path)
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs_delete(spark, tmp)
 
 
 def foreach_batch_upsert(
@@ -1184,12 +1189,7 @@ def stream_quantile_ingest(
     of a committed batch re-contributes exact duplicate survivor rows,
     which the (u60, value) dedup in the merge drops — idempotent under
     the crash-retry contract (tested)."""
-    from mriya_spark.ops.aggregate import (
-        QSKETCH_K,
-        QSKETCH_SEED,
-        quantile_sketch,
-        quantile_sketch_merge,
-    )
+    from mriya_spark.ops.aggregate import QSKETCH_K, QSKETCH_SEED
 
     kk = QSKETCH_K if k is None else k
     sd = QSKETCH_SEED if seed is None else seed
@@ -1228,11 +1228,16 @@ def quantile_ingest_batch(
     kk = QSKETCH_K if k is None else k
     sd = QSKETCH_SEED if seed is None else seed
     spark = batch.sparkSession
+    # scheme-aware state checks (r10 review): the persisted sketch may
+    # live on hdfs://s3a:// — os.path.exists would always say "no prior
+    # state" there and every batch would silently discard the history
+    from mriya_spark.fsutil import fs_delete, fs_exists
+
     lv, st = quantile_sketch(
         batch, value_col=value_col, key_col=key_col, k=kk, seed=sd
     )
     allstate = st.select("u60", "value")
-    if os.path.exists(target_path):
+    if fs_exists(spark, target_path):
         prev = spark.read.parquet(target_path)
         prev_lv = prev.agg(F.max("level")).collect()[0][0]
         lv = max(lv, int(prev_lv if prev_lv is not None else 0))
@@ -1252,4 +1257,4 @@ def quantile_ingest_batch(
             target_path
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs_delete(spark, tmp)

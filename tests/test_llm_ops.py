@@ -1324,3 +1324,27 @@ def test_quantile_sketch_grouped_merge_equals_whole_table(spark, catalog):
         r.level for r in grouped.filter("segment = '__merged'").collect()
     }
     assert m_levels == {lv_direct}
+
+
+def test_quantile_sketch_grouped_keeps_null_group(spark):
+    """r10 review: a NULL group is a real segment — its rows must
+    appear in their own state AND in '__merged' (a plain equi-join
+    would silently drop them, breaking merged == direct sketch)."""
+    from mriya_spark.ops.aggregate import (
+        quantile_sketch,
+        quantile_sketch_grouped,
+    )
+
+    rows = [(i, "a" if i % 3 == 0 else None, float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    out = quantile_sketch_grouped(
+        df, value_col="v", key_col="k", group_col="g", k=16
+    )
+    segs = {r.segment for r in out.select("segment").distinct().collect()}
+    assert segs == {"a", None, "__merged"}
+    merged = {
+        (r.u60, r.value)
+        for r in out.filter("segment = '__merged'").collect()
+    }
+    _lv, st = quantile_sketch(df, value_col="v", key_col="k", k=16)
+    assert merged == {(r.u60, r.value) for r in st.collect()}

@@ -160,7 +160,7 @@ def test_migration_order_rejects_cycle_and_missing_parent():
 def test_parent_fk_must_be_mapped():
     from mriya_spark.mapping import MappingSpec
 
-    with pytest.raises(ValueError, match="no mapping rule"):
+    with pytest.raises(ValueError, match="exactly one"):
         MappingSpec.from_obj({
             "source_object": "customer",
             "destination_object": "customer_dst",
@@ -212,3 +212,32 @@ def test_run_mapping_array_orphan_fk_yields_null(spark):
     n_null = out.filter("nation_ref IS NULL").count()
     n_total = out.count()
     assert 0 < n_null < n_total  # orphans kept, flagged as NULL
+
+
+def test_parent_fk_rejects_ambiguous_and_dstid_carriers():
+    """r10 review: a parent_fks column carried by two rules (which dst
+    column should the rewrite hit?) or only by a dst_id-typed rule
+    (transform drops it) is a mapping-document error at LOAD time, not
+    an unresolved-column error mid-plan."""
+    from mriya_spark.mapping import MappingSpec
+
+    base = {
+        "source_object": "customer",
+        "destination_object": "customer_dst",
+        "where_condition": "",
+        "parent_fks": {"c_nationkey": "nation"},
+    }
+    sid = {"table_src": "customer", "column_src": "c_custkey",
+           "table_dst": "customer_dst", "column_dst": "old_record_id",
+           "operation": "upd_src", "column_type": "src_id"}
+    fk = {"table_src": "customer", "column_src": "c_nationkey",
+          "table_dst": "customer_dst", "column_dst": "nation_ref",
+          "operation": "insert", "column_type": "regular"}
+    fk2 = dict(fk, column_dst="nation_ref_audit")
+    with pytest.raises(ValueError, match="exactly one"):
+        MappingSpec.from_obj(dict(base, mapping=[sid, fk, fk2]))
+    fk_dst = dict(fk, column_type="dst_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        MappingSpec.from_obj(dict(base, mapping=[sid, fk_dst]))
+    # the well-formed single-carrier document still loads
+    assert MappingSpec.from_obj(dict(base, mapping=[sid, fk]))
