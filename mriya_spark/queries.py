@@ -7378,25 +7378,29 @@ def observed_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_gram_ctes(src: str = "documents") -> str:
+def _clf_gram_ctes(src: str = "documents", prefix: str = "") -> str:
     """The words/grams CTE pair: lowercase-alnum tokens -> unigrams +
     '_'-joined bigrams over ``src`` (needs doc_id + text). ONE
     definition shared by the scorer oracles (via ``_clf_scored_ctes``)
-    and the trainer oracle, mirroring ``ops.text._with_gram_array``
-    being shared by ``classifier_score`` and ``classifier_train`` —
-    featurization cannot drift between train and serve on EITHER
-    engine."""
-    return f"""words AS (
+    and the trainer/eval oracles, mirroring ``ops.text
+    ._with_gram_array`` being shared by ``classifier_score`` and
+    ``classifier_train`` — featurization cannot drift between train
+    and serve on EITHER engine. ``prefix`` disambiguates the CTE names
+    when one statement grams two different doc sets (the train/eval
+    split)."""
+    return f"""{prefix}words AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
                          x -> x <> '') AS w
       FROM {src}),
-    grams AS (
+    {prefix}grams AS (
       SELECT doc_id, w[i] AS g
-      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words)
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+            FROM {prefix}words)
       UNION ALL
       SELECT doc_id, w[i] || '_' || w[i + 1] AS g
-      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words))"""
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM {prefix}words))"""
 
 
 def _clf_scored_ctes(src: str = "documents") -> str:
@@ -7482,7 +7486,10 @@ _CLF_TRAIN_ITERS = 3
 
 
 def _clf_train_oracle_sql(
-    n_buckets: int = _CLF_TRAIN_BUCKETS, iters: int = _CLF_TRAIN_ITERS
+    n_buckets: int = _CLF_TRAIN_BUCKETS,
+    iters: int = _CLF_TRAIN_ITERS,
+    src: str = "documents",
+    label_case: str | None = None,
 ) -> str:
     """Unrolled batch-perceptron oracle: a FIXED pass count over
     all-integer arithmetic is exactly replayable (the
@@ -7496,29 +7503,34 @@ def _clf_train_oracle_sql(
         f"('0x' || substr(md5('{CLF_SEED}_' || g), 1, 15))::BIGINT "
         f"% {n_buckets}"
     )
-    ctes = [f"""{_clf_gram_ctes('documents')},
-    feats0 AS (
+    label_case = label_case or "CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+    ctes = [f"""{_clf_gram_ctes(src)},
+    feats0 AS MATERIALIZED (
       SELECT doc_id, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
       FROM grams GROUP BY 1, 2),
     labels AS (
-      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-      FROM documents),
-    f AS (
+      SELECT doc_id, {label_case} AS y
+      FROM {src}),
+    f AS MATERIALIZED (
       SELECT f0.doc_id, l.y, f0.bucket, f0.cnt
       FROM feats0 f0 JOIN labels l USING (doc_id)),
     w0 AS (
       SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT) AS bucket,
              CAST(0 AS BIGINT) AS w)"""]
+    # AS MATERIALIZED: every w{i} is referenced twice (margin CTE +
+    # next round's update); DuckDB's default single-ref inlining would
+    # otherwise re-expand the chain ~2^iters times — fine at 3 passes,
+    # a hang at the eval gate's 10 (measured r10)
     for i in range(iters):
         ctes.append(f"""
-    m{i} AS (
+    m{i} AS MATERIALIZED (
       SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.w) AS BIGINT) AS s
       FROM f JOIN w{i} w USING (bucket) GROUP BY 1, 2),
-    g{i} AS (
+    g{i} AS MATERIALIZED (
       SELECT f.bucket, CAST(sum(f.y * f.cnt) AS BIGINT) AS g
       FROM f JOIN m{i} m ON f.doc_id = m.doc_id AND m.y * m.s <= 0
       GROUP BY 1),
-    w{i + 1} AS (
+    w{i + 1} AS MATERIALIZED (
       SELECT w.bucket, w.w + coalesce(g.g, 0) AS w
       FROM w{i} w LEFT JOIN g{i} g USING (bucket))""")
     return (
@@ -7591,6 +7603,122 @@ def _clf_train_score_oracle_sql() -> str:
            COALESCE(sc.n_grams, 0) AS n_grams
     FROM documents d LEFT JOIN sc USING (doc_id)
     """
+    )
+
+
+_CLF_EVAL_ITERS = 10
+
+#: Text-DERIVED training target for the eval gate: stopword ratio >=
+#: 0.06 (≈ the fixture median -> balanced classes), in EXACT integer
+#: form ``100*stop_hits >= 6*n_tokens``. The fixture's ``lang`` column
+#: is a random label uncorrelated with the text (measured r10:
+#: holdout accuracy == majority class no matter the learner), so a
+#: real generalization readout needs a target that is a function of
+#: the text.
+_CLF_EVAL_LABEL_SQL = (
+    r"CASE WHEN len(regexp_extract_all(lower(text),"
+    r" '\b(the|and|of|to|a)\b')) * 100"
+    r" >= 6 * len(list_filter(string_split_regex(trim(text), '\s+'),"
+    r" x -> x <> '')) THEN 1 ELSE -1 END"
+)
+
+
+def _clf_eval_oracle_sql() -> str:
+    """Train on the even-doc_id half, score the held-out odd half,
+    emit EVERY holdout margin — the whole ML loop (split -> train ->
+    score holdout) in one statement, with the per-doc exact integers
+    as the checked value (a 4-cell confusion matrix would be a much
+    weaker pin: any prediction vector with the same cell counts would
+    pass)."""
+    from mriya_spark.ops.text import CLF_SEED
+
+    n, iters = _CLF_TRAIN_BUCKETS, _CLF_EVAL_ITERS
+    full = _clf_train_oracle_sql(
+        n, iters, src="train_docs", label_case=_CLF_EVAL_LABEL_SQL
+    )
+    body = full[: full.rindex("SELECT bucket, w")]
+    body = body.replace(
+        "WITH ",
+        "WITH train_docs AS (\n"
+        "      SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 2 = 0),\n    ",
+        1,
+    )
+    bucket = (
+        f"('0x' || substr(md5('{CLF_SEED}_' || g), 1, 15))::BIGINT % {n}"
+    )
+    return (
+        body
+        + f""",
+    eval_docs AS (
+      SELECT doc_id, {_CLF_EVAL_LABEL_SQL} AS y
+      FROM documents WHERE doc_id % 2 = 1),
+    {_clf_gram_ctes(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
+        prefix="e",
+    )},
+    eb AS (SELECT doc_id, {bucket} AS bucket FROM egrams),
+    es AS (
+      SELECT eb.doc_id, CAST(sum(w.w) AS BIGINT) AS s
+      FROM eb JOIN w{iters} w USING (bucket) GROUP BY 1),
+    ev AS (
+      SELECT d.doc_id, d.y, COALESCE(es.s, 0) AS s
+      FROM eval_docs d LEFT JOIN es USING (doc_id))
+    SELECT doc_id, y, s AS s_int,
+           CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+    FROM ev
+    """
+    )
+
+
+@register("text_classifier_eval", _clf_eval_oracle_sql())
+def text_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ML loop, hash-checked per holdout document:
+    deterministic split (even doc_ids train, odd evaluate — leak-free
+    by construction), batch perceptron on the train half against a
+    TEXT-DERIVED target (stopword ratio >= 0.06, integer form — the
+    fixture's ``lang`` labels are random noise, measured r10), then
+    the UNCHANGED scan-local scorer on the held-out half. The output
+    is every holdout doc's exact integer margin + prediction — a
+    drifted gradient, featurization, or sign convention anywhere
+    changes some margin and fails the hash; aggregate confusion
+    counts are derivable from the rows."""
+    from mriya_spark.ops.text import (
+        LANG_STOPWORDS,
+        _stopword_hits,
+        classifier_score,
+        classifier_train,
+        token_count,
+    )
+
+    t = F.col("text")
+    label = (
+        F.when(
+            _stopword_hits(t, LANG_STOPWORDS["en"]) * 100
+            >= token_count(t) * 6,
+            1,
+        )
+        .otherwise(-1)
+        .cast("long")
+    )
+    docs = _cat(spark, sf_dir).table("documents").select(
+        "doc_id", "text", label.alias("y")
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    holdout = docs.filter(F.col("doc_id") % 2 == 1)
+    w = classifier_train(
+        train,
+        label_col="y",
+        n_buckets=_CLF_TRAIN_BUCKETS,
+        iters=_CLF_EVAL_ITERS,
+    )
+    scored = classifier_score(holdout, w, keep_components=True)
+    s = F.col("clf_score_s_int")
+    return scored.select(
+        "doc_id",
+        "y",
+        s.alias("s_int"),
+        F.when(s > 0, 1).otherwise(-1).cast("long").alias("pred"),
     )
 
 
