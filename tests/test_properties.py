@@ -531,3 +531,51 @@ def test_classifier_score_property(spark, corpus):
             for g in grams
         )
         assert got[i] == (s, len(grams)), (i, t)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=120,
+    ),
+    n_parts=st.integers(min_value=1, max_value=4),
+    order_seed=st.integers(min_value=0, max_value=99),
+)
+@_SETTINGS
+def test_quantile_sketch_merge_is_order_invariant(
+    spark, vals, n_parts, order_seed
+):
+    """The sketch algebra, property-tested: split the data into any
+    number of parts, merge the per-part sketches in ANY order, and the
+    result is identical to the direct sketch of the whole — the claim
+    that makes day-over-day sketch stores and tree aggregation exact,
+    for arbitrary inputs (duplicates, constants, singletons), not just
+    the fixture."""
+    import random
+
+    from mriya_spark.ops.aggregate import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    k = 16
+    direct_lv, direct_st = quantile_sketch(
+        df, value_col="v", key_col="k", k=k
+    )
+    direct = {(r.u60, r.value) for r in direct_st.collect()}
+
+    parts = [
+        df.filter(f"k % {n_parts} = {i}") for i in range(n_parts)
+    ]
+    parts = [p for p in parts if p.count() > 0]
+    sketches = [
+        quantile_sketch(p, value_col="v", key_col="k", k=k) for p in parts
+    ]
+    random.Random(order_seed).shuffle(sketches)
+    m_lv, m_st = quantile_sketch_merge(sketches, k=k)
+    merged = {(r.u60, r.value) for r in m_st.collect()}
+    assert m_lv == direct_lv
+    assert merged == direct

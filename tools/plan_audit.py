@@ -147,7 +147,9 @@ def main() -> None:
         "search_bm25_indexed", "quality_outlier_iqr",
         "migration_multi_mapping", "text_classifier_train_score",
         "sketch_quantile_portable", "sketch_quantile_estimate",
-        "stream_migration_pipeline",
+        "stream_migration_pipeline", "sketch_quantile_grouped",
+        "stream_sketch_quantile", "text_classifier_eval",
+        "migration_multi_e2e",
     ]
 
     spark = get_spark(app_name="plan_audit")
