@@ -524,16 +524,26 @@ FLAGSHIP_MAPPING = {
 class _FrameCatalog:
     """Catalog adapter serving pinned DataFrames for some tables and
     delegating the rest — lets ``MappingSpec.extract`` (which reads
-    ``catalog.table(source_object)``) run over a stream micro-batch
-    while lookup dims still come from parquet."""
+    ``catalog.table(source_object)``) run over a stream micro-batch or
+    a connector read while lookup dims still come from parquet.
+    ``fallback=None`` pins the whole universe: an unlisted table is
+    then a caller bug and raises by name instead of an opaque
+    NoneType error."""
 
-    def __init__(self, frames: dict[str, DataFrame], fallback) -> None:
+    def __init__(self, frames: dict[str, DataFrame], fallback=None) -> None:
         self._frames = frames
         self._fallback = fallback
 
     def table(self, name: str) -> DataFrame:
         got = self._frames.get(name)
-        return got if got is not None else self._fallback.table(name)
+        if got is not None:
+            return got
+        if self._fallback is None:
+            raise KeyError(
+                f"table {name!r} not among the pinned frames "
+                f"{sorted(self._frames)} and no fallback catalog given"
+            )
+        return self._fallback.table(name)
 
 
 def _migration_frames(cat, spec) -> DataFrame:
@@ -684,6 +694,28 @@ _MULTI_MAPPING_ORACLE_SQL = """
     """
 
 
+def _multi_mapping_result(
+    child_rows: DataFrame, backfilled: DataFrame
+) -> DataFrame:
+    """Checked output shared by the two multi-object twins: the child
+    destination rows joined with their backfill confirmation."""
+    return child_rows.join(
+        backfilled.select(
+            F.col("c_custkey").alias("old_record_id"),
+            F.col("c_custkey_dst_id").alias("src_backfilled_id"),
+        ),
+        on="old_record_id",
+        how="left",
+    ).select(
+        "old_record_id",
+        "name",
+        "acctbal",
+        "nation_ref",
+        "dst_id",
+        "src_backfilled_id",
+    )
+
+
 @register("migration_multi_mapping", _MULTI_MAPPING_ORACLE_SQL)
 def migration_multi_mapping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-object mapping orchestration (`mapping.run_mapping_array`):
@@ -705,21 +737,7 @@ def migration_multi_mapping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfilled = child_spec.backfill(
         cat.table("customer"), created["customer"]
     )
-    return created["customer"].join(
-        backfilled.select(
-            F.col("c_custkey").alias("old_record_id"),
-            F.col("c_custkey_dst_id").alias("src_backfilled_id"),
-        ),
-        on="old_record_id",
-        how="left",
-    ).select(
-        "old_record_id",
-        "name",
-        "acctbal",
-        "nation_ref",
-        "dst_id",
-        "src_backfilled_id",
-    )
+    return _multi_mapping_result(created["customer"], backfilled)
 
 
 @register("migration_multi_e2e", _MULTI_MAPPING_ORACLE_SQL)
@@ -800,20 +818,8 @@ def migration_multi_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         backfilled = child_spec.backfill(
             read_object(spark, org, "customer", CUSTOMER_DDL), loaded
         )
-        return (
-            loaded.join(
-                backfilled.select(
-                    F.col("c_custkey").alias("old_record_id"),
-                    F.col("c_custkey_dst_id").alias("src_backfilled_id"),
-                ),
-                on="old_record_id",
-                how="left",
-            )
-            .select(
-                "old_record_id", "name", "acctbal", "nation_ref",
-                "dst_id", "src_backfilled_id",
-            )
-            .localCheckpoint(eager=True)
+        return _multi_mapping_result(loaded, backfilled).localCheckpoint(
+            eager=True
         )
     finally:
         _shutil.rmtree(org, ignore_errors=True)
@@ -4396,9 +4402,13 @@ def _qsketch_state_ctes(
       WHERE u.u60 < (CAST(1 AS BIGINT) << (60 - CAST(sel.level AS INTEGER))))"""
 
 
-def _qsketch_state_oracle_sql() -> str:
+def _qsketch_state_oracle_sql(
+    table: str = "orders",
+    key: str = "o_orderkey",
+    value: str = "o_totalprice",
+) -> str:
     return f"""
-    WITH {_qsketch_state_ctes()}
+    WITH {_qsketch_state_ctes(table, key, value)}
     SELECT level, u60, value FROM state
     """
 
@@ -4545,14 +4555,10 @@ def sketch_quantile_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qsketch_events_oracle_sql() -> str:
-    return f"""
-    WITH {_qsketch_state_ctes("events", "event_id", "value")}
-    SELECT level, u60, value FROM state
-    """
-
-
-@register("stream_sketch_quantile", _qsketch_events_oracle_sql())
+@register(
+    "stream_sketch_quantile",
+    _qsketch_state_oracle_sql("events", "event_id", "value"),
+)
 def stream_sketch_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch maintained INCREMENTALLY over the event stream
     (``streaming.stream_quantile_ingest``): each micro-batch is
@@ -7071,7 +7077,7 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
     # rewrite through the same Hadoop-FS helper the index writer uses:
     # a raw local open() here would leave the checksummed LocalFileSystem
     # .crc sidecar stale and fail the next fs_read_text
-    from mriya_spark.ops.text import fs_write_text
+    from mriya_spark.fsutil import fs_write_text
 
     fs_write_text(spark, os.path.join(build, "_stats.json"), json.dumps(stats))
     if os.path.isdir(path) and not _valid():
