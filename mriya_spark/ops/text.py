@@ -826,3 +826,102 @@ def classifier_train(
         for r in grad:
             w[int(r["bucket"])] += int(r["g"])
     return w
+
+
+# -- BPE tokenizer training (distributed, engine-replayable) -----------
+#
+# The missing tokenizer half of the training-data engine: learn the
+# byte-pair-encoding merge table FROM the corpus, on-cluster. Classic
+# distributed BPE: reduce the corpus once to the (distinct word,
+# count) table — tiny relative to the corpus however big the corpus —
+# then iterate: count weighted adjacent symbol pairs, take the most
+# frequent (deterministic tie-break), rewrite the vocabulary, repeat.
+# Every quantity is an integer and every rewrite is a plain string
+# replace with private '<sym>' delimiters, so a fixed merge count is
+# bit-replayable in SQL (the graph_pagerank unrolled-CTE posture with
+# nothing float at all).
+
+#: symbols are wrapped as '<sym>' — '<'/'>' cannot appear inside a
+#: symbol because BPE runs over the classifier tokenizer's lowercase
+#: ALNUM words, so 'a b' adjacency is the unambiguous substring
+#: '<a><b>' and replace() rewrites every non-overlapping occurrence
+#: left to right (both engines share that scan semantics; consecutive
+#: merged pairs don't share delimiter characters, unlike the naive
+#: space-separated form where ' a b a b ' only matches once)
+def _bpe_wrap(word: Column) -> Column:
+    return F.concat(
+        F.lit("<"),
+        F.concat_ws("><", F.regexp_extract_all(word, F.lit("."), 0)),
+        F.lit(">"),
+    )
+
+
+def bpe_word_freq(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(word, cnt, seq) vocabulary table: lowercase-alnum words with
+    corpus frequencies and the wrapped single-char symbol sequence —
+    the ONE corpus-sized pass of BPE training; everything after runs
+    over this (distinct-words-sized) table."""
+    toks = F.expr(
+        f"filter(split(lower(trim(coalesce({text_col}, ''))), "
+        "'[^a-z0-9]+'), x -> x != '')"
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("seq", _bpe_wrap(F.col("word")))
+    )
+
+
+def bpe_train(
+    df: DataFrame, *, text_col: str = "text", n_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns
+    ``[(left_sym, right_sym, weighted_pair_count), ...]`` in learned
+    order (the merges.txt a tokenizer ships).
+
+    Per round: symbol bigrams of every vocab word (explode over the
+    vocab table, weighted by word count, map-side combined to the
+    distinct-pair groupBy), ONE winning row collected (count DESC,
+    pair ASC tie-break — a bounded driver scalar), then a SCAN-LOCAL
+    ``replace`` rewrites the vocabulary; the rewritten vocab is
+    eagerly checkpointed so lineage stays flat across rounds. The
+    corpus itself is read exactly once (``bpe_word_freq``). Stops
+    early if every word is a single symbol — identical to running the
+    remaining no-op rounds, so a fixed-round SQL replay matches."""
+    vocab = bpe_word_freq(df, text_col=text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
+        pairs = (
+            vocab.withColumn("__s", syms)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with("
+                        "slice(__s, 1, greatest(size(__s) - 1, 0)), "
+                        "slice(__s, 2, greatest(size(__s) - 1, 0)), "
+                        "(a, b) -> concat(a, ' ', b))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # all words fully merged: remaining rounds are no-ops
+        left, right = top[0]["pair"].split(" ", 1)
+        merges.append((left, right, int(top[0]["c"])))
+        vocab = vocab.withColumn(
+            "seq",
+            F.expr(
+                f"replace(seq, '<{left}><{right}>', '<{left}{right}>')"
+            ),
+        ).localCheckpoint(eager=True)
+    return merges

@@ -4583,6 +4583,80 @@ def stream_sketch_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select("level", "u60", "value")
 
 
+_BPE_MERGES = 12
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled BPE training replay: the (word, cnt) reduction, then
+    ``n_merges`` rounds of weighted pair counting (count DESC, pair
+    ASC tie-break) and delimiter-wrapped string rewriting — every
+    quantity an integer or an exact string, nothing to round. CTEs
+    are MATERIALIZED for the same exponential-inlining reason as the
+    perceptron oracle (each v{i} is referenced twice per round)."""
+    ctes = [r"""words AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '<' || array_to_string(regexp_extract_all(word, '.'), '><')
+                 || '>' AS seq
+      FROM words)"""]
+    for i in range(n_merges):
+        ctes.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT t.s[t.j] || ' ' || t.s[t.j + 1] AS pair,
+             CAST(sum(t.cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, s, unnest(range(1, len(s))) AS j
+            FROM (SELECT cnt, regexp_extract_all(seq, '<([^>]*)>', 1) AS s
+                  FROM v{i})) t
+      GROUP BY 1),
+    b{i} AS MATERIALIZED (
+      SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+    v{i + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(seq,
+                     '<' || split_part(b.pair, ' ', 1) || '><'
+                         || split_part(b.pair, ' ', 2) || '>',
+                     '<' || split_part(b.pair, ' ', 1)
+                         || split_part(b.pair, ' ', 2) || '>') AS seq
+      FROM v{i} CROSS JOIN b{i} b)""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, "
+        f"split_part(pair, ' ', 1) AS left_sym, "
+        f"split_part(pair, ' ', 2) AS right_sym, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + finals
+
+
+@register("tokenizer_bpe_train", _bpe_oracle_sql())
+def tokenizer_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training ON-CLUSTER (``ops.text.bpe_train``),
+    hash-checked merge by merge: one corpus-sized pass reduces to the
+    (distinct word, count) vocabulary, then each round counts weighted
+    adjacent symbol pairs over that vocab-sized table, collects ONE
+    winning row (count DESC / pair ASC — a bounded driver scalar), and
+    rewrites the vocabulary with a scan-local string replace on
+    private '<sym>' delimiters. The oracle replays all 12 rounds —
+    a wrong count, tie-break, or rewrite anywhere changes some later
+    merge and fails the hash. This is the tokenizer half a
+    training-data engine needs next to the curation half: the merge
+    table it emits is the merges.txt a downstream BPE tokenizer
+    ships."""
+    from mriya_spark.ops.text import bpe_train
+
+    docs = _cat(spark, sf_dir).table("documents").select("text")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
 @register(
     "udaf_geomean",
     """

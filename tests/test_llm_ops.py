@@ -1348,3 +1348,62 @@ def test_quantile_sketch_grouped_keeps_null_group(spark):
     }
     _lv, st = quantile_sketch(df, value_col="v", key_col="k", k=16)
     assert merged == {(r.u60, r.value) for r in st.collect()}
+
+
+def test_bpe_train_matches_python_model(spark):
+    """bpe_train == a pure-Python BPE trainer: same merges in the same
+    order (weighted pair counts, count-desc/pair-asc tie-break, greedy
+    left-to-right merge application), including repeated-symbol words
+    where naive space-delimited replace would under-merge."""
+    import collections
+    import re as _re
+
+    from mriya_spark.ops.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaa aaaa aa banana banana",
+        "low new banana",
+    ]
+
+    def py_bpe(texts, n_merges):
+        freq = collections.Counter()
+        for t in texts:
+            for w in _re.split(r"[^a-z0-9]+", t.strip().lower()):
+                if w:
+                    freq[w] += 1
+        vocab = {w: list(w) for w in freq}
+        merges = []
+        for _ in range(n_merges):
+            pc = collections.Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += freq[w]
+            if not pc:
+                break
+            (a, b), c = min(
+                pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((a, b, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (1, 4, 10):
+        assert bpe_train(df, n_merges=n) == py_bpe(texts, n), n
