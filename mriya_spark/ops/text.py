@@ -925,3 +925,31 @@ def bpe_train(
             ),
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_segment_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to the corpus vocabulary: the
+    (word, cnt, seq, n_syms) table after replaying every merge in
+    order — 1 projection with ``len(merges)`` chained scan-local
+    replaces, no per-round jobs. This IS the tokenizer's applied
+    form: joining corpus words against it segments the corpus under
+    the learned vocab (the train->serve pair of ``bpe_train``)."""
+    vocab = bpe_word_freq(df, text_col=text_col)
+    for left, right, _cnt in merges:
+        vocab = vocab.withColumn(
+            "seq",
+            F.expr(
+                f"replace(seq, '<{left}><{right}>', '<{left}{right}>')"
+            ),
+        )
+    return vocab.withColumn(
+        "n_syms",
+        F.size(
+            F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
+        ).cast("long"),
+    )

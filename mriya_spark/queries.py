@@ -4633,6 +4633,37 @@ def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
     return "WITH " + ",".join(ctes) + "\n    " + finals
 
 
+def _bpe_encode_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Replay training to the final vocabulary, then segment the whole
+    corpus under it: per-doc word and BPE-token counts — the apply
+    (serve) half sharing the training replay verbatim."""
+    train = _bpe_oracle_sql(n_merges)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return (
+        body
+        + f""",
+    vseg AS MATERIALIZED (
+      SELECT word,
+             CAST(len(regexp_extract_all(seq, '<([^>]*)>', 1)) AS BIGINT)
+               AS n_syms
+      FROM v{n_merges}),
+    dw AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+               x -> x <> '')) AS word
+      FROM documents),
+    agg AS (
+      SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN vseg v USING (word) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    )
+
+
 @register("tokenizer_bpe_train", _bpe_oracle_sql())
 def tokenizer_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training ON-CLUSTER (``ops.text.bpe_train``),
@@ -4654,6 +4685,43 @@ def tokenizer_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+@register("tokenizer_bpe_encode", _bpe_encode_oracle_sql())
+def tokenizer_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's SERVE half: segment the corpus under the
+    learned merges (``ops.text.bpe_segment_vocab`` — one projection
+    with 12 chained scan-local replaces over the vocab table, no
+    per-round jobs), broadcast-join corpus words against the
+    segmented vocabulary, and emit per-doc word / BPE-token counts.
+    Train and apply share the merge list within one run, and the
+    oracle replays training AND segmentation in one statement — the
+    classifier's train->serve posture for the tokenizer."""
+    from mriya_spark.ops.text import bpe_segment_vocab, bpe_train
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    vseg = bpe_segment_vocab(docs, merges).select("word", "n_syms")
+    toks = F.expr(
+        "filter(split(lower(trim(coalesce(text, ''))), "
+        "'[^a-z0-9]+'), x -> x != '')"
+    )
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    agg = (
+        words.join(F.broadcast(vseg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
     )
 
 
