@@ -579,3 +579,58 @@ def test_quantile_sketch_merge_is_order_invariant(
     merged = {(r.u60, r.value) for r in m_st.collect()}
     assert m_lv == direct_lv
     assert merged == direct
+
+
+@given(corpus=CORPUS, n_merges=st.integers(min_value=1, max_value=5))
+@_SETTINGS
+def test_bpe_train_matches_model_on_arbitrary_corpora(
+    spark, corpus, n_merges
+):
+    """BPE training parity with the pure-Python trainer on hypothesis
+    corpora — repeated tokens, empty docs, single-char words, and the
+    tie-heavy distributions small vocabularies produce (the tie-break
+    is where engines would silently diverge)."""
+    import collections
+    import re as _re
+
+    from mriya_spark.ops.text import bpe_train
+
+    def py_bpe(texts, n):
+        freq = collections.Counter()
+        for t in texts:
+            for w in _re.split(r"[^a-z0-9]+", t.strip().lower()):
+                if w:
+                    freq[w] += 1
+        vocab = {w: list(w) for w in freq}
+        merges = []
+        for _ in range(n):
+            pc = collections.Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += freq[w]
+            if not pc:
+                break
+            (a, b), c = min(
+                pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((a, b, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    assert bpe_train(df, n_merges=n_merges) == py_bpe(corpus, n_merges)
