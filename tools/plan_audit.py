@@ -149,7 +149,8 @@ def main() -> None:
         "sketch_quantile_portable", "sketch_quantile_estimate",
         "stream_migration_pipeline", "sketch_quantile_grouped",
         "stream_sketch_quantile", "text_classifier_eval",
-        "migration_multi_e2e",
+        "migration_multi_e2e", "tokenizer_bpe_train",
+        "tokenizer_bpe_encode",
     ]
 
     spark = get_spark(app_name="plan_audit")
