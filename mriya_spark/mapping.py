@@ -167,23 +167,35 @@ class MappingSpec:
         #: migrated, so the value must be REWRITTEN to the parent's
         #: freshly created dst id (``run_mapping_array``).
         self.parent_fks = dict(parent_fks or {})
+        src_id_dst = next(
+            (r.column_dst for r in rules if r.column_type == "src_id"), None
+        )
         for fk_col in self.parent_fks:
             # exactly ONE transform-surviving rule must carry the FK:
             # zero means nothing to rewrite; dst_id-typed rules never
             # reach the output (transform drops them), so counting one
             # would fail later with an opaque unresolved-column error;
+            # src_id-typed rules (and any rule landing on the src_id
+            # rule's column_dst) are the row's OWN key carrier — the
+            # rewrite would overwrite it with the parent's dst id
+            # before this object derives its own dst_id and backfill
+            # join, garbling ids with no load-time error (r10 advice);
             # several is ambiguous (which dst column holds the parent
             # reference to rewrite?) — all are mapping-document errors
             # and fail HERE, at load time (r10 review)
             carriers = [
                 r
                 for r in rules
-                if r.column_src == fk_col and r.column_type != "dst_id"
+                if r.column_src == fk_col
+                and r.column_type not in ("dst_id", "src_id")
+                and r.column_dst != src_id_dst
             ]
             if len(carriers) != 1:
                 raise ValueError(
                     f"parent_fks references {fk_col!r}, which must be "
-                    f"carried by exactly one non-dst_id mapping rule "
+                    f"carried by exactly one mapping rule that is "
+                    f"neither dst_id- nor src_id-typed nor aliased onto "
+                    f"the src_id rule's destination column "
                     f"(found {len(carriers)}); split the mapping if a "
                     "second copy of the old parent key is wanted"
                 )
@@ -430,14 +442,18 @@ def run_mapping_array(
             parent_spec = next(
                 s for s in order if s.source_object == parent_obj
             )
-            # unique by the __init__ validation (exactly one non-dst_id
-            # carrier per parent_fks column)
+            # unique by the __init__ validation (exactly one carrier
+            # per parent_fks column that is neither dst_id- nor
+            # src_id-typed nor aliased onto the src_id destination)
+            p_sid = parent_spec.src_id_rule
+            sid_dst = spec.src_id_rule.column_dst
             rule = next(
                 r
                 for r in spec.rules
-                if r.column_src == fk_col_src and r.column_type != "dst_id"
+                if r.column_src == fk_col_src
+                and r.column_type not in ("dst_id", "src_id")
+                and r.column_dst != sid_dst
             )
-            p_sid = parent_spec.src_id_rule
             lookup = created[parent_obj].select(
                 F.col(p_sid.column_dst).alias("__p_key"),
                 F.col("dst_id").alias(rule.column_dst),

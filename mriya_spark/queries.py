@@ -4482,8 +4482,13 @@ def _qsketch_grouped_oracle_sql(k: int = 256) -> str:
     sel AS (SELECT segment, CAST(min(l) AS BIGINT) AS level
             FROM lv WHERE c <= {k} GROUP BY 1),
     state AS (
+      -- null-SAFE join (r10 advice): the Spark side keeps a NULL
+      -- group as a real segment (eqNullSafe in
+      -- quantile_sketch_grouped); USING (segment) would drop it from
+      -- both its own state and '__merged' the moment the fixture
+      -- carries a NULL group
       SELECT u.segment, sel.level, u.u60, u.value
-      FROM u JOIN sel USING (segment)
+      FROM u JOIN sel ON u.segment IS NOT DISTINCT FROM sel.segment
       WHERE u.u60 < (CAST(1 AS BIGINT) << (60 - CAST(sel.level AS INTEGER)))),
     mstart AS (SELECT CAST(max(level) AS INTEGER) AS l0 FROM sel),
     mlv AS (

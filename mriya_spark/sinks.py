@@ -265,7 +265,6 @@ def write_training_shards(
     surfaces as a count mismatch at read time
     (``read_training_shards``)."""
     import json
-    import os
 
     from mriya_spark.ops.layout import shard_shuffle
 
@@ -292,8 +291,15 @@ def write_training_shards(
         "shard_rows": {str(s): counts.get(s, 0) for s in range(num_shards)},
         "total_rows": sum(counts.values()),
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh)
+    # scheme-aware sidecar (r10 review): the shards go through Spark's
+    # writer, so on an hdfs://s3a:// dataset root a local open() would
+    # land the manifest on a bogus local path and the verifying reader
+    # would refuse every read — same class as the BM25 _stats.json fix
+    from mriya_spark.fsutil import fs_write_text
+
+    fs_write_text(
+        spark, path.rstrip("/") + "/_manifest.json", json.dumps(manifest)
+    )
     return manifest
 
 
@@ -303,10 +309,12 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
     write, lost shard directory, or tampered manifest raises instead
     of silently feeding a training run short data."""
     import json
-    import os
 
-    with open(os.path.join(path, "_manifest.json")) as fh:
-        manifest = json.load(fh)
+    from mriya_spark.fsutil import fs_read_text
+
+    manifest = json.loads(
+        fs_read_text(spark, path.rstrip("/") + "/_manifest.json")
+    )
     df = spark.read.parquet(path)
     got = {
         str(r["shard"]): int(r["n"])

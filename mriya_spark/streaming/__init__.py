@@ -1217,7 +1217,18 @@ def quantile_ingest_batch(
     sketch (the per-batch body of ``stream_quantile_ingest``, exposed
     so replay semantics are testable directly — the
     ``neardup_ingest_batch`` pattern). Single-writer contract as for
-    ``merge_upsert_batch``."""
+    ``merge_upsert_batch``.
+
+    PRECONDITION (r10 advice): ``key_col`` must be unique across the
+    whole stream (an event id, not a payload attribute). Replay
+    idempotence dedups the union of new and persisted state on
+    ``(u60, value)``, and ``u60`` is a pure hash of ``key_col`` — so a
+    genuinely duplicate key carrying the same value is
+    indistinguishable from a crash-retry replay and would collapse to
+    one survivor, silently losing sketch mass vs the batch twin.
+    Within-batch uniqueness is ENFORCED below (one extra batch-sized
+    aggregate, fails loudly); cross-batch uniqueness is the caller's
+    contract, as it is for ``merge_upsert_batch`` keys."""
     from mriya_spark.ops.aggregate import (
         QSKETCH_K,
         QSKETCH_SEED,
@@ -1233,6 +1244,16 @@ def quantile_ingest_batch(
     # state" there and every batch would silently discard the history
     from mriya_spark.fsutil import fs_delete, fs_exists
 
+    dup = (
+        batch.groupBy(key_col).count().filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"quantile_ingest_batch: duplicate {key_col}="
+            f"{dup[0][key_col]!r} in batch — key_col must be unique "
+            "(see docstring: duplicates are indistinguishable from "
+            "crash-retry replays and would lose sketch mass)"
+        )
     lv, st = quantile_sketch(
         batch, value_col=value_col, key_col=key_col, k=kk, seed=sd
     )

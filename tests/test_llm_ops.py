@@ -1350,6 +1350,49 @@ def test_quantile_sketch_grouped_keeps_null_group(spark):
     assert merged == {(r.u60, r.value) for r in st.collect()}
 
 
+def test_qsketch_grouped_oracle_is_null_safe(spark):
+    """r10 advice (medium): the DuckDB oracle must keep NULL-segment
+    rows exactly like the Spark side's eqNullSafe join does — both in
+    their own segment and in '__merged'. Runs the REAL registered
+    oracle SQL over a NULL-bearing events relation and compares the
+    full integer state row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.queries import _qsketch_grouped_oracle_sql
+    from mriya_spark.ops.aggregate import quantile_sketch_grouped
+
+    rows = [
+        (i, "click" if i % 3 == 0 else None, float(i * 7 % 101))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {
+        (r.segment, r.level, r.u60, r.value)
+        for r in quantile_sketch_grouped(
+            df,
+            value_col="value",
+            key_col="event_id",
+            group_col="event_type",
+            k=16,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(
+        rows, columns=["event_id", "event_type", "value"]
+    ))
+    want = {
+        (seg, lv, u60, val)
+        for seg, lv, u60, val in con.execute(
+            _qsketch_grouped_oracle_sql(k=16)
+        ).fetchall()
+    }
+    assert {s for s, *_ in got} == {"click", None, "__merged"}
+    assert got == want
+
+
 def test_bpe_train_matches_python_model(spark):
     """bpe_train == a pure-Python BPE trainer: same merges in the same
     order (weighted pair counts, count-desc/pair-asc tie-break, greedy

@@ -241,3 +241,40 @@ def test_parent_fk_rejects_ambiguous_and_dstid_carriers():
         MappingSpec.from_obj(dict(base, mapping=[sid, fk_dst]))
     # the well-formed single-carrier document still loads
     assert MappingSpec.from_obj(dict(base, mapping=[sid, fk]))
+
+
+def test_parent_fk_rejects_src_id_carriers():
+    """r10 advice: the src_id rule (or any rule aliased onto its
+    destination column) must not be the parent_fks carrier — the FK
+    rewrite would overwrite the row's own key carrier with the
+    parent's dst id BEFORE dst_id derivation and the backfill join,
+    garbling ids with no load-time error."""
+    from mriya_spark.mapping import MappingSpec
+
+    base = {
+        "source_object": "customer",
+        "destination_object": "customer_dst",
+        "where_condition": "",
+    }
+    # the src_id rule itself reads the FK column → would be the carrier
+    sid_on_fk = {"table_src": "customer", "column_src": "c_nationkey",
+                 "table_dst": "customer_dst", "column_dst": "old_record_id",
+                 "operation": "upd_src", "column_type": "src_id"}
+    with pytest.raises(ValueError, match="src_id"):
+        MappingSpec.from_obj(dict(
+            base, parent_fks={"c_nationkey": "nation"},
+            mapping=[sid_on_fk],
+        ))
+    # a regular rule aliased onto the src_id rule's destination column
+    sid = {"table_src": "customer", "column_src": "c_custkey",
+           "table_dst": "customer_dst", "column_dst": "old_record_id",
+           "operation": "upd_src", "column_type": "src_id"}
+    fk_onto_sid_dst = {
+        "table_src": "customer", "column_src": "c_nationkey",
+        "table_dst": "customer_dst", "column_dst": "old_record_id",
+        "operation": "insert", "column_type": "regular"}
+    with pytest.raises(ValueError, match="src_id"):
+        MappingSpec.from_obj(dict(
+            base, parent_fks={"c_nationkey": "nation"},
+            mapping=[sid, fk_onto_sid_dst],
+        ))

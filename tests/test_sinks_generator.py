@@ -196,12 +196,18 @@ def test_training_shards_manifest_verifier(spark, tmp_path):
     with pytest.raises(ValueError, match="missing shards"):
         sinks.read_training_shards(spark, path)
 
-    # tampered manifest count -> read refuses
+    # tampered manifest count -> read refuses. Rewrite through the FS
+    # API (r10: the manifest goes through fsutil now, so a raw local
+    # write would leave Hadoop's .crc sidecar stale and fail earlier
+    # with a ChecksumException — also a refusal, but this pins the
+    # count-mismatch path specifically)
+    from mriya_spark.fsutil import fs_read_text, fs_write_text
+
     sinks.write_training_shards(df, path, num_shards=8, seed=1)
-    mp = os.path.join(path, "_manifest.json")
-    doc = json.load(open(mp))
+    mp = path + "/_manifest.json"
+    doc = json.loads(fs_read_text(spark, mp))
     k = next(iter(doc["shard_rows"]))
     doc["shard_rows"][k] = int(doc["shard_rows"][k]) + 1
-    json.dump(doc, open(mp, "w"))
+    fs_write_text(spark, mp, json.dumps(doc))
     with pytest.raises(ValueError, match="wrong counts"):
         sinks.read_training_shards(spark, path)

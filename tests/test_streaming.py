@@ -602,3 +602,18 @@ def test_stream_quantile_ingest_replay_is_idempotent(spark, tmp_path):
         (lv_direct, r.u60, r.value) for r in st_direct.collect()
     )
     assert got == direct
+
+
+def test_quantile_ingest_rejects_duplicate_keys(spark, tmp_path):
+    """r10 advice: a duplicate key in a batch is indistinguishable from
+    a crash-retry replay once hashed to u60, so the ingest must fail
+    loudly on it rather than silently collapse sketch mass."""
+    import pytest as _pytest
+
+    import mriya_spark.streaming as S
+
+    bad = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 3.0)], "event_id long, value double"
+    )
+    with _pytest.raises(ValueError, match="duplicate event_id"):
+        S.quantile_ingest_batch(bad, str(tmp_path / "qsk_dup"))
