@@ -85,20 +85,58 @@ def _gate_history(
     return history
 
 
+def _gate_digests(root: Path | None = None) -> dict[str, dict]:
+    """The GATE_DIGESTS.json sidecar (``tools/update_gate_digests.py``):
+    ``{name: {"digest": md5(oracle_sql), "since": round}}``. Missing or
+    unreadable → empty (fresh checkout: no re-prioritization)."""
+    if root is None:
+        root = Path(__file__).resolve().parent
+    try:
+        doc = json.loads((root / "GATE_DIGESTS.json").read_text())
+    except (OSError, ValueError):
+        return {}
+    return doc if isinstance(doc, dict) else {}
+
+
+def _oracle_digest(sql: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sql.encode("utf-8")).hexdigest()[:16]
+
+
 def _gate_sort_key(
     name: str,
     history: dict[str, tuple[int, int, bool]],
     oracles: dict[str, str],
     reg_index: dict[str, int],
+    digests: dict[str, dict],
 ) -> tuple[int, int, int]:
     rec = history.get(name)
     if rec is None:
         return (0, 0, reg_index[name])
     tier, rnd, rows_only = rec
-    if rows_only and name in oracles:
-        # upgraded: its official record predates its oracle — the
-        # hash-green flip needs a slot as much as a brand-new query
-        return (0, rnd, reg_index[name])
+    if name in oracles:
+        if rows_only:
+            # upgraded: its official record predates its oracle — the
+            # hash-green flip needs a slot as much as a brand-new query
+            return (0, rnd, reg_index[name])
+        side = digests.get(name)
+        if side is not None and (
+            side.get("digest") != _oracle_digest(oracles[name])
+            or int(side.get("since", 0)) > rnd
+        ):
+            # materially changed AFTER its newest official row (r10
+            # judge directive 2): a green row describing retired code
+            # must not let the edited query coast — re-record it in
+            # its change round, like a brand-new registration
+            return (0, rnd, reg_index[name])
+    elif tier == 2:
+        # rows-only BY DESIGN and green (r10 judge directive 7): its
+        # official row can only ever be a weak rows-only check and
+        # every such query has a hash-green portable twin carrying the
+        # real evidence — rotate these only after every oracled row is
+        # fresher, so capped slots go to hash-checkable rows
+        return (3, rnd, reg_index[name])
     return (tier, rnd, reg_index[name])
 
 
@@ -108,9 +146,13 @@ def _gate_order() -> list[str]:
     history = _gate_history()
     registry = _registry.queries()
     oracles = _registry.oracle_sql()
+    digests = _gate_digests()
     reg_index = {n: i for i, n in enumerate(registry)}
     return sorted(
-        registry, key=lambda n: _gate_sort_key(n, history, oracles, reg_index)
+        registry,
+        key=lambda n: _gate_sort_key(
+            n, history, oracles, reg_index, digests
+        ),
     )
 
 

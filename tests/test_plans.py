@@ -229,8 +229,11 @@ def test_gate_order_is_staleness_first():
 
     oracles = lib_oracles()
     reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    digests = entry_mod._gate_digests()
     keys = [
-        entry_mod._gate_sort_key(n, history, oracles, reg_index)[:2]
+        entry_mod._gate_sort_key(
+            n, history, oracles, reg_index, digests
+        )[:2]
         for n in names
     ]
     assert keys == sorted(keys), (
@@ -285,10 +288,48 @@ def test_gate_history_tiers_from_synthetic_files(tmp_path):
     # an oracle it stays a stale-green tier-2 entry
     reg_index = {"rows_only": 0, "green_only": 1}
     assert entry_mod._gate_sort_key(
-        "rows_only", hist, {"rows_only": "SELECT 1"}, reg_index
+        "rows_only", hist, {"rows_only": "SELECT 1"}, reg_index, {}
     )[0] == 0
-    assert entry_mod._gate_sort_key("rows_only", hist, {}, reg_index)[0] == 2
-    assert entry_mod._gate_sort_key("green_only", hist, {}, reg_index)[0] == 2
+    # rows-only BY DESIGN (r10 judge directive 7): green but
+    # deprioritized BELOW fresh greens — slots go to hash-checkable rows
+    assert entry_mod._gate_sort_key(
+        "rows_only", hist, {}, reg_index, {}
+    )[0] == 3
+    # an oracled green (digest unchanged) stays tier 2
+    assert entry_mod._gate_sort_key(
+        "green_only", hist, {"green_only": "SELECT 2"}, reg_index, {}
+    )[0] == 2
+
+
+def test_gate_reprioritizes_materially_changed_queries():
+    """r10 judge directive 2: a green official row describing RETIRED
+    code must not let an edited query coast. A digest-sidecar mismatch
+    (oracle edited, sidecar not yet refreshed) or a sidecar 'since'
+    round newer than the official row both re-sort the query with the
+    never-recorded tier."""
+    import __spark_entry__ as entry_mod
+
+    hist = {"q": (2, 9, False)}
+    reg_index = {"q": 0}
+    oracles = {"q": "SELECT 1"}
+    dig = entry_mod._oracle_digest("SELECT 1")
+    # digest matches, recorded after since -> normal stale-green tier
+    assert entry_mod._gate_sort_key(
+        "q", hist, oracles, reg_index, {"q": {"digest": dig, "since": 0}}
+    )[0] == 2
+    # oracle changed after the official row (since > recorded round)
+    assert entry_mod._gate_sort_key(
+        "q", hist, oracles, reg_index, {"q": {"digest": dig, "since": 10}}
+    )[0] == 0
+    # live oracle no longer matches the sidecar (edit, sidecar stale)
+    assert entry_mod._gate_sort_key(
+        "q", hist, oracles, reg_index,
+        {"q": {"digest": "dead", "since": 0}},
+    )[0] == 0
+    # no sidecar at all (fresh checkout): no re-prioritization
+    assert entry_mod._gate_sort_key(
+        "q", hist, oracles, reg_index, {}
+    )[0] == 2
 
 
 def test_bucketed_join_has_no_exchange_on_either_side(spark):
