@@ -4682,11 +4682,15 @@ def tokenizer_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge and fails the hash. This is the tokenizer half a
     training-data engine needs next to the curation half: the merge
     table it emits is the merges.txt a downstream BPE tokenizer
-    ships."""
+    ships. r11: merge selection is BATCHED (``max_batch=6`` — up to
+    six symbol-disjoint prefix winners per counted table, provably
+    identical to the sequential trainer, property-tested) so driver
+    round-trips and checkpoints amortize from n_merges toward
+    n_merges/6 — the production-vocab scale lever."""
     from mriya_spark.ops.text import bpe_train
 
     docs = _cat(spark, sf_dir).table("documents").select("text")
-    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    merges = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank long, left_sym string, right_sym string, pair_count long",
@@ -4706,7 +4710,7 @@ def tokenizer_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mriya_spark.ops.text import bpe_segment_vocab, bpe_train
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
-    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    merges = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6)
     vseg = bpe_segment_vocab(docs, merges).select("word", "n_syms")
     toks = F.expr(
         "filter(split(lower(trim(coalesce(text, ''))), "

@@ -634,3 +634,29 @@ def test_bpe_train_matches_model_on_arbitrary_corpora(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
     assert bpe_train(df, n_merges=n_merges) == py_bpe(corpus, n_merges)
+
+
+@given(
+    corpus=CORPUS,
+    n_merges=st.integers(min_value=1, max_value=6),
+    max_batch=st.integers(min_value=2, max_value=4),
+)
+@_SETTINGS
+def test_bpe_train_batched_equals_sequential(
+    spark, corpus, n_merges, max_batch
+):
+    """r10 judge directive 5a: batched merge selection (top-m
+    symbol-disjoint prefix with the strict count cut, self-pair and
+    concat-collision closes) must produce the IDENTICAL merge list —
+    pairs, order, AND counts — as the sequential trainer, on exactly
+    the tie-heavy small-alphabet corpora where an unsound batch rule
+    would diverge (ties, self-pairs like 'aa', and concatenations
+    that already exist as symbols all occur here)."""
+    from mriya_spark.ops.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    sequential = bpe_train(df, n_merges=n_merges)
+    batched = bpe_train(df, n_merges=n_merges, max_batch=max_batch)
+    assert batched == sequential
