@@ -4734,6 +4734,100 @@ def tokenizer_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pack_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    context_tokens: int = 256,
+    shards: int = 8,
+) -> str:
+    """Replay training to the final vocabulary, assign lexicographic
+    symbol ids, rebuild every doc's REAL token-id sequence (positions
+    replayed via explicit subscript ranges), and pack the counts into
+    fixed context windows — the full corpus -> context-windows
+    capstone in one statement. All integers and exact strings."""
+    train = _bpe_oracle_sql(n_merges)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return (
+        body
+        + f""",
+    vsym AS MATERIALIZED (
+      SELECT word, regexp_extract_all(seq, '<([^>]*)>', 1) AS s
+      FROM v{n_merges}),
+    symid AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+               AS sym_id
+      FROM (SELECT DISTINCT unnest(s) AS sym FROM vsym)),
+    wid AS MATERIALIZED (
+      SELECT w.word, list(si.sym_id ORDER BY w.spos) AS word_ids
+      FROM (SELECT v.word, t.j AS spos, v.s[t.j] AS sym
+            FROM vsym v, unnest(range(1, len(v.s) + 1)) t(j)) w
+      JOIN symid si USING (sym)
+      GROUP BY w.word),
+    dwp AS (
+      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS words
+            FROM documents) d,
+           unnest(range(1, len(d.words) + 1)) t(j)),
+    dtok AS (
+      SELECT dwp.doc_id,
+             flatten(list(wid.word_ids ORDER BY dwp.wpos)) AS token_ids
+      FROM dwp JOIN wid USING (word) GROUP BY dwp.doc_id),
+    counts AS (
+      SELECT d.doc_id,
+             COALESCE(t.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             CAST(COALESCE(len(t.token_ids), 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN dtok t USING (doc_id)),
+    packed AS (
+      SELECT doc_id, token_ids, n_tokens,
+             CAST(doc_id % {shards} AS INTEGER) AS shard,
+             COALESCE(CAST(sum(n_tokens) OVER (
+               PARTITION BY doc_id % {shards} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum
+      FROM counts)
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor(cum / {context_tokens}.0) AS BIGINT)
+             AS start_window,
+           CAST(floor((cum + greatest(n_tokens, 1) - 1)
+                      / {context_tokens}.0) AS BIGINT) AS end_window,
+           token_ids
+    FROM packed
+    """
+    )
+
+
+@register("tokenizer_bpe_pack", _bpe_pack_oracle_sql())
+def tokenizer_bpe_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-style corpus -> context-windows CAPSTONE (r10 judge
+    directive 5b): train BPE on-cluster (batched merge selection),
+    emit every document's REAL token-id sequence under the learned
+    vocabulary (``ops.text.bpe_token_ids`` — lexicographic symbol
+    ids, order rebuilt from posexplode positions), and pack the
+    sequences into fixed 256-token context windows through the SAME
+    ``pack_windows`` math the whitespace packer uses. EVERY token id
+    of every document is hash-checked, plus each doc's window span —
+    a wrong merge, a wrong symbol id, a single out-of-order token, or
+    a packing off-by-one anywhere fails the gate. Plan: training's
+    vocab-sized rounds, then one corpus tokenize with positions, two
+    broadcast joins (symbol table ≤ alphabet+merges rows; word->ids
+    table vocab-sized), one per-doc group, one shard window — no
+    global sort, no row-wise Python."""
+    from mriya_spark.ops.text import bpe_token_ids, bpe_train, pack_windows
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6)
+    ids = bpe_token_ids(docs, merges)
+    return pack_windows(
+        ids,
+        context_tokens=256,
+        shards=8,
+        count_col="n_bpe_tokens",
+        carry_cols=("token_ids",),
+    )
+
+
 @register(
     "udaf_geomean",
     """

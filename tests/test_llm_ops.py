@@ -1350,6 +1350,63 @@ def test_quantile_sketch_grouped_keeps_null_group(spark):
     assert merged == {(r.u60, r.value) for r in st.collect()}
 
 
+def test_bpe_token_ids_match_python_encode(spark):
+    """bpe_token_ids == a pure-Python encoder: greedy left-to-right
+    merge application per word, lexicographic symbol ids over the
+    final vocabulary, doc sequence = concatenation in word order —
+    including repeated words, empty docs (empty sequence, not a
+    dropped row), and multi-word ordering."""
+    import re as _re
+
+    from mriya_spark.ops.text import bpe_token_ids, bpe_train
+
+    texts = ["low lower lowest", "", "new low newer", "aaa aa low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+
+    def apply_merges(word):
+        syms = list(word)
+        for a, b, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = {
+        w
+        for t in texts
+        for w in _re.split(r"[^a-z0-9]+", t.strip().lower())
+        if w
+    }
+    seg = {w: apply_merges(w) for w in words}
+    sym_id = {
+        s: i + 1
+        for i, s in enumerate(sorted({s for ss in seg.values() for s in ss}))
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        ids = []
+        for w in _re.split(r"[^a-z0-9]+", t.strip().lower()):
+            if w:
+                ids += [sym_id[s] for s in seg[w]]
+        want[i] = ids
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(df, merges).collect()
+    }
+    assert got == want
+    n = {r.doc_id: r.n_bpe_tokens for r in bpe_token_ids(df, merges).collect()}
+    assert n == {i: len(v) for i, v in want.items()}
+
+
 def test_qsketch_grouped_oracle_is_null_safe(spark):
     """r10 advice (medium): the DuckDB oracle must keep NULL-segment
     rows exactly like the Spark side's eqNullSafe join does — both in
