@@ -1350,6 +1350,82 @@ def test_quantile_sketch_grouped_keeps_null_group(spark):
     assert merged == {(r.u60, r.value) for r in st.collect()}
 
 
+def test_classifier_score_weighted_equals_literal_path(spark):
+    """r10 judge directive 6: the broadcast-join scoring path must be
+    RESULT-IDENTICAL to the inlined-literal path — same exact integer
+    state (s_int, n_grams) and same rounded score, including NULL-text
+    and gram-less docs, for both hash families."""
+    from mriya_spark.ops.text import (
+        classifier_score,
+        classifier_score_weighted,
+        hashed_clf_weights,
+    )
+
+    texts = [
+        (0, "the quick brown fox"),
+        (1, None),
+        (2, ""),
+        (3, "fox fox fox jumps"),
+        (4, "...!!!"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    weights = hashed_clf_weights(128)
+    wdf = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(weights)], "bucket int, w long"
+    )
+    for fam in ("md5", "xxhash64"):
+        lit = {
+            r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams, r.clf_score)
+            for r in classifier_score(
+                df, weights, keep_components=True, hash_family=fam
+            ).collect()
+        }
+        big = {
+            r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams, r.clf_score)
+            for r in classifier_score_weighted(
+                df, wdf, n_buckets=128, keep_components=True,
+                hash_family=fam,
+            ).collect()
+        }
+        assert big == lit, fam
+
+
+def test_classifier_score_size_gate_auto_switches(spark):
+    """Past CLF_INLINE_MAX_BUCKETS, classifier_score must route to the
+    broadcast path (same results) — and must refuse to inline a
+    multi-MB constant when no id_col makes the switch possible."""
+    import pytest as _pytest
+
+    from mriya_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta beta")],
+        "doc_id long, text string",
+    )
+    weights = T.hashed_clf_weights(64)
+    want = {
+        r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams)
+        for r in T.classifier_score(
+            df, weights, keep_components=True
+        ).collect()
+    }
+    # shrink the gate so 64 buckets counts as "big"
+    orig = T.CLF_INLINE_MAX_BUCKETS
+    T.CLF_INLINE_MAX_BUCKETS = 32
+    try:
+        with _pytest.raises(ValueError, match="id_col"):
+            T.classifier_score(df, weights)
+        got = {
+            r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams)
+            for r in T.classifier_score(
+                df, weights, keep_components=True, id_col="doc_id"
+            ).collect()
+        }
+    finally:
+        T.CLF_INLINE_MAX_BUCKETS = orig
+    assert got == want
+
+
 def test_bpe_token_ids_match_python_encode(spark):
     """bpe_token_ids == a pure-Python encoder: greedy left-to-right
     merge application per word, lexicographic symbol ids over the
