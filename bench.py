@@ -58,6 +58,13 @@ HEADLINE = [
     "dedup_clusters",        # connected components: label-propagation loop
     "search_bm25_indexed",   # materialized-postings probe (index reused)
     "sketch_hll_portable",   # md5-family HLL registers + merge
+    # r11 additions: the two new scale paths — batched BPE training
+    # feeding real token-id packing (driver round-trip cadence is the
+    # scale lever under test), and the broadcast-join classifier at
+    # production vocab size (the literal-inline alternative would hide
+    # its plan-build cost from single-run audits)
+    "tokenizer_bpe_pack",
+    "text_classifier_score_bigvocab",
 ]
 
 
