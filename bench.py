@@ -213,9 +213,18 @@ def main() -> None:
                     "after dropping each side's first-session epoch "
                     "outlier): r9 14.78s vs r10 14.34s (-3.0%), every "
                     "outside-band delta an improvement. dedup_clusters "
-                    "itself dropped 16.2s -> ~1.5s this round "
+                    "itself dropped 16.2s -> ~1.5s in r10 "
                     "(InferFiltersFromGenerate fix + one shared cache "
-                    "scope, see SCALE.md)."
+                    "scope, see SCALE.md). r11 adds 2 queries to the "
+                    "headline (tokenizer_bpe_pack, "
+                    "text_classifier_score_bigvocab) — r11 totals are NOT "
+                    "comparable to r10; compare per-query or on the "
+                    "30-query common set. r11 order-reversed isolated A/B "
+                    "resolved the r10 text_classifier_score '+25%' as a "
+                    "session-position artifact: the sign flips with "
+                    "within-pair order, min-of-warm overlaps (r9 0.958 vs "
+                    "r10 0.950), and the two tips' executed plans are "
+                    "byte-identical (SCALE.md 'Measurement discipline')."
                 ),
             }
         )

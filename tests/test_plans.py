@@ -562,6 +562,27 @@ def test_pinned_shuffle_counts_on_r9_ops(spark, queries):
     assert got == expected
 
 
+def test_pinned_shuffle_counts_on_r11_ops(spark, queries):
+    """r11 pins. The big-vocab scorer pays exactly the 2 exchanges its
+    design budgets (explode->per-doc re-aggregate, join-back to the
+    doc row) — the price of broadcasting the weight TABLE instead of
+    inlining a multi-MB literal; weights arrive via BroadcastExchange
+    (pinned separately). The BPE pack capstone is bounded at 5: vocab
+    reduce, symbol-id rank, word->ids regroup, per-doc regroup, shard
+    window — everything else is broadcast or scan-local. A 6th
+    exchange means someone broke partitioning reuse or un-broadcast a
+    vocab-sized table."""
+    expected = {
+        "text_classifier_score_bigvocab": 2,
+        "tokenizer_bpe_pack": 5,
+    }
+    got = {
+        name: _audit(queries[name](spark, SF))["shuffles"]
+        for name in expected
+    }
+    assert got == expected
+
+
 def test_pinned_shuffle_counts_on_r8_ops(spark, queries):
     """Same pin for the r8 families. The load-bearing zeros:
     sample_oversample and the bloom screen are SCAN-LOCAL by design —
