@@ -818,7 +818,14 @@ def classifier_score_weighted(
     — the price of not shipping a multi-MB plan constant to every
     task; at fastText-scale vocabularies (2^18+ buckets) the literal
     path's plan-build alone costs more (see
-    ``CLF_INLINE_MAX_BUCKETS``)."""
+    ``CLF_INLINE_MAX_BUCKETS``).
+
+    Contracts: ``id_col`` must be unique (the per-doc re-aggregate
+    and join-back key rows on it; the literal path is per-row and has
+    no such requirement). ``weights_df`` may be SPARSE — a gram whose
+    bucket is absent contributes 0 to the margin (the LEFT join's
+    NULL weight drops out of the SUM), exactly the zero-weight
+    semantics a sparse trained model means."""
     from mriya_spark.portable import md5_long60
 
     if hash_family not in ("md5", "xxhash64"):
