@@ -1212,38 +1212,44 @@ def bpe_token_ids(
     SQL-replayable — a shipped tokenizer would persist this table as
     vocab.json next to merges.txt).
 
-    Scale shape: everything except one corpus pass is vocab-sized.
-    The symbol-id table (≤ alphabet + n_merges rows) and the
-    word -> id-sequence table (distinct-words rows) both broadcast;
-    the corpus is tokenized once with positions (``posexplode``) and
-    re-assembled per doc by sorting (word position, symbol position)
-    structs — each doc's sequence is built inside its own group, no
-    global order anywhere. Docs with no words keep an empty sequence
-    (LEFT join + coalesce)."""
-    from pyspark.sql import Window
-
+    Scale shape: everything except one corpus pass is vocab-sized or
+    smaller. The symbol-id table is ≤ alphabet + n_merges entries —
+    a bounded driver collect (the IVF-centroid control-point
+    pattern), shipped back as ONE SQL-parsed map literal so each
+    vocab word's id sequence is a scan-local ``transform`` (no
+    explode/regroup of the vocabulary and no global symbol sort in
+    the plan: lexicographic ids are assigned driver-side; Python,
+    Spark, and DuckDB all order these [a-z0-9]+ symbols identically
+    — binary/codepoint). The word -> ids table broadcasts; the
+    corpus is tokenized once with positions (``posexplode``) and
+    re-assembled per doc by sorting (word position) structs — each
+    doc's sequence is built inside its own group, no global order
+    anywhere. Docs with no words keep an empty sequence (LEFT join +
+    coalesce). Total exchanges: the vocab reduce, one per-doc group,
+    and whatever the caller does next — the r11 first cut paid two
+    more (symbol-rank window + vocab regroup), removed by the map
+    literal."""
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
-    vseg = bpe_segment_vocab(df, merges, text_col=text_col).select(
-        "word", syms_arr.alias("s")
+    # checkpoint the (vocab-sized) segmented vocabulary: the symbol
+    # collect below and the main DAG both read it — without this the
+    # corpus-sized word reduction would run twice
+    vseg = (
+        bpe_segment_vocab(df, merges, text_col=text_col)
+        .select("word", syms_arr.alias("s"))
+        .localCheckpoint(eager=True)
     )
-    symid = (
-        vseg.select(F.explode("s").alias("sym"))
-        .distinct()
-        .withColumn(
-            "sym_id",
-            F.row_number().over(Window.orderBy("sym")).cast("long"),
-        )
+    syms = sorted(
+        r["sym"]
+        for r in vseg.select(F.explode("s").alias("sym")).distinct().collect()
     )
-    wid = (
-        vseg.select("word", F.posexplode("s").alias("spos", "sym"))
-        .join(F.broadcast(symid), "sym")
-        .groupBy("word")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(spos, sym_id))),"
-                " x -> x.sym_id)"
-            ).alias("word_ids")
-        )
+    sym_map = "map(" + ",".join(
+        f"'{s}',{i + 1}L" for i, s in enumerate(syms)
+    ) + ")"
+    wid = vseg.select(
+        "word",
+        F.expr(f"transform(s, x -> element_at({sym_map}, x))").alias(
+            "word_ids"
+        ),
     )
     toks = F.expr(
         f"filter(split(lower(trim(coalesce({text_col}, ''))), "

@@ -569,12 +569,16 @@ def test_pinned_shuffle_counts_on_r11_ops(spark, queries):
     inlining a multi-MB literal; weights arrive via BroadcastExchange
     (pinned separately). The BPE pack capstone is bounded at 5: vocab
     reduce, symbol-id rank, word->ids regroup, per-doc regroup, shard
-    window — everything else is broadcast or scan-local. A 6th
-    exchange means someone broke partitioning reuse or un-broadcast a
-    vocab-sized table."""
+    window — everything else is broadcast or scan-local. The BPE pack
+    capstone is bounded at 3: vocab reduce, per-doc regroup, shard
+    window — symbol ids are a bounded driver collect shipped back as
+    one map literal (the r11 first cut paid 5, with a symbol-rank
+    window + a vocab regroup the map literal removed). A 4th exchange
+    means someone broke partitioning reuse, un-broadcast a vocab-sized
+    table, or re-planned the symbol table."""
     expected = {
         "text_classifier_score_bigvocab": 2,
-        "tokenizer_bpe_pack": 5,
+        "tokenizer_bpe_pack": 3,
     }
     got = {
         name: _audit(queries[name](spark, SF))["shuffles"]
