@@ -330,17 +330,28 @@ def _nprobe_centroids(
 def _centroid_udf(centroids: list[list[float]], *, nprobe: int):
     """pandas_udf returning the ``nprobe`` nearest centroid ids as a
     struct<c0..c{nprobe-1}: int> (Arrow has no scalar-UDF array return
-    cheaper than a struct of fixed width)."""
+    cheaper than a struct of fixed width).
+
+    The centroid matrix goes out as an EXPLICIT SparkContext
+    broadcast, not a closure capture (r11): a captured numpy array
+    serializes into every task of every stage that runs the UDF —
+    negligible at 16x8 test scale, but a production coarse quantizer
+    (4096 x 768 float64 ≈ 25 MB) would ship per-task; the broadcast
+    ships once per executor and is cached across stages. The UDF
+    dereferences ``.value`` lazily inside the worker."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(centroids, dtype=np.float64).T  # dim x k
+    sc = SparkSession.getActiveSession().sparkContext
+    bmat = sc.broadcast(cmat)
 
     schema = ", ".join(f"c{i} int" for i in range(nprobe))
 
     @pandas_udf(schema)
     def nearest(vecs: pd.Series) -> pd.DataFrame:
         m = np.stack(vecs.to_numpy())  # batch x dim
-        scores = m.astype(np.float64) @ cmat  # batch x k
+        scores = m.astype(np.float64) @ bmat.value  # batch x k
         # stable argsort on (-score, cid): smallest cid wins ties
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.DataFrame(
