@@ -102,12 +102,26 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _array_lit(vals: list[float]) -> Column:
+    """A float-array constant as ONE SQL-parsed expression: building
+    it from per-element ``F.lit`` costs a py4j round-trip per element
+    (seconds at production dims — the measured r9 plan-build trap,
+    see ``classifier_score``'s weight literal). ``repr(float)`` is the
+    shortest round-trip decimal, so the parsed doubles are
+    bit-identical to what ``F.lit`` would ship."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec, lit_plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        bit = F.when(
+            _dot(vec, _array_lit(plane)) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(0)
         bucket = bucket.bitwiseOR(bit)
     return bucket
 
@@ -547,10 +561,7 @@ def ivf_portable_topk(
     shuffle on query_id.
     """
     dots = F.array(
-        *[
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+        *[_dot(F.col(vec_col), _array_lit(c)) for c in centroids]
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
