@@ -87,13 +87,17 @@ def hll_estimate(s_int: Column, n_empty: Column) -> Column:
     is one division on identical operands; the small-range
     linear-counting branch indexes the precomputed literal table."""
     est_raw = F.lit(HLL_SCALE) / s_int
+    # one SQL-parsed array constant, not 256 F.lit py4j round-trips
+    # (the measured r9 plan-build trap); repr round-trips each double
+    # exactly, so the parsed constants match the oracle's (which
+    # hll_sql_parts interpolates from the same reprs)
+    lc_lit = F.expr(
+        "array(" + ",".join(f"{v!r}D" for v in HLL_LC_TABLE) + ")"
+    )
     return F.round(
         F.when(
             (est_raw <= 2.5 * HLL_M) & (n_empty > 0),
-            F.element_at(
-                F.array(*[F.lit(v) for v in HLL_LC_TABLE]),
-                n_empty.cast("int"),
-            ),
+            F.element_at(lc_lit, n_empty.cast("int")),
         ).otherwise(est_raw),
         4,
     )
