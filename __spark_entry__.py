@@ -98,10 +98,22 @@ def _gate_digests(root: Path | None = None) -> dict[str, dict]:
     return doc if isinstance(doc, dict) else {}
 
 
-def _oracle_digest(sql: str) -> str:
+def _query_digest(fn: Callable, oracle: str | None) -> str:
+    """Identity of a query's CURRENT form: md5 of its oracle SQL plus
+    the registered function's bytecode (``co_code`` — implementation-
+    sensitive, docstring/comment-insensitive, so prose edits don't
+    burn gate slots). Boundary, stated honestly: an edit to a SHARED
+    op the function calls does not change its co_code — those edits
+    re-verify via tests/tri-SF sweeps, not via gate re-priority. A
+    Python-version bump changes co_code wholesale; the registry would
+    then re-record over the following rounds and self-heal."""
     import hashlib
 
-    return hashlib.md5(sql.encode("utf-8")).hexdigest()[:16]
+    h = hashlib.md5()
+    if oracle is not None:
+        h.update(oracle.encode("utf-8"))
+    h.update(getattr(getattr(fn, "__code__", None), "co_code", b""))
+    return h.hexdigest()[:16]
 
 
 def _gate_sort_key(
@@ -109,28 +121,36 @@ def _gate_sort_key(
     history: dict[str, tuple[int, int, bool]],
     oracles: dict[str, str],
     reg_index: dict[str, int],
-    digests: dict[str, dict],
+    stored_digests: dict[str, dict],
+    live_digests: dict[str, str] | None = None,
 ) -> tuple[int, int, int]:
     rec = history.get(name)
     if rec is None:
         return (0, 0, reg_index[name])
     tier, rnd, rows_only = rec
+    side = stored_digests.get(name)
+    live = (live_digests or {}).get(name)
+    changed = side is not None and (
+        (live is not None and side.get("digest") != live)
+        or int(side.get("since", 0)) > rnd
+    )
     if name in oracles:
         if rows_only:
             # upgraded: its official record predates its oracle — the
             # hash-green flip needs a slot as much as a brand-new query
             return (0, rnd, reg_index[name])
-        side = digests.get(name)
-        if side is not None and (
-            side.get("digest") != _oracle_digest(oracles[name])
-            or int(side.get("since", 0)) > rnd
-        ):
+        if changed:
             # materially changed AFTER its newest official row (r10
             # judge directive 2): a green row describing retired code
             # must not let the edited query coast — re-record it in
             # its change round, like a brand-new registration
             return (0, rnd, reg_index[name])
     elif tier == 2:
+        if changed:
+            # a materially changed rows-only query re-records promptly
+            # too — its weak rows-only row still shouldn't describe
+            # retired code
+            return (0, rnd, reg_index[name])
         # rows-only BY DESIGN and green (r10 judge directive 7): its
         # official row can only ever be a weak rows-only check and
         # every such query has a hash-green portable twin carrying the
@@ -146,12 +166,15 @@ def _gate_order() -> list[str]:
     history = _gate_history()
     registry = _registry.queries()
     oracles = _registry.oracle_sql()
-    digests = _gate_digests()
+    stored = _gate_digests()
+    live = {
+        n: _query_digest(fn, oracles.get(n)) for n, fn in registry.items()
+    }
     reg_index = {n: i for i, n in enumerate(registry)}
     return sorted(
         registry,
         key=lambda n: _gate_sort_key(
-            n, history, oracles, reg_index, digests
+            n, history, oracles, reg_index, stored, live
         ),
     )
 

@@ -247,10 +247,14 @@ def test_gate_order_is_staleness_first():
 
     oracles = lib_oracles()
     reg_index = {n: i for i, n in enumerate(REGISTRY)}
-    digests = entry_mod._gate_digests()
+    stored = entry_mod._gate_digests()
+    live = {
+        n: entry_mod._query_digest(fn, oracles.get(n))
+        for n, fn in lib_queries().items()
+    }
     keys = [
         entry_mod._gate_sort_key(
-            n, history, oracles, reg_index, digests
+            n, history, oracles, reg_index, stored, live
         )[:2]
         for n in names
     ]
@@ -306,16 +310,16 @@ def test_gate_history_tiers_from_synthetic_files(tmp_path):
     # an oracle it stays a stale-green tier-2 entry
     reg_index = {"rows_only": 0, "green_only": 1}
     assert entry_mod._gate_sort_key(
-        "rows_only", hist, {"rows_only": "SELECT 1"}, reg_index, {}
+        "rows_only", hist, {"rows_only": "SELECT 1"}, reg_index, {}, {}
     )[0] == 0
     # rows-only BY DESIGN (r10 judge directive 7): green but
     # deprioritized BELOW fresh greens — slots go to hash-checkable rows
     assert entry_mod._gate_sort_key(
-        "rows_only", hist, {}, reg_index, {}
+        "rows_only", hist, {}, reg_index, {}, {}
     )[0] == 3
     # an oracled green (digest unchanged) stays tier 2
     assert entry_mod._gate_sort_key(
-        "green_only", hist, {"green_only": "SELECT 2"}, reg_index, {}
+        "green_only", hist, {"green_only": "SELECT 2"}, reg_index, {}, {}
     )[0] == 2
 
 
@@ -330,24 +334,36 @@ def test_gate_reprioritizes_materially_changed_queries():
     hist = {"q": (2, 9, False)}
     reg_index = {"q": 0}
     oracles = {"q": "SELECT 1"}
-    dig = entry_mod._oracle_digest("SELECT 1")
+    dig = entry_mod._query_digest(lambda s, d: None, "SELECT 1")
     # digest matches, recorded after since -> normal stale-green tier
     assert entry_mod._gate_sort_key(
-        "q", hist, oracles, reg_index, {"q": {"digest": dig, "since": 0}}
+        "q", hist, oracles, reg_index,
+        {"q": {"digest": dig, "since": 0}}, {"q": dig},
     )[0] == 2
-    # oracle changed after the official row (since > recorded round)
-    assert entry_mod._gate_sort_key(
-        "q", hist, oracles, reg_index, {"q": {"digest": dig, "since": 10}}
-    )[0] == 0
-    # live oracle no longer matches the sidecar (edit, sidecar stale)
+    # changed after the official row (since > recorded round)
     assert entry_mod._gate_sort_key(
         "q", hist, oracles, reg_index,
-        {"q": {"digest": "dead", "since": 0}},
+        {"q": {"digest": dig, "since": 10}}, {"q": dig},
+    )[0] == 0
+    # live digest no longer matches the sidecar (edit, sidecar stale)
+    assert entry_mod._gate_sort_key(
+        "q", hist, oracles, reg_index,
+        {"q": {"digest": "dead", "since": 0}}, {"q": dig},
     )[0] == 0
     # no sidecar at all (fresh checkout): no re-prioritization
     assert entry_mod._gate_sort_key(
-        "q", hist, oracles, reg_index, {}
+        "q", hist, oracles, reg_index, {}, {"q": dig}
     )[0] == 2
+    # a materially changed ROWS-ONLY query also re-records promptly
+    ro_hist = {"r": (2, 9, True)}
+    assert entry_mod._gate_sort_key(
+        "r", ro_hist, {}, {"r": 0},
+        {"r": {"digest": "dead", "since": 0}}, {"r": "live"},
+    )[0] == 0
+    assert entry_mod._gate_sort_key(
+        "r", ro_hist, {}, {"r": 0},
+        {"r": {"digest": "live", "since": 0}}, {"r": "live"},
+    )[0] == 3
 
 
 def test_bucketed_join_has_no_exchange_on_either_side(spark):

@@ -12,7 +12,11 @@ query's oracle SQL, and treat a digest that changed AFTER the query's
 newest official row as "never recorded" so the gate re-records it in
 its change round.
 
-Sidecar format: ``{name: {"digest": md5(oracle_sql), "since": N}}``
+Sidecar format: ``{name: {"digest": md5(oracle_sql + fn co_code),
+"since": N}}`` (the digest formula lives in
+``__spark_entry__._query_digest`` — oracle semantics + query-function
+bytecode, docstring-insensitive; shared-op edits are out of scope and
+covered by tests/sweeps instead)
 where ``since`` is the round whose gate first ran with this digest
 (current round = max recorded CORRECTNESS round + 1 at update time).
 Queries without an oracle carry no digest — they are rows-only by
@@ -30,7 +34,6 @@ Usage: python tools/update_gate_digests.py [--dry-run]
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import re
@@ -42,8 +45,6 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIDECAR = os.path.join(ROOT, "GATE_DIGESTS.json")
 
 
-def oracle_digest(sql: str) -> str:
-    return hashlib.md5(sql.encode("utf-8")).hexdigest()[:16]
 
 
 def current_round() -> int:
@@ -60,9 +61,11 @@ def main() -> None:
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
+    import __spark_entry__ as entry_mod
     from mriya_spark import queries as registry
 
     oracles = registry.oracle_sql()
+    fns = registry.queries()
     bootstrap = not os.path.exists(SIDECAR)
     try:
         with open(SIDECAR) as fh:
@@ -80,8 +83,8 @@ def main() -> None:
     first_since = 0 if bootstrap else rnd
     out: dict[str, dict] = {}
     changed, new, dropped = [], [], []
-    for name, sql in oracles.items():
-        dig = oracle_digest(sql)
+    for name, fn in fns.items():
+        dig = entry_mod._query_digest(fn, oracles.get(name))
         prev = stored.get(name)
         if prev is None:
             # first sighting: a brand-new query is tier-0 via its
@@ -96,11 +99,11 @@ def main() -> None:
         else:
             out[name] = prev
     for name in stored:
-        if name not in oracles:
+        if name not in fns:
             dropped.append(name)
 
     print(
-        f"round {rnd}: {len(out)} oracled queries — "
+        f"round {rnd}: {len(out)} queries — "
         f"{len(new)} new, {len(changed)} changed, {len(dropped)} dropped"
     )
     for n in changed:
