@@ -9,11 +9,17 @@ All query logic lives in ``mriya_spark`` (see SURVEY.md §7). This
 module re-exports the registry and applies one piece of harness
 policy: the driver's gate records a capped number of entries per
 round, so ``queries()``/``oracle_sql()`` yield the registry ordered
-by official-record staleness (never-recorded first, then regressed,
-then stalest-green) so coverage rotates and no query's newest
-official row goes stale. That ordering is a property of THIS driver
-contract, not of the library — ``mriya_spark.queries.queries()``
-returns plain registration order.
+by official-record staleness — never-recorded, rows-only-upgraded,
+and MATERIALLY CHANGED queries first (change = the GATE_DIGESTS.json
+sidecar's oracle+bytecode digest moved after the query's newest
+official row — r10 judge directive 2, so a green row describing
+retired code never lets an edited query coast), then regressed, then
+stalest-green; rows-only-BY-DESIGN queries rotate last (directive 7:
+their official rows are weak rows-only checks and each has a
+hash-green portable twin, so capped slots go to hash-checkable rows).
+That ordering is a property of THIS driver contract, not of the
+library — ``mriya_spark.queries.queries()`` returns plain
+registration order.
 """
 
 from __future__ import annotations

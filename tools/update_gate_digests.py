@@ -19,8 +19,9 @@ bytecode, docstring-insensitive; shared-op edits are out of scope and
 covered by tests/sweeps instead)
 where ``since`` is the round whose gate first ran with this digest
 (current round = max recorded CORRECTNESS round + 1 at update time).
-Queries without an oracle carry no digest — they are rows-only by
-design and the gate deprioritizes them separately.
+Rows-only queries are digested too (bytecode only): a materially
+changed rows-only query re-records promptly even though the
+unchanged ones rotate last.
 
 Run this EVERY round as part of the hygiene loop (after any oracle
 edit, before the driver's gate). Forgetting is safe but wasteful:
