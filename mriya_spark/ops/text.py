@@ -1047,6 +1047,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     max_batch: int = 1,
+    word_freq: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns
     ``[(left_sym, right_sym, weighted_pair_count), ...]`` in learned
@@ -1087,8 +1088,18 @@ def bpe_train(
     symbol, breaking the counts-never-increase premise). With
     ``max_batch=1`` the loop is exactly the classic sequential
     trainer. Parity is property-tested against the pure-Python model
-    on tie-heavy corpora."""
-    vocab = bpe_word_freq(df, text_col=text_col).localCheckpoint(eager=True)
+    on tie-heavy corpora.
+
+    ``word_freq``: a precomputed ``bpe_word_freq`` frame to train
+    over instead of re-deriving it — callers that ALSO need the
+    vocabulary downstream (``bpe_token_ids`` in the corpus→windows
+    capstone) share ONE corpus word reduce across train and encode;
+    pass it cached/checkpointed, since round 1 reads it twice."""
+    vocab = (
+        word_freq
+        if word_freq is not None
+        else bpe_word_freq(df, text_col=text_col).localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
@@ -1174,14 +1185,21 @@ def bpe_segment_vocab(
     merges: list[tuple[str, str, int]],
     *,
     text_col: str = "text",
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge list to the corpus vocabulary: the
     (word, cnt, seq, n_syms) table after replaying every merge in
     order — 1 projection with ``len(merges)`` chained scan-local
     replaces, no per-round jobs. This IS the tokenizer's applied
     form: joining corpus words against it segments the corpus under
-    the learned vocab (the train->serve pair of ``bpe_train``)."""
-    vocab = bpe_word_freq(df, text_col=text_col)
+    the learned vocab (the train->serve pair of ``bpe_train``).
+    ``word_freq`` shares a precomputed vocabulary frame (see
+    ``bpe_train``)."""
+    vocab = (
+        word_freq
+        if word_freq is not None
+        else bpe_word_freq(df, text_col=text_col)
+    )
     for left, right, _cnt in merges:
         vocab = vocab.withColumn(
             "seq",
@@ -1203,6 +1221,7 @@ def bpe_token_ids(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """REAL per-doc token-id sequences under a learned merge list —
     the encode output a pretraining pipeline feeds to packing
@@ -1228,13 +1247,15 @@ def bpe_token_ids(
     coalesce). Total exchanges: the vocab reduce, one per-doc group,
     and whatever the caller does next — the r11 first cut paid two
     more (symbol-rank window + vocab regroup), removed by the map
-    literal."""
+    literal. ``word_freq`` shares a precomputed vocabulary frame with
+    training (see ``bpe_train``) — without it, a train-then-encode
+    caller pays the corpus word reduce twice."""
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     # checkpoint the (vocab-sized) segmented vocabulary: the symbol
     # collect below and the main DAG both read it — without this the
     # corpus-sized word reduction would run twice
     vseg = (
-        bpe_segment_vocab(df, merges, text_col=text_col)
+        bpe_segment_vocab(df, merges, text_col=text_col, word_freq=word_freq)
         .select("word", syms_arr.alias("s"))
         .localCheckpoint(eager=True)
     )

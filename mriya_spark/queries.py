@@ -4809,16 +4809,24 @@ def tokenizer_bpe_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pack_windows`` math the whitespace packer uses. EVERY token id
     of every document is hash-checked, plus each doc's window span —
     a wrong merge, a wrong symbol id, a single out-of-order token, or
-    a packing off-by-one anywhere fails the gate. Plan: training's
-    vocab-sized rounds, then one corpus tokenize with positions, two
-    broadcast joins (symbol table ≤ alphabet+merges rows; word->ids
-    table vocab-sized), one per-doc group, one shard window — no
-    global sort, no row-wise Python."""
-    from mriya_spark.ops.text import bpe_token_ids, bpe_train, pack_windows
+    a packing off-by-one anywhere fails the gate. Plan: ONE corpus
+    word reduce shared by training and encode (the checkpointed
+    ``word_freq`` — train-then-encode would otherwise pay the
+    corpus-sized pass twice), training's vocab-sized rounds, then one
+    corpus tokenize with positions, two broadcast joins (symbol table
+    ≤ alphabet+merges rows; word->ids table vocab-sized), one per-doc
+    group, one shard window — no global sort, no row-wise Python."""
+    from mriya_spark.ops.text import (
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+        pack_windows,
+    )
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
-    merges = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6)
-    ids = bpe_token_ids(docs, merges)
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    merges = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf)
+    ids = bpe_token_ids(docs, merges, word_freq=wf)
     return pack_windows(
         ids,
         context_tokens=256,

@@ -1483,6 +1483,32 @@ def test_bpe_token_ids_match_python_encode(spark):
     assert n == {i: len(v) for i, v in want.items()}
 
 
+def test_bpe_shared_word_freq_is_identical(spark):
+    """Threading one checkpointed ``bpe_word_freq`` frame through
+    train AND encode (the pack capstone's single-corpus-reduce shape)
+    yields exactly the merges and token ids of the rederive-each-time
+    path — sharing is a pure plan optimization, never a semantic
+    fork."""
+    from mriya_spark.ops.text import bpe_token_ids, bpe_train, bpe_word_freq
+
+    texts = ["low lower lowest", "", "new low newer", "aaa aa low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = bpe_word_freq(df).localCheckpoint(eager=True)
+    merges_shared = bpe_train(df, n_merges=4, word_freq=wf)
+    assert merges_shared == bpe_train(df, n_merges=4)
+    want = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(df, merges_shared).collect()
+    }
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(df, merges_shared, word_freq=wf).collect()
+    }
+    assert got == want
+
+
 def test_qsketch_grouped_oracle_is_null_safe(spark):
     """r10 advice (medium): the DuckDB oracle must keep NULL-segment
     rows exactly like the Spark side's eqNullSafe join does — both in
