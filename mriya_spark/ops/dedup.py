@@ -529,10 +529,17 @@ def connected_components(
     # the pair-generation pipeline from re-running per round); the
     # returned labels are checkpointed, so they outlive the cache scope
     with cache_scope():
+        # hash-partitioned on v, the key EVERY round joins labels on:
+        # the cached InMemoryRelation keeps this outputPartitioning, so
+        # at edge volumes past the broadcast threshold each round's
+        # join leaves the (big) edge side exchange-free and shuffles
+        # only the vertex-sized labels — the pagerank r11 posture;
+        # locally the stats-bearing cache still broadcasts
         edges = scoped_persist(
             pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
             .distinct()
+            .repartition(F.col("v"))
         )
         return _propagate_min_labels(edges, max_iterations)
 

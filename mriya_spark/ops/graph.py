@@ -33,6 +33,28 @@ def pagerank(
     """Ranks after ``iters`` synchronous power iterations over the
     directed edge set (duplicate edges count as parallel edges).
     Returns (id, rank); ranks sum to ~1.0 (invariant-tested)."""
+    from mriya_spark.caching import cache_scope, scoped_persist
+
+    with cache_scope():
+        return _pagerank_scoped(
+            edges, damping=damping, iters=iters, src=src, dst=dst,
+            scoped_persist=scoped_persist,
+        )
+
+
+def _pagerank_scoped(edges, *, damping, iters, src, dst, scoped_persist):
+    # the edge set is the LOOP INVARIANT every iteration joins: persist
+    # it once, hash-partitioned on src (GraphX's posture). Without the
+    # persist each round re-derives it from source tables — at 100 TB
+    # that is iters redundant fact-table scans/joins/distincts (found
+    # r11: the eager with_deg checkpoint hid it from the final plan
+    # audit). persist, not localCheckpoint: the cached plan keeps real
+    # size STATISTICS and the repartition's outputPartitioning, so
+    # Catalyst broadcasts small edge sets and reuses the src
+    # partitioning (exchange-free edge side) on big ones — a
+    # checkpoint's LogicalRDD has neither, forcing a per-round
+    # both-sides SortMergeJoin shuffle
+    edges = scoped_persist(edges.repartition(F.col(src)))
     # verts and deg are reused EVERY iteration (two joins each round):
     # checkpoint them once so no round re-derives them from the edges
     verts = (
