@@ -1249,7 +1249,15 @@ def bpe_token_ids(
     more (symbol-rank window + vocab regroup), removed by the map
     literal. ``word_freq`` shares a precomputed vocabulary frame with
     training (see ``bpe_train``) — without it, a train-then-encode
-    caller pays the corpus word reduce twice."""
+    caller pays the corpus word reduce twice.
+
+    Honest ceiling (same class as ``CLF_INLINE_MAX_BUCKETS``): the
+    symbol-id map literal is alphabet+n_merges entries — right at the
+    12-merge gate size, and fine to a few thousand; a production
+    30k-merge vocab would put a ~1 MB constant in every task binary,
+    where the r11-removed explode→join→regroup form (2 extra
+    vocab-sized shuffles, symbol table broadcast) becomes the correct
+    trade again."""
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     # checkpoint the (vocab-sized) segmented vocabulary: the symbol
     # collect below and the main DAG both read it — without this the
