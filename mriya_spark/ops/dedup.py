@@ -529,17 +529,19 @@ def connected_components(
     # the pair-generation pipeline from re-running per round); the
     # returned labels are checkpointed, so they outlive the cache scope
     with cache_scope():
-        # hash-partitioned on v, the key EVERY round joins labels on:
-        # the cached InMemoryRelation keeps this outputPartitioning, so
-        # at edge volumes past the broadcast threshold each round's
-        # join leaves the (big) edge side exchange-free and shuffles
-        # only the vertex-sized labels — the pagerank r11 posture;
-        # locally the stats-bearing cache still broadcasts
+        # deliberately NOT pre-partitioned on v (the pagerank r11
+        # posture was tried and reverted here): near-dup graphs are
+        # near-cliques, so the per-round join key v is exactly the
+        # skew axis — a pinned hashpartitioning(v) cache concentrates
+        # hot components AND removes the per-round shuffle stage AQE
+        # needs to split skewed partitions at scale. Measured r11
+        # (isolated A/B, dedup_clusters sf0.1): repartition variants
+        # 0-12% SLOWER locally, never faster; distinct()'s (u,v)
+        # spread + per-round AQE re-plan keeps skew mitigation live
         edges = scoped_persist(
             pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
             .distinct()
-            .repartition(F.col("v"))
         )
         return _propagate_min_labels(edges, max_iterations)
 
