@@ -803,6 +803,35 @@ def test_pagerank_invariants(spark):
     assert pagerank(empty, iters=2).count() == 0
 
 
+def test_pagerank_materializes_edge_derivation_once(spark):
+    """The r11 trap, pinned: the edge-set derivation must run ~once
+    (persisted loop invariant), not once per checkpoint job. An
+    accumulator-tagged projection counts how many times edge rows are
+    actually produced — without the persist, verts/deg/5 iterations
+    each re-derive the edges and the count multiplies ~7x."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.graph import pagerank
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def tag(x):
+        acc.add(1)
+        return x
+
+    n_edges = 120
+    edges = spark.range(n_edges).select(
+        tag((F.col("id") % 12)).alias("src"),
+        (F.col("id") % 11 + 100).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=5)
+    assert abs(sum(r.rank for r in ranks.collect()) - 1.0) < 1e-6
+    # one cache build (+ slack for the rare recomputed/speculated
+    # partition); the recompute bug would score >= 3x n_edges
+    assert acc.value <= 2 * n_edges, acc.value
+
+
 def test_substring_self_spans_planted(spark):
     """A doc that repeats a 10-token block internally reports one
     maximal self-span with exact offsets; a repetition-free doc
