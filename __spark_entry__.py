@@ -106,19 +106,51 @@ def _gate_digests(root: Path | None = None) -> dict[str, dict]:
 
 def _query_digest(fn: Callable, oracle: str | None) -> str:
     """Identity of a query's CURRENT form: md5 of its oracle SQL plus
-    the registered function's bytecode (``co_code`` — implementation-
-    sensitive, docstring/comment-insensitive, so prose edits don't
-    burn gate slots). Boundary, stated honestly: an edit to a SHARED
-    op the function calls does not change its co_code — those edits
-    re-verify via tests/tri-SF sweeps, not via gate re-priority. A
-    Python-version bump changes co_code wholesale; the registry would
-    then re-record over the following rounds and self-heal."""
+    the registered function's bytecode (``co_code``) AND its constants
+    (``co_consts``, recursing into nested code objects) — r11 ADVICE:
+    ``co_code`` alone is identical across constant-only edits (a
+    max_batch / bucket-count / threshold tweak), which is exactly the
+    materially-changed class the sidecar exists to re-prioritize. The
+    registered function's own docstring slot is skipped, so prose
+    edits still don't burn gate slots. Boundaries, stated honestly:
+    (1) an edit to a SHARED op the function calls does not change its
+    digest — those edits re-verify via tests/tri-SF sweeps, not gate
+    re-priority; (2) a docstring edit on a NESTED def (e.g. an inner
+    pandas UDF) DOES change the digest — no runtime-reliable way to
+    identify nested docstring slots, and one wasted slot beats a
+    missed constant edit; (3) frozenset/set constants hash in sorted
+    order (set iteration order is hash-seed-dependent across
+    processes). A Python-version bump changes co_code wholesale; the
+    registry would then re-record over following rounds and
+    self-heal."""
     import hashlib
+    import types
 
     h = hashlib.md5()
     if oracle is not None:
         h.update(oracle.encode("utf-8"))
-    h.update(getattr(getattr(fn, "__code__", None), "co_code", b""))
+
+    def nrepr(c) -> str:
+        if isinstance(c, (frozenset, set)):
+            return "{" + ",".join(sorted(map(nrepr, c))) + "}"
+        if isinstance(c, tuple):
+            return "(" + ",".join(nrepr(x) for x in c) + ")"
+        return repr(c)
+
+    def upd(code, skip_doc: bool) -> None:
+        h.update(code.co_code)
+        for i, c in enumerate(code.co_consts):
+            if i == 0 and skip_doc and isinstance(c, str):
+                continue
+            if isinstance(c, types.CodeType):
+                upd(c, False)
+            else:
+                h.update(nrepr(c).encode("utf-8", "backslashreplace"))
+            h.update(b"\x00")
+
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        upd(code, getattr(fn, "__doc__", None) is not None)
     return h.hexdigest()[:16]
 
 

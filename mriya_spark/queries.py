@@ -4792,7 +4792,7 @@ def _bpe_pack_oracle_sql(
              AS start_window,
            CAST(floor((cum + greatest(n_tokens, 1) - 1)
                       / {context_tokens}.0) AS BIGINT) AS end_window,
-           token_ids
+           array_to_string(token_ids, ',') AS token_ids
     FROM packed
     """
     )
@@ -4809,7 +4809,13 @@ def tokenizer_bpe_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pack_windows`` math the whitespace packer uses. EVERY token id
     of every document is hash-checked, plus each doc's window span —
     a wrong merge, a wrong symbol id, a single out-of-order token, or
-    a packing off-by-one anywhere fails the gate. Plan: ONE corpus
+    a packing off-by-one anywhere fails the gate. The sequence ships
+    as a comma-joined STRING (``array_join`` here, ``array_to_string``
+    in the oracle): the driver's canonicalizer row-sorts with pandas
+    ``sort_values``, which crashes on array cells (the r11 red row) —
+    serializing keeps every id hash-checked while keeping the output
+    schema primitive-only, the registry-wide rule
+    ``tools/check_oracle_types.py`` now enforces. Plan: ONE corpus
     word reduce shared by training and encode (the checkpointed
     ``word_freq`` — train-then-encode would otherwise pay the
     corpus-sized pass twice), training's vocab-sized rounds, then one
@@ -4827,12 +4833,15 @@ def tokenizer_bpe_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = bpe_word_freq(docs).localCheckpoint(eager=True)
     merges = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf)
     ids = bpe_token_ids(docs, merges, word_freq=wf)
-    return pack_windows(
+    packed = pack_windows(
         ids,
         context_tokens=256,
         shards=8,
         count_col="n_bpe_tokens",
         carry_cols=("token_ids",),
+    )
+    return packed.withColumn(
+        "token_ids", F.array_join("token_ids", ",")
     )
 
 

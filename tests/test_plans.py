@@ -583,10 +583,8 @@ def test_pinned_shuffle_counts_on_r11_ops(spark, queries):
     design budgets (explode->per-doc re-aggregate, join-back to the
     doc row) — the price of broadcasting the weight TABLE instead of
     inlining a multi-MB literal; weights arrive via BroadcastExchange
-    (pinned separately). The BPE pack capstone is bounded at 5: vocab
-    reduce, symbol-id rank, word->ids regroup, per-doc regroup, shard
-    window — everything else is broadcast or scan-local. The BPE pack
-    capstone is bounded at 3: vocab reduce, per-doc regroup, shard
+    (pinned separately). The BPE pack capstone is bounded at 3: vocab
+    reduce, per-doc regroup, shard
     window — symbol ids are a bounded driver collect shipped back as
     one map literal (the r11 first cut paid 5, with a symbol-rank
     window + a vocab regroup the map literal removed). A 4th exchange
@@ -675,3 +673,54 @@ def test_classifier_training_pass_has_one_exchange(spark):
         .agg(F.sum(F.col("y") * F.col("x.cnt")).alias("g"))
     )
     assert n_shuffles(executed_plan(grad)) == 1
+
+
+def test_registry_outputs_are_primitive_only(spark, queries):
+    """r11 red-row regression guard (r11 judge directive 2c): the
+    driver's canonicalizer row-sorts results with pandas
+    ``sort_values``, which crashes on nested cells (``TypeError:
+    unhashable type: 'list'`` — the `tokenizer_bpe_pack` r11 FAIL).
+    Every registered query's Spark output schema must therefore be
+    primitive-only: no ArrayType/MapType/StructType at the top level.
+    Sequences ship serialized (``array_join``), like the pack
+    capstone's token_ids. This builds all ~200 DataFrames at sf0.001
+    (the streaming queries execute their micro-batches), so it is the
+    suite's slowest single test — deliberately: it is the only guard
+    that sees the SPARK side of every output schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in queries.items():
+        schema = fn(spark, SF).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, field.name, str(field.dataType)))
+    assert not bad, (
+        "nested output columns would crash the driver's canonicalizer "
+        f"(serialize them): {bad}"
+    )
+
+
+def test_oracle_declared_types_are_primitive_only():
+    """The DuckDB half of the same guard: every oracle's DECLARED
+    column types (LIMIT-0 cursor description — catches widenings like
+    HUGEINT that pandas hides) must be in the engine-native primitive
+    set; LIST/ARRAY/MAP/STRUCT are rejected outright (the r11
+    `tokenizer_bpe_pack` lesson — tools/check_oracle_types.py's old
+    "LIST/ARRAY thereof" allowance is gone)."""
+    import duckdb
+
+    from tools.check_oracle_types import TABLES, bad_types
+
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = {}
+    for name, sql in oracles.items():
+        rel = con.sql(sql)
+        found = bad_types(list(zip(rel.columns, (str(t) for t in rel.types))))
+        if found:
+            bad[name] = found
+    assert not bad, f"non-primitive oracle output types: {bad}"

@@ -30,7 +30,24 @@ TABLES = (
 
 
 def canonical_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash, canonicalized the DRIVER's way.
+
+    The driver row-sorts with pandas ``DataFrame.sort_values`` over all
+    columns (name-sorted) BEFORE hashing — which raises ``TypeError:
+    unhashable type`` on array/map/struct cells. The r11 replica
+    stringified list cells instead, so the replica said green where the
+    driver said red (`tokenizer_bpe_pack`, CORRECTNESS_r11). Now the
+    replica performs the same ``sort_values`` first, so any output the
+    driver cannot canonicalize crashes HERE first (replica-green implies
+    driver-green again); the hash itself stays the validated
+    string-normalized form (row-order-insensitive, so the extra sort
+    does not change any previously-green hash).
+    """
     df = df[sorted(df.columns)].copy()
+    if len(df.columns) and len(df):
+        # driver-parity guard: crashes on unhashable (array/map/struct)
+        # cells exactly like the driver's canonicalizer
+        df = df.sort_values(list(df.columns), kind="stable")
 
     def norm(v):
         if v is None:
@@ -43,9 +60,6 @@ def canonical_hash(df: pd.DataFrame) -> str:
             return f"{v:.9g}"
         if isinstance(v, pd.Timestamp):
             return v.floor("us").isoformat()
-        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
-            seq = v.tolist() if hasattr(v, "tolist") else list(v)
-            return "[" + ",".join(norm(x) for x in seq) + "]"
         if isinstance(v, bytes):
             return v.hex()
         return str(v)

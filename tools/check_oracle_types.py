@@ -9,8 +9,14 @@ the declared result type of each oracle column (via ``LIMIT 0`` +
 cursor description) and flags any type outside the engine-native
 primitive set the registry's hash-safety rule allows
 (``mriya_spark/queries.py:10-11``): BIGINT/INTEGER/SMALLINT/TINYINT,
-DOUBLE/FLOAT, VARCHAR, BOOLEAN, DATE, TIMESTAMP, BLOB, and LIST/ARRAY
-thereof.
+DOUBLE/FLOAT, VARCHAR, BOOLEAN, DATE, TIMESTAMP, BLOB — PRIMITIVES
+ONLY. LIST/ARRAY/MAP/STRUCT outputs are REJECTED: the r11 official
+gate proved the driver's canonicalizer crashes on array cells
+(pandas ``sort_values`` → ``TypeError: unhashable type: 'list'``,
+`tokenizer_bpe_pack` CORRECTNESS_r11) — an earlier revision of this
+tool whitelisted "LIST/ARRAY thereof" on the now-disproven claim
+that the driver handles them. Serialize sequences to VARCHAR
+(``array_join`` / ``array_to_string``) instead.
 
 Usage: python tools/check_oracle_types.py [--sf DIR] [names...]
 Exit status 1 if any oracle declares a widened type.
@@ -20,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 import duckdb
@@ -32,7 +37,8 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# Types the driver's canonicalizer handles identically to Spark's.
+# Primitive types the driver's canonicalizer PROVABLY handles (r11:
+# anything nested — LIST/ARRAY/MAP/STRUCT — crashes its sort_values).
 _OK = {
     "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
     "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "BLOB",
@@ -44,8 +50,8 @@ def bad_types(coltypes: list[tuple[str, str]]) -> list[tuple[str, str]]:
     out = []
     for name, t in coltypes:
         base = t.strip().upper()
-        # unwrap LIST/ARRAY wrappers: e.g. DOUBLE[] or BIGINT[8]
-        base = re.sub(r"\[\d*\]$", "", base).strip()
+        # no unwrapping: DOUBLE[] / BIGINT[8] / MAP(...) / STRUCT(...)
+        # all fail — the driver cannot canonicalize nested cells
         if base not in _OK:
             out.append((name, t))
     return out

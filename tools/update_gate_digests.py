@@ -12,11 +12,11 @@ query's oracle SQL, and treat a digest that changed AFTER the query's
 newest official row as "never recorded" so the gate re-records it in
 its change round.
 
-Sidecar format: ``{name: {"digest": md5(oracle_sql + fn co_code),
-"since": N}}`` (the digest formula lives in
+Sidecar format: ``{name: {"digest": md5(oracle_sql + fn co_code +
+co_consts recursed), "since": N}}`` (the digest formula lives in
 ``__spark_entry__._query_digest`` — oracle semantics + query-function
-bytecode, docstring-insensitive; shared-op edits are out of scope and
-covered by tests/sweeps instead)
+bytecode + constants, own-docstring-insensitive; shared-op edits are
+out of scope and covered by tests/sweeps instead)
 where ``since`` is the round whose gate first ran with this digest
 (current round = max recorded CORRECTNESS round + 1 at update time).
 Rows-only queries are digested too (bytecode only): a materially
@@ -60,6 +60,19 @@ def current_round() -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--migrate",
+        action="store_true",
+        help=(
+            "digest-ALGORITHM change mode: recompute every digest with "
+            "the current _query_digest but PRESERVE each entry's "
+            "existing 'since' round. Run at the code tip the old "
+            "digests described, BEFORE real edits — otherwise an "
+            "algorithm change (e.g. the r12 co_consts extension) would "
+            "stamp the whole registry 'changed' and dump 199 tier-0 "
+            "entries into one round's capped gate."
+        ),
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -87,6 +100,11 @@ def main() -> None:
     for name, fn in fns.items():
         dig = entry_mod._query_digest(fn, oracles.get(name))
         prev = stored.get(name)
+        if args.migrate and prev is not None:
+            if prev.get("digest") != dig:
+                changed.append(name)
+            out[name] = {"digest": dig, "since": prev.get("since", 0)}
+            continue
         if prev is None:
             # first sighting: a brand-new query is tier-0 via its
             # missing official row anyway, so "since" only matters if
