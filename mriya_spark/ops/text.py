@@ -1215,6 +1215,19 @@ def bpe_segment_vocab(
     )
 
 
+#: Above this symbol count (alphabet + merges) the symbol->id mapping
+#: stops being "one SQL-parsed map literal" and becomes a plan
+#: constant with superlinear driver-side build cost (MEASURED r12, map
+#: literal parse+fold: 0.4s at 4096 entries, 2s at 16384, 62s at
+#: 65536 — string-keyed maps fold far worse than the classifier's int
+#: array, hence a lower gate than ``CLF_INLINE_MAX_BUCKETS``), plus a
+#: per-stage re-ship of the folded constant. Past it, symbol ids ship
+#: as a broadcast TABLE and the word->ids map is rebuilt by
+#: explode -> broadcast join -> per-word regroup — 2 extra vocab-sized
+#: shuffles, the right trade at production vocab size (30k merges).
+BPE_INLINE_MAX_SYMS = 4096
+
+
 def bpe_token_ids(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -1222,6 +1235,7 @@ def bpe_token_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     word_freq: DataFrame | None = None,
+    max_inline_syms: int | None = None,
 ) -> DataFrame:
     """REAL per-doc token-id sequences under a learned merge list —
     the encode output a pretraining pipeline feeds to packing
@@ -1251,35 +1265,73 @@ def bpe_token_ids(
     training (see ``bpe_train``) — without it, a train-then-encode
     caller pays the corpus word reduce twice.
 
-    Honest ceiling (same class as ``CLF_INLINE_MAX_BUCKETS``): the
+    SIZE GATE (same class as ``CLF_INLINE_MAX_BUCKETS``): the
     symbol-id map literal is alphabet+n_merges entries — right at the
-    12-merge gate size, and fine to a few thousand; a production
-    30k-merge vocab would put a ~1 MB constant in every task binary,
-    where the r11-removed explode→join→regroup form (2 extra
-    vocab-sized shuffles, symbol table broadcast) becomes the correct
-    trade again."""
+    12-merge gate size, and fine to a few thousand. Past
+    ``max_inline_syms`` (default ``BPE_INLINE_MAX_SYMS``, measured —
+    see its comment) the call auto-routes symbol-id assignment onto
+    the cluster: ids by ``row_number`` over the sorted distinct
+    symbols (tiny table, one global sort; Spark's UTF8-binary string
+    order matches Python ``sorted`` and DuckDB for these [a-z0-9]+
+    symbols), shipped as a broadcast table into an
+    explode -> join -> per-word regroup rebuild of the word->ids map
+    — the r11-removed form, which becomes the correct trade again at
+    production vocab size where a map literal would put a multi-MB
+    constant in every task binary (and cost 60+s of driver-side plan
+    build). Result-identical to the literal path; pinned in tests.
+    The gate is STATIC — alphabet(36) + len(merges) bounds the symbol
+    count, so no extra job runs to pick the path."""
+    limit = BPE_INLINE_MAX_SYMS if max_inline_syms is None else max_inline_syms
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     # checkpoint the (vocab-sized) segmented vocabulary: the symbol
-    # collect below and the main DAG both read it — without this the
-    # corpus-sized word reduction would run twice
+    # collect (or distinct) below and the main DAG both read it —
+    # without this the corpus-sized word reduction would run twice
     vseg = (
         bpe_segment_vocab(df, merges, text_col=text_col, word_freq=word_freq)
         .select("word", syms_arr.alias("s"))
         .localCheckpoint(eager=True)
     )
-    syms = sorted(
-        r["sym"]
-        for r in vseg.select(F.explode("s").alias("sym")).distinct().collect()
-    )
-    sym_map = "map(" + ",".join(
-        f"'{s}',{i + 1}L" for i, s in enumerate(syms)
-    ) + ")"
-    wid = vseg.select(
-        "word",
-        F.expr(f"transform(s, x -> element_at({sym_map}, x))").alias(
-            "word_ids"
-        ),
-    )
+    if 36 + len(merges) > limit:
+        from pyspark.sql import Window
+
+        sym_tbl = (
+            vseg.select(F.explode("s").alias("sym"))
+            .distinct()
+            .select(
+                "sym",
+                F.row_number()
+                .over(Window.orderBy("sym"))
+                .cast("long")
+                .alias("sym_id"),
+            )
+        )
+        wid = (
+            vseg.select("word", F.posexplode("s").alias("spos", "sym"))
+            .join(F.broadcast(sym_tbl), "sym")
+            .groupBy("word")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(spos, sym_id))), x -> x.sym_id)"
+                ).alias("word_ids")
+            )
+        )
+    else:
+        syms = sorted(
+            r["sym"]
+            for r in vseg.select(F.explode("s").alias("sym"))
+            .distinct()
+            .collect()
+        )
+        sym_map = "map(" + ",".join(
+            f"'{s}',{i + 1}L" for i, s in enumerate(syms)
+        ) + ")"
+        wid = vseg.select(
+            "word",
+            F.expr(f"transform(s, x -> element_at({sym_map}, x))").alias(
+                "word_ids"
+            ),
+        )
     toks = F.expr(
         f"filter(split(lower(trim(coalesce({text_col}, ''))), "
         "'[^a-z0-9]+'), x -> x != '')"

@@ -601,6 +601,27 @@ def test_pinned_shuffle_counts_on_r11_ops(spark, queries):
     assert got == expected
 
 
+def test_bpe_pack_bcast_ships_symbols_broadcast_not_inlined(spark, queries):
+    """r12 gate query (r11 judge directive 5): past
+    ``BPE_INLINE_MAX_SYMS`` (forced here via max_inline_syms=0) the
+    symbol-id map must arrive as a BroadcastExchange, NOT a folded
+    map literal — a 30k-merge production vocab as a map literal costs
+    60+s of driver plan build and a multi-MB constant per task
+    (measured, ops/text.py BPE_INLINE_MAX_SYMS comment). Budget: 5
+    exchanges on the audited frame (symbol distinct, symbol-rank
+    window, per-word regroup — the 2+ the broadcast form pays over
+    the literal path's map-only word projection — plus the per-doc
+    regroup and shard window; the vocab reduce hides behind the
+    word_freq checkpoint exactly as in the literal path's pin of 3).
+    A 6th exchange or a vanished BroadcastExchange means the
+    auto-switch silently fell back to something worse."""
+    audit = _audit(queries["tokenizer_bpe_pack_bcast"](spark, SF))
+    assert audit["shuffles"] == 5
+    assert audit["broadcasts"] >= 1
+    plan = executed_plan(queries["tokenizer_bpe_pack_bcast"](spark, SF))
+    assert "element_at(map(" not in plan
+
+
 def test_pinned_shuffle_counts_on_r8_ops(spark, queries):
     """Same pin for the r8 families. The load-bearing zeros:
     sample_oversample and the bloom screen are SCAN-LOCAL by design —
