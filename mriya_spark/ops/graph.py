@@ -29,20 +29,31 @@ def pagerank(
     iters: int = 5,
     src: str = "src",
     dst: str = "dst",
+    _probe: list | None = None,
 ) -> DataFrame:
     """Ranks after ``iters`` synchronous power iterations over the
     directed edge set (duplicate edges count as parallel edges).
-    Returns (id, rank); ranks sum to ~1.0 (invariant-tested)."""
+    Returns (id, rank); ranks sum to ~1.0 (invariant-tested).
+
+    ``_probe``: test instrumentation (r11 judge directive 6) — when a
+    list is passed, each round's PRE-materialization frames are
+    appended as ``(name, DataFrame)`` so regression tests can explain
+    one iteration's actual plan. The r11 invariant-rederivation waste
+    was invisible to the final-plan audit (checkpoints hide what they
+    materialize); this hook is how the per-iteration plan stays
+    auditable without copying the loop into a test."""
     from mriya_spark.caching import cache_scope, scoped_persist
 
     with cache_scope():
         return _pagerank_scoped(
             edges, damping=damping, iters=iters, src=src, dst=dst,
-            scoped_persist=scoped_persist,
+            scoped_persist=scoped_persist, probe=_probe,
         )
 
 
-def _pagerank_scoped(edges, *, damping, iters, src, dst, scoped_persist):
+def _pagerank_scoped(
+    edges, *, damping, iters, src, dst, scoped_persist, probe=None
+):
     # the edge set is the LOOP INVARIANT every iteration joins: persist
     # it once, hash-partitioned on src (GraphX's posture). Without the
     # persist each round re-derives it from source tables — at 100 TB
@@ -85,7 +96,10 @@ def _pagerank_scoped(edges, *, damping, iters, src, dst, scoped_persist):
         # otherwise each of them (and the next round) re-executes the
         # whole un-checkpointed chain, multiplying the dominant
         # per-iteration shuffle ~2-3x
-        with_deg = ranks.join(deg, "id", "left").localCheckpoint()
+        wd_lazy = ranks.join(deg, "id", "left")
+        if probe is not None:
+            probe.append(("with_deg", wd_lazy))
+        with_deg = wd_lazy.localCheckpoint()
         # mass of dangling vertices, redistributed uniformly — fused
         # into the plan as a broadcast one-row aggregate (r10: was a
         # per-round driver collect; a 1000-executor run pays a full
@@ -107,6 +121,8 @@ def _pagerank_scoped(edges, *, damping, iters, src, dst, scoped_persist):
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
+        if probe is not None:
+            probe.append(("contribs", contribs))
         ranks = (
             verts.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dang))
