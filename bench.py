@@ -65,6 +65,10 @@ HEADLINE = [
     # its plan-build cost from single-run audits)
     "tokenizer_bpe_pack",
     "text_classifier_score_bigvocab",
+    # r12 addition: the pack capstone through the past-the-size-gate
+    # broadcast symbol-id path — its delta vs tokenizer_bpe_pack IS
+    # the measured cost of the production-vocab plan shape
+    "tokenizer_bpe_pack_bcast",
 ]
 
 
@@ -169,9 +173,7 @@ def main() -> None:
         runs[name] = timings
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_total_runtime",
                 "value": round(sum(steady.values()), 3),
                 "unit": "sec",
@@ -224,11 +226,36 @@ def main() -> None:
                     "session-position artifact: the sign flips with "
                     "within-pair order, min-of-warm overlaps (r9 0.958 vs "
                     "r10 0.950), and the two tips' executed plans are "
-                    "byte-identical (SCALE.md 'Measurement discipline')."
+                    "byte-identical (SCALE.md 'Measurement discipline'). "
+                    "r12 adds tokenizer_bpe_pack_bcast (the pack capstone "
+                    "through the broadcast symbol-id path) — r12 totals are "
+                    "NOT comparable to r11; compare per-query or on the "
+                    "32-query common set. Full payload (all raw runs) is "
+                    "also written to BENCH_LOCAL_r{N}.json in the repo root "
+                    "— the driver's BENCH_r{N}.json keeps only a truncated "
+                    "stdout tail, which lost most per-query runs to r11 "
+                    "forensics (r11 judge directive 7)."
                 ),
-            }
-        )
-    )
+    }
+    print(json.dumps(payload))
+    # Persist the FULL payload next to the driver's truncated record
+    # (r11 judge directive 7: round-over-round forensics could recover
+    # only 5 of ~32 queries' runs from BENCH_r11.json's stdout tail).
+    # Round number = the round this bench run will be recorded under.
+    import re as _re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for fname in os.listdir(root):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if m:
+            rounds.append(int(m.group(1)))
+    out = os.path.join(root, f"BENCH_LOCAL_r{max(rounds) + 1}.json")
+    try:
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout payload still has everything
 
 
 if __name__ == "__main__":

@@ -667,6 +667,7 @@ def classifier_score(
     keep_components: bool = False,
     hash_family: str = "md5",
     id_col: str | None = None,
+    validate_unique_ids: bool = False,
 ) -> DataFrame:
     """fastText-style hashed linear quality classifier, fully
     SCAN-LOCAL: lowercase alnum tokens -> word unigrams + bigrams ->
@@ -685,8 +686,14 @@ def classifier_score(
     driver-side build cost) and the call auto-routes to the
     broadcast-join path ``classifier_score_weighted`` — result-
     identical, pinned in tests. The big path re-aggregates per doc,
-    so it needs ``id_col``; passing a big vocabulary without one is
-    an error rather than a silent multi-MB plan.
+    so it needs ``id_col``, and ``id_col`` MUST BE UNIQUE (r11
+    advice): duplicate ids would silently garble big-path scores
+    (grams of all rows sharing the id sum together, then the
+    join-back fans the merged score out to every copy) where the
+    literal path is per-row and doesn't care. The auto-switch
+    forwards ``validate_unique_ids`` — pass True to buy a loud
+    duplicate check for one extra id-shuffle (see
+    ``classifier_score_weighted``'s docstring for why it is opt-in).
 
     The score is exact cross-engine: weights are integers, the dot
     product is a BIGINT ``aggregate`` (order-independent), and the
@@ -715,7 +722,11 @@ def classifier_score(
                 f"{n_buckets} buckets exceeds CLF_INLINE_MAX_BUCKETS="
                 f"{CLF_INLINE_MAX_BUCKETS}: pass id_col so scoring can "
                 "take the broadcast-join path (classifier_score_weighted)"
-                " instead of inlining a multi-MB plan constant"
+                " instead of inlining a multi-MB plan constant. "
+                "CONTRACT: id_col must be unique — the big path "
+                "re-aggregates per id and joins back, so duplicate ids "
+                "get silently merged-and-fanned-out scores "
+                "(validate_unique_ids=True buys a loud check)"
             )
         import pandas as _pd
 
@@ -735,6 +746,7 @@ def classifier_score(
             out_col=out_col,
             keep_components=keep_components,
             hash_family=hash_family,
+            validate_unique_ids=validate_unique_ids,
         )
     # ship the weight vector as ONE SQL-parsed array expression:
     # F.array of 4096 F.lit children costs ~1.5s of Python expression
@@ -799,6 +811,7 @@ def classifier_score_weighted(
     keep_components: bool = False,
     hash_family: str = "md5",
     broadcast_weights: bool = True,
+    validate_unique_ids: bool = False,
 ) -> DataFrame:
     """The LARGE-VOCABULARY scoring path (r10 judge directive 6):
     identical semantics to ``classifier_score`` — same grams
@@ -822,14 +835,31 @@ def classifier_score_weighted(
 
     Contracts: ``id_col`` must be unique (the per-doc re-aggregate
     and join-back key rows on it; the literal path is per-row and has
-    no such requirement). ``weights_df`` may be SPARSE — a gram whose
-    bucket is absent contributes 0 to the margin (the LEFT join's
-    NULL weight drops out of the SUM), exactly the zero-weight
-    semantics a sparse trained model means."""
+    no such requirement) — duplicate ids sum their grams together and
+    the join-back fans the merged score out to every copy, silently.
+    ``validate_unique_ids=True`` enforces it loudly
+    (``quantile_ingest_batch``'s limit(1) pattern); it is OPT-IN
+    because the check is a full id-shuffle of the corpus — cheap for
+    a per-batch ingest, but a real extra exchange on a 100 TB scoring
+    pass whose caller usually knows doc_id is a key. ``weights_df``
+    may be SPARSE — a gram whose bucket is absent contributes 0 to
+    the margin (the LEFT join's NULL weight drops out of the SUM),
+    exactly the zero-weight semantics a sparse trained model means."""
     from mriya_spark.portable import md5_long60
 
     if hash_family not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    if validate_unique_ids:
+        dup = (
+            df.groupBy(id_col).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"classifier_score_weighted: duplicate {id_col}="
+                f"{dup[0][id_col]!r} — id_col must be unique (duplicate "
+                "ids get merged-then-fanned-out scores on this path; "
+                "see docstring)"
+            )
     if hash_family == "xxhash64":
         bucket = lambda g: F.pmod(
             F.xxhash64(F.lit(seed), g), n_buckets

@@ -1455,6 +1455,49 @@ def test_classifier_score_size_gate_auto_switches(spark):
     assert got == want
 
 
+def test_classifier_weighted_validate_unique_ids_guard(spark):
+    """r11 advice: the big-vocab path re-aggregates per id and joins
+    back, so duplicate ids silently garble scores. The opt-in
+    validate_unique_ids check must fail loudly on a duplicate id,
+    pass clean data through unchanged, and forward through
+    classifier_score's auto-switch."""
+    import pytest as _pytest
+
+    from mriya_spark.ops import text as T
+
+    wdf = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(T.hashed_clf_weights(64))],
+        "bucket int, w long",
+    )
+    clean = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta")], "doc_id long, text string"
+    )
+    duped = spark.createDataFrame(
+        [(0, "alpha beta"), (0, "beta")], "doc_id long, text string"
+    )
+    ok = T.classifier_score_weighted(
+        clean, wdf, n_buckets=64, validate_unique_ids=True
+    ).collect()
+    assert len(ok) == 2
+    with _pytest.raises(ValueError, match="duplicate doc_id"):
+        T.classifier_score_weighted(
+            duped, wdf, n_buckets=64, validate_unique_ids=True
+        )
+    # forwards through the size-gate auto-switch
+    orig = T.CLF_INLINE_MAX_BUCKETS
+    T.CLF_INLINE_MAX_BUCKETS = 32
+    try:
+        with _pytest.raises(ValueError, match="duplicate doc_id"):
+            T.classifier_score(
+                duped,
+                T.hashed_clf_weights(64),
+                id_col="doc_id",
+                validate_unique_ids=True,
+            )
+    finally:
+        T.CLF_INLINE_MAX_BUCKETS = orig
+
+
 def test_bpe_token_ids_match_python_encode(spark):
     """bpe_token_ids == a pure-Python encoder: greedy left-to-right
     merge application per word, lexicographic symbol ids over the
