@@ -366,6 +366,55 @@ def test_gate_reprioritizes_materially_changed_queries():
     )[0] == 3
 
 
+def test_query_digest_sees_constants_not_docstrings():
+    """r11 advice: co_code alone is identical across constant-only
+    edits (a threshold/batch-size tweak leaves the bytecode untouched
+    — the constant lives in co_consts), so such edits escaped the
+    changed-query gate re-priority. The digest must now change on a
+    constant edit (including one inside a nested function) and still
+    NOT change on a docstring-only edit; set/frozenset constants must
+    digest identically across processes (hash-seed-independent)."""
+    import __spark_entry__ as entry_mod
+
+    def q1(spark, sf):
+        """v1 docs."""
+        return max_batch(6)  # noqa: F821
+
+    def q1_docs_only(spark, sf):
+        """v2 docs, same code and constants."""
+        return max_batch(6)  # noqa: F821
+
+    def q1_const_edit(spark, sf):
+        """v1 docs."""
+        return max_batch(7)  # noqa: F821
+
+    def q_nested_a(spark, sf):
+        def inner(x):
+            return x + 12
+
+        return inner
+
+    def q_nested_b(spark, sf):
+        def inner(x):
+            return x + 13
+
+        return inner
+
+    d = entry_mod._query_digest
+    assert d(q1, None) == d(q1_docs_only, None)
+    assert d(q1, None) != d(q1_const_edit, None)
+    assert d(q_nested_a, None) != d(q_nested_b, None)
+
+    def q_set(spark, sf):
+        return {"alpha", "beta", "gamma", "delta"}
+
+    # frozenset iteration order is hash-seed-dependent per process;
+    # the digest sorts members, so two computations agree (the real
+    # cross-process guarantee is exercised every round when the gate
+    # compares live digests against the GATE_DIGESTS.json sidecar)
+    assert d(q_set, None) == d(q_set, None)
+
+
 def test_bucketed_join_has_no_exchange_on_either_side(spark):
     """The co-located join contract: two tables bucketed 8 ways on the
     same key, joined on that key, must plan a per-bucket sort-merge
