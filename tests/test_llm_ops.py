@@ -1611,6 +1611,82 @@ def test_bpe_token_ids_broadcast_path_is_result_identical(spark):
     assert 36 + len(merges) <= BPE_INLINE_MAX_SYMS
 
 
+def test_bpe_train_approx_batch1_is_exact(spark):
+    """The approximate trainer's batch=1 degenerate case IS the exact
+    sequential trainer — same merges, same order, same counts (rank 1
+    of every round is the exact greedy choice, and with batch=1 there
+    are no stale ranks)."""
+    from mriya_spark.ops.text import bpe_train, bpe_train_approx
+
+    texts = ["low lower lowest", "new low newer", "aaa aa low", "wide wider"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = bpe_train(df, n_merges=6, max_batch=1)
+    approx = bpe_train_approx(df, n_merges=6, batch=1)
+    assert approx == exact
+
+
+def test_bpe_train_approx_round_count_envelope(spark):
+    """The whole point of the approximate trainer (the scale envelope
+    the exact trainer's symbol-disjoint batching cannot reach: ~1
+    merge/round at the chaining tail, measured r11): rounds ==
+    ceil(n_merges / batch) whenever the pair supply lasts, so a
+    production 30k-merge vocab is vocab/batch driver round-trips, not
+    ~30k. Also pins that the learned list is a VALID deterministic
+    tokenizer: it feeds bpe_token_ids unchanged, every doc
+    reconstructs a full-coverage token sequence, and merging can only
+    shorten sequences vs character tokenization."""
+    import math
+
+    from mriya_spark.ops.text import bpe_token_ids, bpe_train_approx
+
+    texts = [
+        "low lower lowest slower slowest",
+        "new newer newest wide wider widest",
+        "deep deeper deepest steep steeper",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    probe = []
+    merges = bpe_train_approx(df, n_merges=12, batch=5, _probe=probe)
+    assert len(merges) == 12
+    assert len(probe) == math.ceil(12 / 5)  # 5 + 5 + 2
+    assert probe == [5, 5, 2]
+    rows = bpe_token_ids(df, merges).collect()
+    n_chars_by_doc = {
+        i: sum(len(w) for w in t.lower().split()) for i, t in enumerate(texts)
+    }
+    for r in rows:
+        assert r.n_bpe_tokens == len(r.token_ids)
+        assert 0 < r.n_bpe_tokens <= n_chars_by_doc[r.doc_id]
+
+
+def test_bpe_train_approx_tracks_exact_selection(spark):
+    """Drift bound on the fixed test corpus: the approximate batch
+    trainer must still select essentially the exact trainer's
+    vocabulary — the approximation reorders/staleness-scores chained
+    merges, it does not wander off to rare pairs. Deterministic data,
+    deterministic trainers -> a hard overlap assertion is safe."""
+    from mriya_spark.ops.text import bpe_train, bpe_train_approx
+
+    texts = [
+        "low lower lowest slower slowest",
+        "new newer newest wide wider widest",
+        "deep deeper deepest steep steeper",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {(l, r) for l, r, _ in bpe_train(df, n_merges=10, max_batch=6)}
+    approx = {
+        (l, r) for l, r, _ in bpe_train_approx(df, n_merges=10, batch=6)
+    }
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.7, (sorted(exact), sorted(approx))
+
+
 def test_qsketch_grouped_oracle_is_null_safe(spark):
     """r10 advice (medium): the DuckDB oracle must keep NULL-segment
     rows exactly like the Spark side's eqNullSafe join does — both in
