@@ -1611,6 +1611,48 @@ def test_bpe_token_ids_broadcast_path_is_result_identical(spark):
     assert 36 + len(merges) <= BPE_INLINE_MAX_SYMS
 
 
+def test_bpe_token_ids_gate_trips_on_merge_count_alone(spark):
+    """The BPE_INLINE_MAX_SYMS gate is STATIC (alphabet + merge count
+    bounds the symbol set — no probe job), so a default-params caller
+    with a production-sized merges list must cross onto the broadcast
+    path automatically. Padding the real merges with no-op pairs
+    (symbols that never occur — replace() no-ops, exactly what spent
+    slots in a real batched trainer produce) trips the gate without
+    training 4000+ real merges; results must equal the literal path
+    run on the SAME padded list."""
+    from mriya_spark.ops.text import bpe_token_ids, bpe_train
+
+    texts = ["low lower lowest", "new low newer"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from mriya_spark.ops import text as T
+
+    real = bpe_train(df, n_merges=4)
+    pad = [(f"zzz{i}", f"qqq{i}", 0) for i in range(30)]
+    padded = real + pad  # 34 merges; gate shrunk below so 36+34 > 64
+    # (a full-size padded list would ALSO chain 4000+ replace()
+    # expressions through bpe_segment_vocab on both paths — the gate
+    # TRIGGER is what this test pins, so shrink the gate instead,
+    # exactly like the classifier's auto-switch test)
+    lit = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(df, padded).collect()
+    }
+    orig = T.BPE_INLINE_MAX_SYMS
+    T.BPE_INLINE_MAX_SYMS = 64
+    try:
+        assert 36 + len(padded) > T.BPE_INLINE_MAX_SYMS
+        auto = {
+            r.doc_id: list(r.token_ids)
+            for r in bpe_token_ids(df, padded).collect()
+        }
+    finally:
+        T.BPE_INLINE_MAX_SYMS = orig
+    assert auto == lit
+    assert all(ids for ids in auto.values())
+
+
 def test_bpe_train_approx_batch1_is_exact(spark):
     """The approximate trainer's batch=1 degenerate case IS the exact
     sequential trainer — same merges, same order, same counts (rank 1

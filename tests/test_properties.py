@@ -660,3 +660,48 @@ def test_bpe_train_batched_equals_sequential(
     sequential = bpe_train(df, n_merges=n_merges)
     batched = bpe_train(df, n_merges=n_merges, max_batch=max_batch)
     assert batched == sequential
+
+
+@given(
+    corpus=CORPUS,
+    n_merges=st.integers(min_value=1, max_value=6),
+    batch=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_bpe_train_approx_batch1_exact_and_always_valid(
+    spark, corpus, n_merges, batch
+):
+    """Two invariants of the approximate batched trainer on hypothesis
+    corpora (r12): (1) batch=1 IS the exact sequential trainer — same
+    merges, same order, same counts; (2) at ANY batch size the learned
+    list replays deterministically in listed order, so re-deriving the
+    per-word segmentation with the pure-Python replay of those SAME
+    merges matches Spark's ``bpe_segment_vocab`` — the validity
+    guarantee a shippable merges.txt needs even when selection drifted
+    from exact BPE."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_train,
+        bpe_train_approx,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    assert bpe_train_approx(df, n_merges=n_merges, batch=1) == bpe_train(
+        df, n_merges=n_merges
+    )
+
+    merges = bpe_train_approx(df, n_merges=n_merges, batch=batch)
+
+    def replay(word: str) -> int:
+        seq = "".join(f"<{c}>" for c in word)
+        for left, right, _c in merges:
+            seq = seq.replace(f"<{left}><{right}>", f"<{left}{right}>")
+        return seq.count("<")
+
+    got = {
+        r["word"]: r["n_syms"]
+        for r in bpe_segment_vocab(df, merges).collect()
+    }
+    assert got == {w: replay(w) for w in got}
