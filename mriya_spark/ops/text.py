@@ -1299,6 +1299,40 @@ def bpe_train_approx(
     return merges
 
 
+def bpe_save_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a learned merge list as the merges.txt a tokenizer
+    ships: one ``left right count`` line per merge, file order ==
+    learned order (the order ``bpe_segment_vocab``/``bpe_token_ids``
+    replay). Scheme-aware via the Hadoop FS API (``fsutil``), so the
+    artifact lands next to the data on hdfs://s3a:// exactly like the
+    training-shard manifest. The whole list is vocab-bounded driver
+    state (alphabet + merges entries), so a single text write — not a
+    Spark job — is the right shape; symbols are [a-z0-9]+ so the
+    space-delimited format is unambiguous."""
+    from mriya_spark.fsutil import fs_write_text
+
+    lines = [f"{left} {right} {int(c)}" for left, right, c in merges]
+    fs_write_text(spark, path, "\n".join(lines) + ("\n" if lines else ""))
+
+
+def bpe_load_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a ``bpe_save_merges`` artifact back into the exact list
+    shape every BPE op consumes — train-once, encode-anywhere: a
+    tokenizer trained by one job (exact or approximate) replays
+    byte-identically in any later session, which the round-trip test
+    pins."""
+    from mriya_spark.fsutil import fs_read_text
+
+    out: list[tuple[str, str, int]] = []
+    for line in fs_read_text(spark, path).splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        left, right, c = line.split(" ")
+        out.append((left, right, int(c)))
+    return out
+
+
 def bpe_segment_vocab(
     df: DataFrame,
     merges: list[tuple[str, str, int]],

@@ -1653,6 +1653,43 @@ def test_bpe_token_ids_gate_trips_on_merge_count_alone(spark):
     assert all(ids for ids in auto.values())
 
 
+def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
+    """Tokenizer artifact persistence: train -> save merges.txt ->
+    load in a "later session" -> encode must be byte-identical to
+    encoding with the in-memory list (train-once, encode-anywhere).
+    Also: empty list round-trips (a 0-merge tokenizer is character
+    tokenization, still valid)."""
+    from mriya_spark.ops.text import (
+        bpe_load_merges,
+        bpe_save_merges,
+        bpe_token_ids,
+        bpe_train,
+    )
+
+    texts = ["low lower lowest", "new low newer"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=5)
+    path = str(tmp_path / "merges.txt")
+    bpe_save_merges(spark, merges, path)
+    loaded = bpe_load_merges(spark, path)
+    assert loaded == merges
+    want = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(df, merges).collect()
+    }
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(df, loaded).collect()
+    }
+    assert got == want
+
+    empty_path = str(tmp_path / "empty.txt")
+    bpe_save_merges(spark, [], empty_path)
+    assert bpe_load_merges(spark, empty_path) == []
+
+
 def test_bpe_train_approx_batch1_is_exact(spark):
     """The approximate trainer's batch=1 degenerate case IS the exact
     sequential trainer — same merges, same order, same counts (rank 1
