@@ -242,6 +242,11 @@ def main() -> None:
     # (r11 judge directive 7: round-over-round forensics could recover
     # only 5 of ~32 queries' runs from BENCH_r11.json's stdout tail).
     # Round number = the round this bench run will be recorded under.
+    # Subset diagnostic runs (SPARK_GRAFT_BENCH_QUERIES) must NOT
+    # clobber the full-headline record — an isolated-A/B session did
+    # exactly that in r12 before this guard.
+    if subset:
+        return
     import re as _re
 
     root = os.path.dirname(os.path.abspath(__file__))
