@@ -796,6 +796,35 @@ def test_oracle_declared_types_are_primitive_only():
     assert not bad, f"non-primitive oracle output types: {bad}"
 
 
+def test_float_cell_audit_probes_discriminate_null_nan_negzero(spark):
+    """Pins tools/check_nan.py's probe semantics on known cells — the
+    two detector bugs its first cut shipped with: (1) a ``1.0/c`` sign
+    probe trips ANSI DIVIDE_BY_ZERO on every legitimate +0.0 cell
+    (Spark 4 default), so -0.0 must be found via the string cast; (2)
+    a pandas fetch of the oracle folds SQL NULL into float NaN, so the
+    DuckDB side must aggregate IN SQL where isnan(NULL) is false.
+    Either regression would silently blind (or crash) the audit that
+    keeps the NaN/negative-zero replica/driver divergence class
+    pinned vacuous."""
+    import duckdb
+
+    from tools.check_nan import duckdb_probe_sql, spark_float_probes
+
+    df = spark.createDataFrame(
+        [(-0.0,), (0.0,), (1.5,), (None,), (float("nan"),)], "v double"
+    )
+    row = df.agg(*spark_float_probes(["v"])).collect()[0]
+    assert (int(row["nan__v"]), int(row["negz__v"])) == (1, 1)
+
+    con = duckdb.connect()
+    oracle = (
+        "WITH t(v) AS (VALUES (-0.0::DOUBLE), (0.0), (1.5), (NULL),"
+        " ('nan'::DOUBLE)) SELECT v FROM t ORDER BY v"
+    )
+    nan_n, negz_n = con.sql(duckdb_probe_sql(oracle, ["v"])).fetchone()
+    assert (int(nan_n), int(negz_n)) == (1, 1)
+
+
 def test_pagerank_iteration_serves_invariant_from_pinned_cache(spark):
     """r11 judge directive 6: the r11 invariant-rederivation waste
     (every round re-deriving the edge set: 2 extra scans+exchanges per
