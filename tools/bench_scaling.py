@@ -5,12 +5,15 @@ Two readings (see SCALE.md "r12 SF-sweep scaling probe"):
 
 1. documents/embeddings are IDENTICAL at sf0.001 and sf0.01, so that
    column is a same-data repeat-run experiment — the measured
-   session-to-session noise band (r12: 0.88-1.16 at seconds-scale,
-   up to ~1.4 below 0.3s where absolute jitter dominates).
+   session-to-session noise band (r12, two sweeps: 0.72-1.16 at
+   seconds-scale, up to ~1.4 below 0.3s where absolute jitter
+   dominates).
 2. Over a true 10x decade, a time ratio near 100x exposes an
    accidentally quadratic operator (unblocked all-pairs join, missing
-   band gate). r12 worst case: 3.83x (text_classifier_score, the most
-   data-bound family); everything else 0.7-2.1x.
+   band gate). r12 worst case across two sweeps: 2.72-3.83x
+   (text_classifier_score, the most data-bound family); everything
+   else 0.7-2.1x. Point slopes carry ~+-30% between sweeps — cite
+   ranges from at least two runs, never a single sweep.
 
 Each SF runs in a FRESH JVM via `bench.py` (subprocess) with
 SPARK_GRAFT_BENCH_QUERIES so the full-run sidecar is not clobbered.
