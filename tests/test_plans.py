@@ -415,6 +415,71 @@ def test_query_digest_sees_constants_not_docstrings():
     assert d(q_set, None) == d(q_set, None)
 
 
+def test_query_digest_sees_module_level_constants():
+    """r12 judge directive 6: a constant referenced via LOAD_GLOBAL
+    (module-level ``_ISIN_KEYS`` / ``_BPE_MERGES``) lives in neither
+    co_code nor co_consts — a Spark-side-only edit to one must still
+    move the digest so the gate re-records the query. Shared CODE
+    globals (functions, modules, classes) stay out of scope: editing
+    an op a query calls must NOT burn a gate slot (those edits
+    re-verify via tests and tri-SF sweeps instead)."""
+    import types
+
+    import __spark_entry__ as entry_mod
+
+    d = entry_mod._query_digest
+
+    # a fake module namespace so the test controls __globals__
+    def make_fn(const_val, helper):
+        ns = {"_LIMIT_KEYS": const_val, "helper_op": helper, "types": types}
+        code = compile(
+            "def q(spark, sf):\n"
+            "    return helper_op(_LIMIT_KEYS)\n",
+            "<gate-digest-test>",
+            "exec",
+        )
+        exec(code, ns)
+        return ns["q"]
+
+    h1, h2 = (lambda x: x), (lambda x: x + 1 if isinstance(x, int) else x)
+    base = make_fn([1, 2, 3], h1)
+    const_edit = make_fn([1, 2, 4], h1)
+    helper_edit = make_fn([1, 2, 3], h2)
+    assert d(base, None) != d(const_edit, None), (
+        "a module-constant edit must move the digest"
+    )
+    assert d(base, None) == d(helper_edit, None), (
+        "a shared-op (callable global) edit must NOT move the digest"
+    )
+
+    # nested code objects' globals count too (constants read inside
+    # an inner pandas UDF), and non-literal objects digest by type
+    # name, never by a repr that could embed a memory address
+    def make_nested(const_val):
+        ns = {"_THRESH": const_val}
+        code = compile(
+            "def q(spark, sf):\n"
+            "    def inner(x):\n"
+            "        return x + _THRESH\n"
+            "    return inner\n",
+            "<gate-digest-test>",
+            "exec",
+        )
+        exec(code, ns)
+        return ns["q"]
+
+    assert d(make_nested(5), None) != d(make_nested(6), None)
+
+    class Opaque:
+        pass
+
+    ns_obj_a = make_fn(Opaque(), h1)
+    ns_obj_b = make_fn(Opaque(), h1)
+    assert d(ns_obj_a, None) == d(ns_obj_b, None), (
+        "non-literal globals must digest by type, not object identity"
+    )
+
+
 def test_bucketed_join_has_no_exchange_on_either_side(spark):
     """The co-located join contract: two tables bucketed 8 ways on the
     same key, joined on that key, must plan a per-bucket sort-merge
