@@ -150,7 +150,8 @@ def main() -> None:
         "stream_migration_pipeline", "sketch_quantile_grouped",
         "stream_sketch_quantile", "text_classifier_eval",
         "migration_multi_e2e", "tokenizer_bpe_train",
-        "tokenizer_bpe_encode",
+        "tokenizer_bpe_encode", "tokenizer_bpe_encode_unicode",
+        "tokenizer_pack_from_artifact", "tokenizer_approx_roundtrip",
     ]
 
     spark = get_spark(app_name="plan_audit")
