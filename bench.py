@@ -69,6 +69,10 @@ HEADLINE = [
     # broadcast symbol-id path — its delta vs tokenizer_bpe_pack IS
     # the measured cost of the production-vocab plan shape
     "tokenizer_bpe_pack_bcast",
+    # r13 addition: the approx-trainer production pipeline (batched
+    # driver cadence + artifact save/load + decode) — the trainer's
+    # round cadence and the decode path get a wall-clock trend line
+    "tokenizer_approx_roundtrip",
 ]
 
 

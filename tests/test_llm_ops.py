@@ -1976,3 +1976,60 @@ def test_bpe_unicode_pretokenizer(spark):
         for i, t in enumerate(texts)
     }
     assert dec == want
+
+
+def test_classifier_unicode_grams_literal_and_weighted_agree(spark):
+    """token_re threads through BOTH classifier scoring paths: the
+    unicode grams (Greek/Cyrillic/CJK unigrams + '_'-bigrams) must
+    produce identical exact integer state on the literal-array path
+    and the broadcast-weighted path, and must differ from the ASCII
+    featurization (which drops the non-Latin tokens entirely)."""
+    import pandas as pd_
+
+    from mriya_spark.ops.text import (
+        UNICODE_TOKEN_RE,
+        classifier_score,
+        classifier_score_weighted,
+        hashed_clf_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "Καλημέρα κόσμε hello"),
+            (1, "привет мир 42"),
+            (2, "中文 分词"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    w = hashed_clf_weights()
+    lit = {
+        r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams)
+        for r in classifier_score(
+            df, w, keep_components=True, token_re=UNICODE_TOKEN_RE
+        ).collect()
+    }
+    wdf = spark.createDataFrame(
+        pd_.DataFrame({"bucket": range(len(w)), "w": [int(x) for x in w]})
+    )
+    wtd = {
+        r.doc_id: (r.clf_score_s_int, r.clf_score_n_grams)
+        for r in classifier_score_weighted(
+            df,
+            wdf,
+            n_buckets=len(w),
+            keep_components=True,
+            token_re=UNICODE_TOKEN_RE,
+        ).collect()
+    }
+    assert lit == wtd
+    # unicode grams exist where ASCII sees (almost) nothing
+    assert lit[0][1] == 5  # 3 unigrams + 2 bigrams
+    assert lit[2][1] == 3  # 2 + 1
+    assert lit[3] == (0, 0)  # NULL text -> empty grams
+    ascii_ = {
+        r.doc_id: r.clf_score_n_grams
+        for r in classifier_score(df, w, keep_components=True).collect()
+    }
+    assert ascii_[0] == 1  # only "hello" survives the ASCII split
+    assert ascii_[2] == 0

@@ -152,6 +152,7 @@ def main() -> None:
         "migration_multi_e2e", "tokenizer_bpe_train",
         "tokenizer_bpe_encode", "tokenizer_bpe_encode_unicode",
         "tokenizer_pack_from_artifact", "tokenizer_approx_roundtrip",
+        "text_classifier_score_unicode",
     ]
 
     spark = get_spark(app_name="plan_audit")
