@@ -1364,7 +1364,9 @@ def bpe_save_merges(spark, merges: list[tuple[str, str, int]], path: str) -> Non
     artifact lands next to the data on hdfs://s3a:// exactly like the
     training-shard manifest. The whole list is vocab-bounded driver
     state (alphabet + merges entries), so a single text write — not a
-    Spark job — is the right shape; symbols are [a-z0-9]+ so the
+    Spark job — is the right shape; symbols contain no whitespace
+    under EITHER pretokenizer (ASCII alnum, or unicode Letter/Number
+    classes — separators are excluded by both), so the
     space-delimited format is unambiguous."""
     from mriya_spark.fsutil import fs_write_text
 
