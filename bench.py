@@ -234,7 +234,10 @@ def main() -> None:
                     "r12 adds tokenizer_bpe_pack_bcast (the pack capstone "
                     "through the broadcast symbol-id path) — r12 totals are "
                     "NOT comparable to r11; compare per-query or on the "
-                    "32-query common set. Full payload (all raw runs) is "
+                    "32-query common set. r13 adds tokenizer_approx_roundtrip "
+                    "(approx-train cadence + artifact round-trip + decode) — "
+                    "r13 totals are NOT comparable to r12; compare per-query "
+                    "or on the 33-query common set. Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "
                     "stdout tail, which lost most per-query runs to r11 "
