@@ -339,6 +339,121 @@ def pack_windows(
     )
 
 
+def pack_windows_bestfit(
+    df: DataFrame,
+    *,
+    context_tokens: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """NON-STRADDLING packing: first-fit-decreasing bin packing of
+    whole documents into fixed ``context_tokens`` windows — the SFT /
+    document-masked-pretraining counterpart of ``pack_windows``'
+    GPT-style concatenate-and-split (which deliberately lets documents
+    straddle window boundaries). No document ever spans two windows;
+    the cost is padding, which the output reports per row
+    (``win_fill`` — the assigned window's FINAL token total — and
+    ``pad`` = max(0, context - fill)).
+
+    Algorithm: within each shard, documents are ordered by
+    (token count DESC, id ASC) and first-fit placed — each doc goes to
+    the lowest-numbered window it fits in, else opens a new window.
+    FFD is the classic near-optimal bin packer (≤ 11/9·OPT + 6/9);
+    both the order and the scan are deterministic, so the assignment
+    is engine-replayable (the DuckDB oracle replays it with a
+    recursive CTE). A document LONGER than ``context_tokens`` opens
+    its own window and — because its fill already exceeds the
+    capacity — never receives a mate; it comes out with
+    ``win_fill > context_tokens`` and ``pad = 0``, flagged
+    ``oversize = 1`` (split/truncate upstream if that matters).
+
+    Scale shape: bin packing is inherently sequential IN ITS STREAM —
+    window state (the fill vector) depends on every earlier placement
+    — so the parallelism lever is the same one ``pack_windows`` uses:
+    hash documents into ``shards`` independent packing streams and
+    pack each stream in isolation. One shuffle (by shard), then one
+    Arrow-batched grouped-map pass (``applyInPandas`` — the sanctioned
+    per-group stateful path; a fill-vector fold has no built-in
+    expression form). Per-shard work is O(docs_in_shard ×
+    open_windows); at 100 TB you raise ``shards`` so each stream fits
+    one task — exactly how a real packer shards its corpus. Zero-token
+    docs fit any open window (they occupy no tokens): FFD order puts
+    them last, so they land in window 1's leftovers (or open window 1
+    in an all-empty shard)."""
+    import pandas as _pd
+
+    cap = int(context_tokens)
+
+    def _ffd(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(
+            [count_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        wins: list[int] = []
+        for n in pdf[count_col].astype("int64"):
+            for i, f in enumerate(fills):
+                if f + n <= cap:
+                    fills[i] = f + n
+                    wins.append(i + 1)
+                    break
+            else:
+                fills.append(int(n))
+                wins.append(len(fills))
+        pdf["win"] = _pd.Series(wins, dtype="int64")
+        pdf["win_fill"] = _pd.Series(
+            [fills[w - 1] for w in wins], dtype="int64"
+        )
+        return pdf
+
+    base = df.select(
+        F.col(id_col),
+        F.col(count_col).cast("long").alias(count_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+    )
+    packed = base.groupBy("shard").applyInPandas(
+        _ffd,
+        schema=(
+            f"{id_col} long, {count_col} long, shard int, "
+            "win long, win_fill long"
+        ),
+    )
+    return packed.select(
+        id_col,
+        count_col,
+        "shard",
+        "win",
+        "win_fill",
+        F.greatest(F.lit(0), F.lit(cap) - F.col("win_fill"))
+        .cast("long")
+        .alias("pad"),
+        (F.col(count_col) > cap).cast("int").alias("oversize"),
+    )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    *,
+    context_tokens: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``pack_sequences``' non-straddling twin: whitespace token
+    counts fed through ``pack_windows_bestfit`` (see there for the
+    FFD contract and scale shape)."""
+    base = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return pack_windows_bestfit(
+        base,
+        context_tokens=context_tokens,
+        shards=shards,
+        id_col=id_col,
+        count_col="n_tokens",
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
