@@ -6473,6 +6473,79 @@ def join_fuzzy_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fuzzy_blocked_capped",
+    """
+    WITH src AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'boilerplate entry junk'
+                  ELSE c_name END AS nm
+      FROM customer),
+    a AS (
+      SELECT c_custkey AS id_a, nm AS va,
+             substr(nm, 1, 16) AS blk, length(nm) AS la
+      FROM src),
+    b AS (
+      SELECT c_custkey + 1000000 AS id_b,
+             substr(nm, 1, length(nm) - 1) AS vb,
+             substr(substr(nm, 1, length(nm) - 1), 1, 16) AS blk,
+             length(nm) - 1 AS lb
+      FROM src),
+    hot AS (
+      SELECT blk FROM a GROUP BY blk HAVING count(*) > 150
+      UNION
+      SELECT blk FROM b GROUP BY blk HAVING count(*) > 150)
+    SELECT id_a, id_b, CAST(levenshtein(va, vb) AS BIGINT) AS dist
+    FROM a JOIN b USING (blk)
+    WHERE blk NOT IN (SELECT blk FROM hot)
+      AND abs(la - lb) <= 2 AND levenshtein(va, vb) <= 2
+    """,
+)
+def join_fuzzy_blocked_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy join under an INJECTED hot block + the hot-block cap
+    (r13 judge directive 6): every 7th customer's name is replaced
+    with one boilerplate string on BOTH sides — the degenerate block a
+    production entity-resolution corpus always has (empty names,
+    'N/A', form-letter prefixes) — so uncapped blocking would emit
+    |hot|² guaranteed-dist-1 candidate pairs (~4.6M at the sf0.1
+    decade) that carry zero identity signal. ``max_block=150`` (above
+    the natural 100-member prefix blocks, below the hot block at any
+    SF: hot membership is |customer|/7 and scales with the data)
+    drops the block on the discrimination argument — the same df-cap
+    posture as dedup_substring's hot grams. The oracle replays the cap
+    itself (per-side block counts, HAVING > 150, anti-screen), so a
+    cap applied to the wrong side, off by one, or leaking hot pairs
+    fails the hash. Plan: two distinct-blocks-sized count aggregates +
+    a broadcast anti-join per side ahead of the same blocked
+    equi-join; at 100 TB the hot list stays tiny by construction
+    (a block must exceed the cap to enter it), so the screen is
+    O(|a|+|b|) no matter how degenerate the key distribution."""
+    from mriya_spark.ops.relational import fuzzy_join_blocked
+
+    src = _cat(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.lit("boilerplate entry junk")
+        )
+        .otherwise(F.col("c_name"))
+        .alias("nm"),
+    )
+    a = src.select("c_custkey", F.col("nm").alias("c_name"))
+    b = src.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.expr("substr(nm, 1, length(nm) - 1)").alias("c_name"),
+    )
+    return fuzzy_join_blocked(
+        a,
+        b,
+        col="c_name",
+        id_col="c_custkey",
+        max_dist=2,
+        block_len=16,
+        max_block=150,
+    )
+
+
+@register(
     "table_profile",
     """
     SELECT 'c_custkey' AS column,

@@ -265,6 +265,47 @@ def test_fuzzy_join_blocked_finds_near_names_not_far(spark):
     assert got == {(1, 10): 1, (2, 20): 1}
 
 
+def test_fuzzy_join_blocked_hot_block_cap(spark):
+    """r13 judge directive 6: max_block drops blocks whose membership
+    exceeds the cap on EITHER side (the zero-signal boilerplate block)
+    while blocks at/under the cap are untouched, and max_block=None
+    keeps the exact pre-cap behavior."""
+    from mriya_spark.ops.relational import fuzzy_join_blocked
+
+    # hot block: 3 identical 'boilerplate...' names per side (prefix
+    # 'boil'); cold block: one close pair (prefix 'acme')
+    a = spark.createDataFrame(
+        [(1, "boilerplate x"), (2, "boilerplate y"), (3, "boilerplate z"),
+         (4, "acme corp")],
+        ["id", "name"],
+    )
+    b = spark.createDataFrame(
+        [(10, "boilerplate x"), (20, "boilerplate q"), (30, "boilerplate r"),
+         (40, "acme cord")],
+        ["id", "name"],
+    )
+    kw = dict(col="name", id_col="id", max_dist=2, block_len=4)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_blocked(a, b, **kw).collect()
+    }
+    assert (4, 40) in uncapped and len(uncapped) == 10  # 3x3 hot + 1
+    capped = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_blocked(a, b, max_block=2, **kw).collect()
+    }
+    assert capped == {(4, 40)}  # hot block gone, cold pair intact
+    # one-sided heat still drops the block (b side under cap)
+    b_small = spark.createDataFrame(
+        [(10, "boilerplate x"), (40, "acme cord")], ["id", "name"]
+    )
+    one_sided = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_blocked(a, b_small, max_block=2, **kw).collect()
+    }
+    assert one_sided == {(4, 40)}
+
+
 def test_table_profile_counts_and_extremes(spark):
     from mriya_spark.ops.quality import table_profile
 
