@@ -138,9 +138,21 @@ def _query_digest(fn: Callable, oracle: str | None) -> str:
     is hash-seed-dependent across processes); (4) attribute reads on
     a global object (``cfg.limit``) digest the object's type name,
     not the attribute value — no such pattern exists in the registry
-    (module constants are flat names). A Python-version bump changes
-    co_code wholesale; the registry would then re-record over
-    following rounds and self-heal."""
+    (module constants are flat names); (5) ``co_names`` also contains
+    ATTRIBUTE/method names (LOAD_ATTR shares the table with
+    LOAD_GLOBAL), so a module-level data constant whose name collides
+    with an attribute the function happens to use folds in even if
+    never loaded as a global — the failure mode is one SPURIOUS
+    re-record when that unrelated constant is edited (a wasted slot,
+    never a missed change; r13 ADVICE accepted: filter via ``dis`` to
+    true LOAD_GLOBAL names only if such a collision ever appears —
+    none exists in the registry today); (6) a NON-LITERAL data global
+    (e.g. a numpy weights array) hashes by type name only, so edits
+    to its VALUES don't move the digest — registry data constants are
+    plain lists/tuples/dicts/scalars by convention for exactly this
+    reason. A Python-version bump changes co_code wholesale; the
+    registry would then re-record over following rounds and
+    self-heal."""
     import hashlib
     import types
 

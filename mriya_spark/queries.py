@@ -5140,7 +5140,11 @@ def tokenizer_approx_roundtrip_q(
     if merges != trained:  # artifact fidelity: decode can't see this
         raise AssertionError("merges.txt round-trip altered the list")
     vocab = bpe_load_vocab(spark, f"{adir}/vocab.txt")
-    ids = bpe_token_ids(docs, merges, word_freq=wf)
+    # r14: the LOADED vocab is the id authority for encode too
+    # (symbols= — same corpus, so OOV fails loud if the artifact
+    # machinery ever drifts), making vocab.txt the single source of
+    # ids for the whole encode->decode leg.
+    ids = bpe_token_ids(docs, merges, word_freq=wf, symbols=vocab)
     dec = bpe_decode(ids, vocab)
     n_words = docs.select(
         "doc_id",
