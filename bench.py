@@ -73,6 +73,13 @@ HEADLINE = [
     # driver cadence + artifact save/load + decode) — the trainer's
     # round cadence and the decode path get a wall-clock trend line
     "tokenizer_approx_roundtrip",
+    # r14 additions: the train-once/encode-anywhere capstone (fixed
+    # vocab.txt ids + UNK policy over a corpus training never saw) and
+    # the non-straddling FFD packer (the registry's only
+    # applyInPandas-stateful headline — its grouped-map cadence gets a
+    # trend line)
+    "tokenizer_encode_fixed_vocab",
+    "pack_sequences_bestfit",
 ]
 
 

@@ -153,6 +153,7 @@ def main() -> None:
         "tokenizer_bpe_encode", "tokenizer_bpe_encode_unicode",
         "tokenizer_pack_from_artifact", "tokenizer_approx_roundtrip",
         "text_classifier_score_unicode",
+        "tokenizer_roundtrip_unicode", "join_fuzzy_blocked_capped",
     ]
 
     spark = get_spark(app_name="plan_audit")
