@@ -346,6 +346,7 @@ def pack_windows_bestfit(
     shards: int = 8,
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """NON-STRADDLING packing: first-fit-decreasing bin packing of
     whole documents into fixed ``context_tokens`` windows — the SFT /
@@ -380,10 +381,15 @@ def pack_windows_bestfit(
     one task — exactly how a real packer shards its corpus. Zero-token
     docs fit any open window (they occupy no tokens): FFD order puts
     them last, so they land in window 1's leftovers (or open window 1
-    in an all-empty shard)."""
+    in an all-empty shard). ``carry_cols`` ride along unchanged (the
+    token-id sequences themselves — a real SFT packer emits windows of
+    ids, not just spans), same contract as ``pack_windows``'s."""
     import pandas as _pd
 
     cap = int(context_tokens)
+    out_cols = [id_col, count_col, "shard", "win", "win_fill"] + list(
+        carry_cols
+    )
 
     def _ffd(pdf: _pd.DataFrame) -> _pd.DataFrame:
         pdf = pdf.sort_values(
@@ -404,18 +410,23 @@ def pack_windows_bestfit(
         pdf["win_fill"] = _pd.Series(
             [fills[w - 1] for w in wins], dtype="int64"
         )
-        return pdf
+        return pdf[out_cols]
 
     base = df.select(
         F.col(id_col),
         F.col(count_col).cast("long").alias(count_col),
         F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+        *[F.col(c) for c in carry_cols],
+    )
+    carry_schema = "".join(
+        f", {df.schema[c].name} {df.schema[c].dataType.simpleString()}"
+        for c in carry_cols
     )
     packed = base.groupBy("shard").applyInPandas(
         _ffd,
         schema=(
             f"{id_col} long, {count_col} long, shard int, "
-            "win long, win_fill long"
+            "win long, win_fill long" + carry_schema
         ),
     )
     return packed.select(
@@ -428,6 +439,7 @@ def pack_windows_bestfit(
         .cast("long")
         .alias("pad"),
         (F.col(count_col) > cap).cast("int").alias("oversize"),
+        *carry_cols,
     )
 
 

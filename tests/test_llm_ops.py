@@ -2205,3 +2205,30 @@ def test_pack_bestfit_non_straddling_invariants(spark):
                 fills.append(n)
                 want[d] = (sh, len(fills))
     assert {r.doc_id: (r.shard, r.win) for r in got} == want
+
+
+def test_pack_bestfit_carry_cols_ride_along(spark):
+    """carry_cols (the token-id payload a real SFT packer emits into
+    windows) survive the grouped-map pass unchanged and don't disturb
+    the FFD assignment."""
+    from mriya_spark.ops.text import pack_windows_bestfit
+
+    df = spark.createDataFrame(
+        [(0, 3, [1, 2, 3]), (1, 2, [4, 5]), (2, 4, [6, 7, 8, 9])],
+        "doc_id long, n_tokens long, token_ids array<bigint>",
+    )
+    got = {
+        r.doc_id: r
+        for r in pack_windows_bestfit(
+            df,
+            context_tokens=5,
+            shards=1,
+            count_col="n_tokens",
+            carry_cols=("token_ids",),
+        ).collect()
+    }
+    assert got[0].token_ids == [1, 2, 3]
+    assert got[2].token_ids == [6, 7, 8, 9]
+    # FFD at cap 5: order 2(4),0(3),1(2) -> wins 1,2,2
+    assert (got[2].win, got[0].win, got[1].win) == (1, 2, 2)
+    assert got[0].win_fill == 5 and got[0].pad == 0
