@@ -483,3 +483,80 @@ def test_outlier_iqr_flags_planted_outliers(spark):
     assert {100, 101} <= ungrouped
     for r in outlier_iqr(df, value_col="v", group_col="grp").collect():
         assert r.v < r.fence_lo or r.v > r.fence_hi
+
+
+def test_fuzzy_join_multiblock_recovers_prefix_misses(spark):
+    """The two-pass (prefix + suffix) union recovers pairs whose edit
+    lands inside the prefix block window — the recall class the
+    single-pass docstring documents as lost — keeps single-pass pairs,
+    and emits one row per pair with the best distance."""
+    from mriya_spark.ops.relational import (
+        fuzzy_join_blocked,
+        fuzzy_join_multiblock,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "globex industries")],
+        ["id", "name"],
+    )
+    b = spark.createDataFrame(
+        [(10, "acmo corporation"),   # edit IN the 4-char prefix
+         (20, "globex industriez"),  # edit outside it
+         (30, "unrelated name")],
+        ["id", "name"],
+    )
+    kw = dict(col="name", id_col="id", max_dist=2, block_len=4)
+    single = {
+        (r.id_a, r.id_b) for r in fuzzy_join_blocked(a, b, **kw).collect()
+    }
+    assert single == {(2, 20)}  # prefix pass misses (1, 10)
+    multi = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_multiblock(a, b, **kw).collect()
+    }
+    assert multi == {(1, 10): 1, (2, 20): 1}  # suffix pass recovers it
+
+
+def test_fuzzy_join_multiblock_cap_is_per_pass(spark):
+    """With max_block, a hot PREFIX block's mates survive through the
+    suffix pass (distinct suffixes), while a key degenerate on both
+    ends stays excluded — each pass caps independently."""
+    from mriya_spark.ops.relational import fuzzy_join_multiblock
+
+    # 3 rows share the prefix 'form' (hot at cap=2) but have distinct
+    # suffixes; their b-side twins differ by one edit
+    a = spark.createDataFrame(
+        [(1, "form letter alpha"), (2, "form letter bravo"),
+         (3, "form letter carol")],
+        ["id", "name"],
+    )
+    b = spark.createDataFrame(
+        [(10, "form letter alphq"), (20, "form letter bravq"),
+         (30, "form letter carql")],
+        ["id", "name"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_multiblock(
+            a, b, col="name", id_col="id", max_dist=2, block_len=4,
+            max_block=2,
+        ).collect()
+    }
+    # these b-side edits land INSIDE the suffix window, so the suffix
+    # pass can't block them together either: hot prefix + end-edit is
+    # a documented double miss (multi-pass recall needs the edit to
+    # fall outside at least one pass's block window)
+    assert got == set()
+    # edits in the MIDDLE (outside both windows) survive the cap:
+    b2 = spark.createDataFrame(
+        [(10, "form lettex alpha"), (20, "form lettex bravo")],
+        ["id", "name"],
+    )
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_multiblock(
+            a, b2, col="name", id_col="id", max_dist=2, block_len=4,
+            max_block=2,
+        ).collect()
+    }
+    assert got2 == {(1, 10), (2, 20)}
