@@ -466,6 +466,35 @@ def pack_sequences_bestfit(
     )
 
 
+def pack_windows_table(
+    packed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Collapse ``pack_windows_bestfit(..., carry_cols=(ids_col,))``
+    output into PER-WINDOW rows — the training-shard artifact itself:
+    ``(shard, win, n_docs, fill, pad, token_ids)`` with each window's
+    id sequences concatenated in (doc id) order. Non-straddling
+    packing means the concatenation is exact — no window's payload
+    references another window. One grouped aggregate on (shard, win);
+    order inside the window is rebuilt from collected (id, ids)
+    structs, so no global sort. The per-doc frame stays the
+    lineage/debug view; this is the view a data loader mmaps."""
+    return (
+        packed.groupBy("shard", "win")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("win_fill").cast("long").alias("fill"),
+            F.max("pad").cast("long").alias("pad"),
+            F.expr(
+                f"flatten(transform(array_sort(collect_list("
+                f"struct({id_col}, {ids_col}))), x -> x.{ids_col}))"
+            ).alias(ids_col),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -2232,3 +2232,76 @@ def test_pack_bestfit_carry_cols_ride_along(spark):
     # FFD at cap 5: order 2(4),0(3),1(2) -> wins 1,2,2
     assert (got[2].win, got[0].win, got[1].win) == (1, 2, 2)
     assert got[0].win_fill == 5 and got[0].pad == 0
+
+
+def test_pack_windows_table_emits_exact_window_payloads(spark):
+    """The per-window view concatenates each window's doc id-sequences
+    in doc order, with fill == len(token_ids) (non-straddling means
+    the payload is exact) and pad consistent with the per-doc rows."""
+    from mriya_spark.ops.text import pack_windows_bestfit, pack_windows_table
+
+    df = spark.createDataFrame(
+        [(0, 3, [1, 2, 3]), (1, 2, [4, 5]), (2, 4, [6, 7, 8, 9]),
+         (3, 1, [10])],
+        "doc_id long, n_tokens long, token_ids array<bigint>",
+    )
+    packed = pack_windows_bestfit(
+        df, context_tokens=5, shards=1, count_col="n_tokens",
+        carry_cols=("token_ids",),
+    )
+    wins = {
+        (r.shard, r.win): r for r in pack_windows_table(packed).collect()
+    }
+    # FFD at cap 5: 2(4),0(3),1(2),3(1) -> win1=[2,3], win2=[0,1]
+    assert wins[(0, 1)].token_ids == [6, 7, 8, 9, 10]
+    assert wins[(0, 2)].token_ids == [1, 2, 3, 4, 5]
+    for w in wins.values():
+        assert w.fill == len(w.token_ids)
+        assert w.pad == 5 - w.fill
+        assert w.n_docs == 2
+
+
+def test_pack_bestfit_matches_reference_fold_property(spark):
+    """Property test: across randomized corpora (sizes, zeros,
+    oversize docs, heavy ties) the Spark FFD assignment equals an
+    independent Python first-fit-decreasing fold, shard by shard."""
+    import collections
+    import random
+
+    from mriya_spark.ops.text import pack_windows_bestfit
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(1, 120)
+        cap = rng.choice([8, 32, 100])
+        shards = rng.choice([1, 3, 8])
+        rows = [
+            (i, rng.choice([0, 1, cap // 2, cap, cap + 3,
+                            rng.randint(0, cap * 2)]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: (r.shard, r.win)
+            for r in pack_windows_bestfit(
+                df, context_tokens=cap, shards=shards,
+                count_col="n_tokens",
+            ).collect()
+        }
+        byshard = collections.defaultdict(list)
+        for d, t in rows:
+            byshard[d % shards].append((d, t))
+        want = {}
+        for sh, docs in byshard.items():
+            docs.sort(key=lambda x: (-x[1], x[0]))
+            fills = []
+            for d, t in docs:
+                for i, f in enumerate(fills):
+                    if f + t <= cap:
+                        fills[i] = f + t
+                        want[d] = (sh, i + 1)
+                        break
+                else:
+                    fills.append(t)
+                    want[d] = (sh, len(fills))
+        assert got == want, (trial, n, cap, shards)
