@@ -392,20 +392,48 @@ def pack_windows_bestfit(
     )
 
     def _ffd(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        # First-fit over window RESIDUALS via a segment tree keyed by
+        # leftmost-index-with-max-residual: the naive inner scan is
+        # O(docs x open_windows) per shard, which at ~60k docs/shard
+        # (256-token cap, 50-token docs -> ~13k windows) is ~10^8
+        # Python steps and minutes of wall time (measured r14); the
+        # tree gives the IDENTICAL first-fit assignment in O(n log n)
+        # — the property test pins exact equality with the naive fold.
         pdf = pdf.sort_values(
             [count_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
+        counts = pdf[count_col].astype("int64").to_list()
+        size = 1
+        while size < max(len(counts), 1):
+            size <<= 1
+        # resid < 0 marks a not-yet-opened slot (n >= 0 never fits it)
+        tree = [-1] * (2 * size)
+        n_windows = 0
         fills: list[int] = []
         wins: list[int] = []
-        for n in pdf[count_col].astype("int64"):
-            for i, f in enumerate(fills):
-                if f + n <= cap:
-                    fills[i] = f + n
-                    wins.append(i + 1)
-                    break
-            else:
-                fills.append(int(n))
-                wins.append(len(fills))
+
+        def _set(i: int, v: int) -> None:
+            i += size
+            tree[i] = v
+            i >>= 1
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i >>= 1
+
+        for n in counts:
+            if tree[1] >= n:  # leftmost window with residual >= n
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= n else 2 * i + 1
+                w = i - size
+                fills[w] += n
+                _set(w, cap - fills[w])
+            else:  # no window fits: open a new one (oversize ok)
+                w = n_windows
+                n_windows += 1
+                fills.append(n)
+                _set(w, cap - n)
+            wins.append(w + 1)
         pdf["win"] = _pd.Series(wins, dtype="int64")
         pdf["win_fill"] = _pd.Series(
             [fills[w - 1] for w in wins], dtype="int64"

@@ -2305,3 +2305,60 @@ def test_pack_bestfit_matches_reference_fold_property(spark):
                     fills.append(t)
                     want[d] = (sh, len(fills))
         assert got == want, (trial, n, cap, shards)
+
+
+def test_sft_pack_end_to_end_windows_decode_losslessly(spark):
+    """Integration of the r14 pieces — the SFT packing path a real
+    pipeline runs: BPE-encode under a FIXED loaded vocab, FFD-pack the
+    id sequences non-straddling (carry_cols), collapse to per-window
+    payloads, then decode every window and check the concatenation of
+    windows (shard+win order) reproduces each shard's docs' words
+    exactly — no id lost, duplicated, or reordered anywhere in the
+    train->encode->pack->window->decode chain."""
+    import re as _re
+
+    from mriya_spark.ops.text import (
+        bpe_decode,
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        pack_windows_bestfit,
+        pack_windows_table,
+    )
+
+    texts = ["low lower lowest", "new low newer", "aaa low a9", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    vocab = bpe_symbols(df, merges)
+    ids = bpe_token_ids(df, merges, symbols=vocab)
+    packed = pack_windows_bestfit(
+        ids, context_tokens=6, shards=2, count_col="n_bpe_tokens",
+        carry_cols=("token_ids",),
+    )
+    wins = pack_windows_table(packed)
+    win_rows = sorted(wins.collect(), key=lambda r: (r.shard, r.win))
+    # exact payload check: each window's ids == its member docs' id
+    # sequences concatenated in doc_id order (the table's contract)
+    doc_ids = {r.doc_id: list(r.token_ids) for r in ids.collect()}
+    members = {}
+    for r in packed.collect():
+        members.setdefault((r.shard, r.win), []).append(r.doc_id)
+    for r in win_rows:
+        want = [
+            i
+            for d in sorted(members[(r.shard, r.win)])
+            for i in doc_ids[d]
+        ]
+        assert list(r.token_ids) == want, (r.shard, r.win)
+        assert r.fill == len(r.token_ids)
+        assert r.fill <= 6 or r.n_docs == 1
+    # every doc's ids decode back to its pretokenized words: the
+    # windows collectively carry the whole corpus losslessly
+    dec = {r.doc_id: r.decoded for r in bpe_decode(ids, vocab).collect()}
+    for i, t in enumerate(texts):
+        want_txt = "".join(
+            w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w
+        )
+        assert dec[i] == want_txt, i
