@@ -1605,6 +1605,40 @@ def bpe_symbols(
     )
 
 
+def bpe_symbols_topk(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    keep: int,
+    text_col: str = "text",
+    word_freq: DataFrame | None = None,
+    token_re: str = ASCII_TOKEN_RE,
+) -> list[str]:
+    """FREQUENCY-TRUNCATED vocab: the ``keep`` most frequent symbols
+    of the segmented corpus (corpus occurrence count = Σ word_cnt ×
+    occurrences-in-word; count DESC, symbol ASC tie-break), returned
+    in the lexicographic line order ``bpe_save_vocab``/``symbols=``
+    expect. This is how a production tokenizer actually caps its
+    vocab.json — and the honest source of OOV: encoding under the
+    truncated list makes every dropped symbol hit the ``oov_id``
+    policy (or fail loud), exactly the UNK budget a pipeline tunes.
+    All work is vocab-sized (one explode + sum over the segmented
+    vocabulary, one bounded driver collect of ``keep`` rows); the
+    ranking is integer-exact and SQL-replayable."""
+    vseg = bpe_segment_vocab(
+        df, merges, text_col=text_col, word_freq=word_freq, token_re=token_re
+    )
+    syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
+    freq = (
+        vseg.select(F.col("cnt"), F.explode(syms).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("sym").asc())
+        .limit(keep)
+    )
+    return sorted(r["sym"] for r in freq.collect())
+
+
 def bpe_save_vocab(spark, symbols: list[str], path: str) -> None:
     """Persist the symbol list (one symbol per line, line order ==
     id order) — vocab.json next to merges.txt, same scheme-aware
