@@ -244,7 +244,12 @@ def main() -> None:
                     "32-query common set. r13 adds tokenizer_approx_roundtrip "
                     "(approx-train cadence + artifact round-trip + decode) — "
                     "r13 totals are NOT comparable to r12; compare per-query "
-                    "or on the 33-query common set. Full payload (all raw runs) is "
+                    "or on the 33-query common set. r14 adds "
+                    "tokenizer_encode_fixed_vocab (fixed-vocab encode, UNK "
+                    "policy, corpus disjoint from training) and "
+                    "pack_sequences_bestfit (non-straddling FFD packing) — "
+                    "r14 totals are NOT comparable to r13; compare per-query "
+                    "or on the 34-query common set. Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "
                     "stdout tail, which lost most per-query runs to r11 "
