@@ -2398,3 +2398,114 @@ def test_bpe_symbols_topk_truncation_drives_unk_budget(spark):
     n_unk = sum(1 for i in n_top.token_ids if i == 0)
     assert n_unk > 0  # truncation created a real UNK budget
     assert len(n_top.token_ids) == len(n_full.token_ids)  # same segmentation
+
+
+def test_bpe_symbols_topk_sql_replay_prevalidation(spark):
+    """Pre-validates the r15 gate oracle for the truncated vocab: the
+    frequency ranking (Sigma word_cnt x occurrences, count DESC /
+    symbol ASC, LIMIT keep, lexicographic output) replayed in DuckDB
+    from the SAME training-replay CTE chain the registered BPE oracles
+    use, compared against bpe_symbols_topk over an in-memory corpus."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import bpe_symbols_topk, bpe_train
+    from mriya_spark.queries import _bpe_oracle_sql
+
+    texts = ["low lower lowest low", "new low newer", "aaa aa a9 low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_merges, keep = 3, 5
+    merges = bpe_train(df, n_merges=n_merges)
+    got = bpe_symbols_topk(df, merges, keep=keep)
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame({"doc_id": range(len(texts)),
+                                         "text": texts}))
+    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_t")
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    sql = body + f""",
+    sfreq AS (
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq
+      FROM (SELECT cnt, unnest(regexp_extract_all(seq, '<([^>]*)>', 1))
+                     AS sym
+            FROM v{n_merges})
+      GROUP BY sym),
+    kept AS (SELECT sym FROM sfreq ORDER BY freq DESC, sym ASC
+             LIMIT {keep})
+    SELECT sym FROM kept ORDER BY sym
+    """
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want
+
+
+def test_fuzzy_join_multiblock_sql_replay_prevalidation(spark):
+    """Pre-validates the r15 gate oracle for the two-pass fuzzy join:
+    prefix pass + suffix pass, each with the per-side hot-block cap,
+    unioned with per-pair min(dist) — replayed in DuckDB over the same
+    synthetic corpus (prefix edits, suffix edits, middle edits, one
+    hot block) and compared pair-for-pair against the Spark op."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.relational import fuzzy_join_multiblock
+
+    names = (
+        [(i, f"form letter body {i:03d}") for i in range(6)]  # hot 'form'
+        + [(10, "acme corporation"), (11, "globex industries"),
+           (12, "initech consulting")]
+    )
+    b_names = (
+        [(100 + i, f"form letter body {i:03d}") for i in range(6)]
+        + [(110, "acmo corporation"),      # prefix edit
+           (111, "globex industriez"),     # suffix-window edit
+           (112, "initech consulting")]    # exact
+    )
+    a = spark.createDataFrame(names, ["id", "name"])
+    b = spark.createDataFrame(b_names, ["id", "name"])
+    cap, blk, maxd = 4, 4, 2
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_multiblock(
+            a, b, col="name", id_col="id", max_dist=maxd, block_len=blk,
+            max_block=cap,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame(names, columns=["id", "name"]))
+    con.register("tb", pd.DataFrame(b_names, columns=["id", "name"]))
+    passes = []
+    for key in (f"substr(name, 1, {blk})",
+                f"substr(name, length(name) - {blk} + 1, {blk})"):
+        passes.append(f"""
+        SELECT id_a, id_b, dist FROM (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+          FROM (SELECT *, {key} AS blk FROM ta
+                WHERE {key} NOT IN (
+                  SELECT blk FROM (
+                    SELECT {key} AS blk FROM ta GROUP BY 1
+                    HAVING count(*) > {cap}
+                    UNION
+                    SELECT {key} AS blk FROM tb GROUP BY 1
+                    HAVING count(*) > {cap}))) a
+          JOIN (SELECT *, {key} AS blk FROM tb
+                WHERE {key} NOT IN (
+                  SELECT blk FROM (
+                    SELECT {key} AS blk FROM ta GROUP BY 1
+                    HAVING count(*) > {cap}
+                    UNION
+                    SELECT {key} AS blk FROM tb GROUP BY 1
+                    HAVING count(*) > {cap}))) b
+          USING (blk)
+          WHERE abs(length(a.name) - length(b.name)) <= {maxd}
+            AND levenshtein(a.name, b.name) <= {maxd})
+        """)
+    sql = ("SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist FROM ("
+           + " UNION ALL ".join(passes) + ") GROUP BY 1, 2")
+    want = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert (112, 12) not in got  # sanity: direction is (a, b)
+    assert (12, 112) in got and got[(12, 112)] == 0
