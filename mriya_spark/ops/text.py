@@ -515,9 +515,15 @@ def pack_windows_table(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.max("win_fill").cast("long").alias("fill"),
             F.max("pad").cast("long").alias("pad"),
+            # drop NULL member arrays before flatten(): flatten returns
+            # NULL when the outer array holds a NULL element, which
+            # would emit a window whose n_docs/fill claim content but
+            # whose payload is silently NULL (bpe_token_ids never emits
+            # NULL arrays; this guards arbitrary library callers)
             F.expr(
-                f"flatten(transform(array_sort(collect_list("
-                f"struct({id_col}, {ids_col}))), x -> x.{ids_col}))"
+                f"flatten(filter(transform(array_sort(collect_list("
+                f"struct({id_col}, {ids_col}))), x -> x.{ids_col}), "
+                f"a -> a is not null))"
             ).alias(ids_col),
         )
     )
@@ -1663,20 +1669,21 @@ def bpe_load_vocab(spark, path: str) -> list[str]:
 
     from mriya_spark.fsutil import fs_read_text
 
-    symbols = [
-        line
-        for line in fs_read_text(spark, path).splitlines()
-        if line != ""
-    ]
     bad = _re.compile(r"[\s<>]")
-    for i, s in enumerate(symbols):
-        if bad.search(s):
+    symbols = []
+    # enumerate RAW file lines so the error cites the true line number
+    # even when blank lines precede the corrupt symbol
+    for lineno, line in enumerate(fs_read_text(spark, path).splitlines(), 1):
+        if line == "":
+            continue
+        if bad.search(line):
             raise ValueError(
-                f"bpe_load_vocab: line {i + 1} of {path!r} contains "
-                f"whitespace or a '<'/'>' delimiter ({s!r}) — not a "
+                f"bpe_load_vocab: line {lineno} of {path!r} contains "
+                f"whitespace or a '<'/'>' delimiter ({line!r}) — not a "
                 "symbol either shipped pretokenizer can produce; the "
                 "artifact is corrupt or hand-edited"
             )
+        symbols.append(line)
     return symbols
 
 
@@ -1895,6 +1902,14 @@ def bpe_token_ids(
     count over the checkpointed vocab-sized ``vseg`` — a tiny extra
     job, and the literal path can no longer be picked by a wrong
     static guess and embed a multi-MB plan constant."""
+    if oov_id is not None and symbols is None:
+        # argument-contract error: raise BEFORE the corpus-sized
+        # checkpoint below — at scale that eager job is hours of
+        # cluster work wasted on a mistake detectable up front
+        raise ValueError(
+            "oov_id is only meaningful with a fixed symbols= vocab: "
+            "corpus-derived ids cover every symbol by construction"
+        )
     limit = BPE_INLINE_MAX_SYMS if max_inline_syms is None else max_inline_syms
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     # checkpoint the (vocab-sized) segmented vocabulary: the symbol
@@ -1918,11 +1933,6 @@ def bpe_token_ids(
     else:
         n_sym_bound = (
             vseg.select(F.explode("s").alias("sym")).distinct().count()
-        )
-    if oov_id is not None and symbols is None:
-        raise ValueError(
-            "oov_id is only meaningful with a fixed symbols= vocab: "
-            "corpus-derived ids cover every symbol by construction"
         )
     if n_sym_bound > limit:
         spark = df.sparkSession

@@ -6512,10 +6512,14 @@ def join_fuzzy_blocked_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     'N/A', form-letter prefixes) — so uncapped blocking would emit
     |hot|² guaranteed-dist-1 candidate pairs (~4.6M at the sf0.1
     decade) that carry zero identity signal. ``max_block=150`` (above
-    the natural 100-member prefix blocks, below the hot block at any
-    SF: hot membership is |customer|/7 and scales with the data)
-    drops the block on the discrimination argument — the same df-cap
-    posture as dedup_substring's hot grams. The oracle replays the cap
+    the natural 100-member prefix blocks and below the hot block from
+    sf0.01 up — hot membership is |customer|/7: 214 at sf0.01, 2,143
+    at sf0.1; at sf0.001's 150 customers the hot block is only ~21,
+    the cap is inert by construction, and that run degenerates to the
+    uncapped join — the drop path is exercised by the sf0.01 official
+    gate and the SCALE.md probe) drops the block on the
+    discrimination argument — the same df-cap posture as
+    dedup_substring's hot grams. The oracle replays the cap
     itself (per-side block counts, HAVING > 150, anti-screen), so a
     cap applied to the wrong side, off by one, or leaking hot pairs
     fails the hash. Plan: two distinct-blocks-sized count aggregates +

@@ -2454,13 +2454,23 @@ def test_fuzzy_join_multiblock_sql_replay_prevalidation(spark):
     names = (
         [(i, f"form letter body {i:03d}") for i in range(6)]  # hot 'form'
         + [(10, "acme corporation"), (11, "globex industries"),
-           (12, "initech consulting")]
+           (12, "initech consulting"),
+           (13, "ab"),  # SHORTER than block_len: Spark's negative-start
+                        # substring returns the WHOLE string as the
+                        # suffix key — the oracle must clamp its start
+                        # (greatest(1, ...)) to match
+           (14, "b")]   # the divergence sentinel: an UNCLAMPED DuckDB
+                        # suffix key maps both 'b' and 'ab' to 'b' and
+                        # false-pairs them; Spark (and the clamped
+                        # oracle) key them 'b' vs 'ab' -> no pair
     )
     b_names = (
         [(100 + i, f"form letter body {i:03d}") for i in range(6)]
         + [(110, "acmo corporation"),      # prefix edit
            (111, "globex industriez"),     # suffix-window edit
-           (112, "initech consulting")]    # exact
+           (112, "initech consulting"),    # exact
+           (113, "ab"),                    # identical short string
+           (114, "ab")]
     )
     a = spark.createDataFrame(names, ["id", "name"])
     b = spark.createDataFrame(b_names, ["id", "name"])
@@ -2472,13 +2482,18 @@ def test_fuzzy_join_multiblock_sql_replay_prevalidation(spark):
             max_block=cap,
         ).collect()
     }
+    assert (13, 113) in got and got[(13, 113)] == 0  # whole-string key
+    # blocking's documented miss AND the clamp sentinel: 'b' vs 'ab'
+    # never share a key on either engine once the oracle clamps
+    assert (14, 113) not in got and (14, 114) not in got
 
     con = duckdb.connect()
     con.register("ta", pd.DataFrame(names, columns=["id", "name"]))
     con.register("tb", pd.DataFrame(b_names, columns=["id", "name"]))
     passes = []
     for key in (f"substr(name, 1, {blk})",
-                f"substr(name, length(name) - {blk} + 1, {blk})"):
+                f"substr(name, greatest(1, length(name) - {blk} + 1), "
+                f"{blk})"):
         passes.append(f"""
         SELECT id_a, id_b, dist FROM (
           SELECT a.id AS id_a, b.id AS id_b,
@@ -2625,3 +2640,19 @@ def test_sft_pack_capstone_sql_replay_prevalidation(spark):
         for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_pack_windows_table_tolerates_null_member_ids(spark):
+    """A NULL ids array on one member must not NULL the whole window's
+    payload (flatten() over an outer array containing NULL is NULL):
+    the NULL member contributes nothing and the window still carries
+    the other members' ids."""
+    from mriya_spark.ops.text import pack_windows_table
+
+    packed = spark.createDataFrame(
+        [(0, 2, 0, 1, 2, 0, [7, 8]), (1, 0, 0, 1, 2, 0, None)],
+        "doc_id long, n_tokens long, shard int, win long, "
+        "win_fill long, pad long, token_ids array<bigint>",
+    )
+    row = pack_windows_table(packed).collect()[0]
+    assert row.token_ids == [7, 8] and row.n_docs == 2
