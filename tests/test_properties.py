@@ -705,3 +705,105 @@ def test_bpe_train_approx_batch1_exact_and_always_valid(
         for r in bpe_segment_vocab(df, merges).collect()
     }
     assert got == {w: replay(w) for w in got}
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                    max_size=40),
+    cap=st.integers(min_value=1, max_value=24),
+    shards=st.sampled_from([1, 2, 4]),
+)
+@_SETTINGS
+def test_ffd_segment_tree_matches_naive_first_fit(
+    spark, counts, cap, shards
+):
+    """The segment-tree first-fit (r14 scale fix) is assignment-
+    identical to the naive fold on hypothesis-generated corpora —
+    zeros, oversize docs, heavy ties, caps smaller than most docs.
+    Every window invariant re-derivable from the rows must also hold:
+    win_fill == the exact sum of its window's tokens, and a window
+    over cap holds exactly one (oversize) doc."""
+    from mriya_spark.ops.text import pack_windows_bestfit
+
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.shard, r.win, r.win_fill)
+        for r in pack_windows_bestfit(
+            df, context_tokens=cap, shards=shards, count_col="n_tokens"
+        ).collect()
+    }
+    # naive reference fold
+    import collections
+
+    byshard = collections.defaultdict(list)
+    for d, n in rows:
+        byshard[d % shards].append((d, n))
+    want = {}
+    for sh, docs in byshard.items():
+        docs.sort(key=lambda t: (-t[1], t[0]))
+        fills = []
+        for d, n in docs:
+            for i, f in enumerate(fills):
+                if f + n <= cap:
+                    fills[i] = f + n
+                    want[d] = (sh, i + 1)
+                    break
+            else:
+                fills.append(n)
+                want[d] = (sh, len(fills))
+        for d, n in docs:
+            want[d] = want[d] + (fills[want[d][1] - 1],)
+    assert got == want
+    # window invariants from the output alone
+    by_win = collections.defaultdict(list)
+    for d, (sh, w, fill) in got.items():
+        by_win[(sh, w)].append((d, counts[d], fill))
+    for (sh, w), members in by_win.items():
+        total = sum(n for _, n, _ in members)
+        assert all(f == total for _, _, f in members)
+        if total > cap:
+            assert len(members) == 1
+
+
+@given(
+    corpus=st.lists(DOC, min_size=1, max_size=6),
+    extra=DOC,
+)
+@_SETTINGS
+def test_fixed_vocab_encode_is_corpus_independent_property(
+    spark, corpus, extra
+):
+    """symbols= id authority on hypothesis corpora: encoding corpus A
+    and corpus A+extra under one trained artifact assigns IDENTICAL
+    ids to the shared docs (the pre-r14 corpus-derived assignment
+    shifts them whenever the extra doc changes the symbol set), and
+    UNK-0 appears only where segmentation emits out-of-vocab symbols."""
+    from mriya_spark.ops.text import (
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+    )
+
+    train_rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(train_rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=2)
+    vocab = bpe_symbols(df, merges)
+    enc_a = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(
+            df, merges, symbols=vocab, oov_id=0
+        ).collect()
+    }
+    rows_b = train_rows + [(len(corpus), extra + " zz9zz")]
+    df_b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    enc_b = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(
+            df_b, merges, symbols=vocab, oov_id=0
+        ).collect()
+    }
+    for i in enc_a:  # shared docs: identical ids under the artifact
+        assert enc_b[i] == enc_a[i]
+    # the training corpus itself never produces UNK under its own vocab
+    assert all(0 not in ids for ids in enc_a.values())
