@@ -2656,3 +2656,71 @@ def test_pack_windows_table_tolerates_null_member_ids(spark):
     )
     row = pack_windows_table(packed).collect()[0]
     assert row.token_ids == [7, 8] and row.n_docs == 2
+
+
+def test_pack_windows_bestfit_rejects_negative_counts(spark):
+    """r14 ADVICE: a negative token count (broken upstream tokenizer)
+    must fail loud with the offending id, never silently decrement an
+    open window's fill or raise a bare IndexError on an empty shard."""
+    from mriya_spark.ops.text import pack_windows_bestfit
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, -3)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="negative token count"):
+        pack_windows_bestfit(df, context_tokens=8, shards=1).collect()
+
+
+def test_bpe_load_vocab_rejects_duplicate_symbols(spark, tmp_path):
+    """r14 ADVICE: a duplicated vocab.txt line fails AT LOAD with the
+    offending line numbers — downstream the literal path errors on
+    duplicate map keys while the broadcast path silently fans out."""
+    from mriya_spark.fsutil import fs_write_text
+    from mriya_spark.ops.text import bpe_load_vocab
+
+    path = str(tmp_path / "vocab.txt")
+    fs_write_text(spark, path, "aa\nbb\n\naa\n")
+    with pytest.raises(ValueError, match="line 4.*first seen on line 1"):
+        bpe_load_vocab(spark, path)
+
+
+def test_pack_shard_expr_string_ids_and_numeric_compat(spark):
+    """r14 judge directive 5: string doc ids (UUID/URL) shard via the
+    shard_shuffle md5 draw instead of failing at analysis, numeric ids
+    keep the replayable pmod contract (gate hashes unchanged), and
+    both packers accept both id types."""
+    import hashlib
+
+    from mriya_spark.ops.text import pack_windows, pack_windows_bestfit
+
+    sdf = spark.createDataFrame(
+        [(f"doc://site/{i}", 5 + i) for i in range(20)],
+        "doc_id string, n_tokens long",
+    )
+    got = {
+        r.doc_id: r.shard
+        for r in pack_windows_bestfit(
+            sdf, context_tokens=16, shards=4
+        ).collect()
+    }
+    want = {
+        d: int(hashlib.md5(f"42_{d}".encode()).hexdigest()[:15], 16) % 4
+        for d in got
+    }
+    assert got == want and len(set(got.values())) > 1
+    # straddling packer: same derivation, same acceptance
+    got2 = {
+        r.doc_id: r.shard
+        for r in pack_windows(sdf, context_tokens=16, shards=4).collect()
+    }
+    assert got2 == want
+    ndf = spark.createDataFrame(
+        [(i, 5) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    got_n = {
+        r.doc_id: r.shard
+        for r in pack_windows_bestfit(
+            ndf, context_tokens=16, shards=4
+        ).collect()
+    }
+    assert got_n == {i: i % 4 for i in range(10)}
