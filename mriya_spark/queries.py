@@ -5322,6 +5322,118 @@ def tokenizer_encode_fixed_vocab_q(
     )
 
 
+#: Truncated-vocab gate budget: the segmented documents corpus carries
+#: 33-34 distinct symbols at every fixture SF (measured r15), so
+#: keeping 24 drops ~9-10 real symbols and every dropped occurrence
+#: must surface as UNK-0 — a truncation that kept the wrong symbols,
+#: ranked by the wrong frequency, or swallowed an OOV flips the hash.
+_TOPK_KEEP = 24
+
+
+def _bpe_topk_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    keep: int = _TOPK_KEEP,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """Training replay -> corpus symbol frequencies (Σ word_cnt ×
+    occurrences-in-word) -> top-``keep`` (count DESC, symbol ASC) ->
+    ids by lexicographic rank WITHIN THE KEPT SET -> whole-corpus
+    encode with ``COALESCE(sym_id, 0)`` as the UNK policy. Same corpus
+    for train and encode, so segmentation reuses the training chain's
+    final v{n} directly (no second replace chain)."""
+    train = _bpe_oracle_sql(n_merges, token_re)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return body + f""",
+    sfreq AS MATERIALIZED (
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq
+      FROM (SELECT cnt, unnest(regexp_extract_all(seq, '<([^>]*)>', 1))
+                     AS sym
+            FROM v{n_merges})
+      GROUP BY sym),
+    kept AS MATERIALIZED (
+      SELECT sym FROM sfreq ORDER BY freq DESC, sym ASC LIMIT {keep}),
+    symid AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+               AS sym_id
+      FROM kept),
+    wid AS MATERIALIZED (
+      SELECT w.word, list(COALESCE(si.sym_id, 0) ORDER BY w.spos)
+               AS word_ids
+      FROM (SELECT f.word, t.j AS spos, f.s[t.j] AS sym
+            FROM (SELECT word,
+                         regexp_extract_all(seq, '<([^>]*)>', 1) AS s
+                  FROM v{n_merges}) f,
+                 unnest(range(1, len(f.s) + 1)) t(j)) w
+      LEFT JOIN symid si USING (sym)
+      GROUP BY w.word),
+    dwp AS (
+      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM documents) d,
+           unnest(range(1, len(d.words) + 1)) t(j)),
+    dtok AS (
+      SELECT dwp.doc_id,
+             flatten(list(wid.word_ids ORDER BY dwp.wpos)) AS token_ids
+      FROM dwp JOIN wid USING (word) GROUP BY dwp.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(len(t.token_ids), 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(COALESCE(len(list_filter(t.token_ids, x -> x = 0)), 0)
+                AS BIGINT) AS n_unk,
+           COALESCE(array_to_string(t.token_ids, ','), '') AS token_ids
+    FROM documents d LEFT JOIN dtok t USING (doc_id)
+    """
+
+
+@register("tokenizer_vocab_topk", _bpe_topk_oracle_sql())
+def tokenizer_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-TRUNCATED vocab encode (r14 judge directive 3): cap
+    the vocabulary at the ``_TOPK_KEEP`` most frequent symbols of the
+    segmented corpus (``ops.text.bpe_symbols_topk`` — corpus
+    occurrence count Σ word_cnt × occurrences, count DESC / symbol ASC
+    tie-break, the way a production tokenizer actually sizes its
+    vocab.json) and encode under the truncated list with
+    ``oov_id=0`` — so the gate pins the PRODUCTION source of OOV:
+    symbols dropped by truncation, not a disjoint encode corpus (that
+    case is ``tokenizer_encode_fixed_vocab``'s). Per doc the UNK
+    budget is visible (``n_unk`` > 0 wherever a dropped symbol
+    occurs); the oracle replays ranking, tie-break, kept-set id
+    assignment, and the UNK substitution, so keeping the wrong
+    symbols, ranking by document frequency instead of corpus
+    frequency, shifting ids, or swallowing an OOV all flip the hash.
+    Plan: training + one vocab-sized frequency aggregate (explode of
+    the segmented VOCABULARY, not the corpus) + the fixed-symbols
+    literal-map encode — zero symbol-derivation jobs, same shape as
+    the fixed-vocab gate. Reference contract: GPT-2/SentencePiece
+    vocab truncation + UNK id."""
+    from mriya_spark.ops.text import (
+        bpe_symbols_topk,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    top = bpe_symbols_topk(docs, trained, keep=_TOPK_KEEP, word_freq=wf)
+    ids = bpe_token_ids(
+        docs, trained, symbols=top, oov_id=0, word_freq=wf
+    )
+    return ids.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.size(F.filter("token_ids", lambda x: x == F.lit(0)))
+        .cast("long")
+        .alias("n_unk"),
+        F.array_join("token_ids", ",").alias("token_ids"),
+    )
+
+
 @register(
     "tokenizer_roundtrip_unicode",
     f"""
