@@ -6665,6 +6665,115 @@ def join_fuzzy_blocked_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_multiblock_oracle_sql(
+    max_dist: int = 2, blk: int = 16, cap: int = 150
+) -> str:
+    """Two blocking passes (prefix / clamped suffix), each with the
+    per-side hot-block cap, unioned with per-pair min(dist). The
+    suffix key start is ``greatest(1, length - blk + 1)`` — DuckDB's
+    negative-start ``substr`` diverges from Spark's on strings shorter
+    than ``blk`` (sentinel fixture pinned in
+    ``test_fuzzy_join_multiblock_sql_replay_prevalidation``)."""
+    passes = []
+    for key in (
+        f"substr(name, 1, {blk})",
+        f"substr(name, greatest(1, length(name) - {blk} + 1), {blk})",
+    ):
+        passes.append(f"""
+    SELECT id_a, id_b, dist FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      FROM (SELECT *, {key} AS blk FROM ta
+            WHERE {key} NOT IN (
+              SELECT blk FROM (
+                SELECT {key} AS blk FROM ta GROUP BY 1
+                HAVING count(*) > {cap}
+                UNION
+                SELECT {key} AS blk FROM tb GROUP BY 1
+                HAVING count(*) > {cap}))) a
+      JOIN (SELECT *, {key} AS blk FROM tb
+            WHERE {key} NOT IN (
+              SELECT blk FROM (
+                SELECT {key} AS blk FROM ta GROUP BY 1
+                HAVING count(*) > {cap}
+                UNION
+                SELECT {key} AS blk FROM tb GROUP BY 1
+                HAVING count(*) > {cap}))) b
+      USING (blk)
+      WHERE abs(length(a.name) - length(b.name)) <= {max_dist}
+        AND levenshtein(a.name, b.name) <= {max_dist})
+    """)
+    return f"""
+    WITH src AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'boilerplate entry junk'
+                  ELSE c_name END AS nm
+      FROM customer),
+    ta AS (SELECT c_custkey AS id, nm AS name FROM src),
+    tb AS (SELECT c_custkey + 1000000 AS id,
+                  CASE WHEN c_custkey % 3 = 0 THEN substr(nm, 2)
+                       ELSE substr(nm, 1, length(nm) - 1) END AS name
+           FROM src)
+    SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist
+    FROM ({" UNION ALL ".join(passes)})
+    GROUP BY 1, 2
+    """
+
+
+@register("join_fuzzy_multiblock", _fuzzy_multiblock_oracle_sql())
+def join_fuzzy_multiblock_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PASS blocked fuzzy join (r14 judge directive 2) — the
+    recall path the capped single-pass gate row points at
+    (``ops.relational.fuzzy_join_multiblock``): run the blocked join
+    on the PREFIX key and again on the SUFFIX key, union, keep each
+    pair's best distance. The fixture manufactures both escape modes
+    the union must recover plus the degenerate block the cap must
+    drop: side B loses its FIRST character for every third customer (a
+    prefix-localized edit — invisible to the prefix pass, recovered by
+    the suffix pass because deleting char 1 of an 18-char name leaves
+    the last 16 characters intact) and its LAST character otherwise
+    (recovered by the prefix pass), while every seventh name on BOTH
+    sides is one boilerplate string — hot on the prefix key AND the
+    suffix key from sf0.01 up (|customer|/7 = 214 > cap 150), so both
+    passes' caps drop it independently (a key degenerate on both ends
+    stays excluded, by design; at sf0.001's 21-member block the cap is
+    inert and the boilerplate cross-pairs flow — both regimes gated).
+    The oracle replays pass keys, per-side cap screens, the suffix
+    clamp, the length band, and the per-pair min — a wrong pass key,
+    a cap applied to one pass only, or a double-counted pair flips
+    the hash. Plan: exactly two linear-candidate blocked joins + one
+    pair-sized aggregate; never corpus². Reference contract: classic
+    multi-pass blocking (Fellegi-Sunter era entity resolution)."""
+    from mriya_spark.ops.relational import fuzzy_join_multiblock
+
+    src = _cat(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.lit("boilerplate entry junk")
+        )
+        .otherwise(F.col("c_name"))
+        .alias("nm"),
+    )
+    a = src.select("c_custkey", F.col("nm").alias("c_name"))
+    b = src.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.expr("substr(nm, 2)")
+        )
+        .otherwise(F.expr("substr(nm, 1, length(nm) - 1)"))
+        .alias("c_name"),
+    )
+    return fuzzy_join_multiblock(
+        a,
+        b,
+        col="c_name",
+        id_col="c_custkey",
+        max_dist=2,
+        block_len=16,
+        max_block=150,
+    )
+
+
 @register(
     "table_profile",
     """
