@@ -80,6 +80,15 @@ HEADLINE = [
     # trend line)
     "tokenizer_encode_fixed_vocab",
     "pack_sequences_bestfit",
+    # r15 additions: the SFT pack capstone (train -> encode -> FFD ->
+    # per-window payloads: the deepest tokenizer DAG in the registry),
+    # the two-pass fuzzy join (two blocked joins + pair-merge = the
+    # multi-pass recall path's wall cost vs the single pass above),
+    # and the truncated-vocab encode (vocab-sized frequency ranking
+    # feeding the fixed-symbols literal-map path)
+    "tokenizer_pack_bestfit",
+    "join_fuzzy_multiblock",
+    "tokenizer_vocab_topk",
 ]
 
 
@@ -249,7 +258,12 @@ def main() -> None:
                     "policy, corpus disjoint from training) and "
                     "pack_sequences_bestfit (non-straddling FFD packing) — "
                     "r14 totals are NOT comparable to r13; compare per-query "
-                    "or on the 34-query common set. Full payload (all raw runs) is "
+                    "or on the 34-query common set. r15 adds "
+                    "tokenizer_pack_bestfit (the SFT pack capstone), "
+                    "join_fuzzy_multiblock (two-pass blocked fuzzy join), "
+                    "and tokenizer_vocab_topk (truncated-vocab encode) — "
+                    "r15 totals are NOT comparable to r14; compare per-query "
+                    "or on the 36-query common set. Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "
                     "stdout tail, which lost most per-query runs to r11 "

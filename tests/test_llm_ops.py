@@ -2724,3 +2724,51 @@ def test_pack_shard_expr_string_ids_and_numeric_compat(spark):
         ).collect()
     }
     assert got_n == {i: i % 4 for i in range(10)}
+
+
+def test_bpe_fidelity_probe_harness(spark):
+    """Pins the r15 fidelity-probe harness (r14 judge directive 7,
+    `tools/probe_bpe_approx_fidelity.py`): on a corpus where batching
+    cannot drift (batch=1 IS the exact trainer), overlap must be 1.0
+    and token drift 0; and the probe's total_tokens metric must equal
+    the per-doc n_bpe_tokens sum — so the SCALE.md table's two columns
+    measure what they claim."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from probe_bpe_approx_fidelity import (
+        merge_overlap,
+        run_probe,
+        total_tokens,
+    )
+
+    from mriya_spark.ops.text import bpe_token_ids, bpe_train, bpe_word_freq
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "new low newer"),
+         (2, "aaa aa a9 low")],
+        "doc_id long, text string",
+    )
+    res = run_probe(spark, docs, n_merges=4, batches=[1, 4])
+    b1 = res["approx"]["1"]
+    assert b1["merge_set_overlap"] == 1.0
+    assert b1["token_drift_pct"] == 0.0
+    assert b1["rounds"] == 4  # batch=1: one driver round per merge
+    assert res["approx"]["4"]["rounds"] == 1
+    # total_tokens (vocab-sized Σ cnt × n_segments) == per-doc sum
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    merges = bpe_train(docs, n_merges=4, word_freq=wf)
+    per_doc = (
+        bpe_token_ids(docs, merges, word_freq=wf)
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total_tokens(docs, merges, wf) == per_doc
+    # overlap metric: order-insensitive, count-insensitive
+    assert merge_overlap(
+        [("a", "b", 9), ("c", "d", 5)], [("c", "d", 1), ("a", "b", 2)]
+    ) == 1.0
