@@ -303,6 +303,7 @@ def fuzzy_join_multiblock(
     max_dist: int = 2,
     block_len: int = 4,
     max_block: int | None = None,
+    passes: tuple[str, ...] = ("prefix", "suffix"),
 ) -> DataFrame:
     """Two-pass blocked fuzzy join: the classic multi-pass blocking
     recovery ``fuzzy_join_blocked``'s docstring points at — run the
@@ -321,23 +322,50 @@ def fuzzy_join_multiblock(
     independently — a key degenerate on BOTH ends stays excluded, by
     design).
 
-    Cost shape: exactly two blocked joins (each the linear-candidate
+    Cost shape: one blocked join per pass (each the linear-candidate
     plan measured in SCALE.md) plus one distinct-by-pair aggregate on
-    the UNION of their outputs — output-sized, never corpus-sized.
+    the UNION of their outputs — output-sized, never corpus-sized
+    (the r15 recall probe measured passes adding LINEAR wall time,
+    ~0.5-2 s each at sf0.01 and sf0.1 alike).
+
+    ``passes`` selects the blocking keys (default the classic
+    prefix+suffix two-pass). ``"middle"`` adds a centered window —
+    start ``max(1, (len - block_len) // 2 + 1)``, engine-portable —
+    which single-edit recall never needs (an edit escapes the union
+    iff it lands where the prefix and suffix windows OVERLAP, i.e.
+    only on strings shorter than 2·block_len — shrink ``block_len``
+    for those; measured exactly in SCALE.md r15) but MULTI-edit
+    recall does: a pair with one edit near each END escapes both the
+    prefix and suffix passes, while a middle window excludes both
+    edit sites whenever the string is longer than ~3·block_len.
     Output: (id_a, id_b, dist), one row per pair."""
-    prefix_pass = _fuzzy_pass_on_key(
-        a, b, col=col, id_col=id_col, max_dist=max_dist,
-        key=F.substring(F.col(col), 1, block_len), max_block=max_block,
-    )
-    suffix_pass = _fuzzy_pass_on_key(
-        a, b, col=col, id_col=id_col, max_dist=max_dist,
-        key=F.substring(F.col(col), -block_len, block_len),
-        max_block=max_block,
-    )
+    length = F.length(F.col(col))
+    keys = {
+        "prefix": F.substring(F.col(col), 1, block_len),
+        "suffix": F.substring(F.col(col), -block_len, block_len),
+        "middle": F.col(col).substr(
+            F.greatest(
+                F.lit(1),
+                (F.floor((length - block_len) / 2) + 1).cast("int"),
+            ),
+            F.lit(block_len),
+        ),
+    }
+    unknown = [p for p in passes if p not in keys]
+    if unknown or not passes:
+        raise ValueError(
+            f"passes must be a non-empty subset of {sorted(keys)}, "
+            f"got {passes!r}"
+        )
+    out = None
+    for p in passes:
+        one = _fuzzy_pass_on_key(
+            a, b, col=col, id_col=id_col, max_dist=max_dist,
+            key=keys[p], max_block=max_block,
+        )
+        out = one if out is None else out.unionAll(one)
     return (
-        prefix_pass.unionAll(suffix_pass)
-        .groupBy("id_a", "id_b")
-        .agg(F.min("dist").alias("dist"))
+        out.groupBy("id_a", "id_b").agg(F.min("dist").alias("dist"))
     )
 
 

@@ -1571,15 +1571,20 @@ def bpe_train_approx(
         merges.extend(accepted)
         if _probe is not None:
             _probe.append(len(accepted))
-        seq_expr = "seq"
-        for left, right, _c in accepted:
-            seq_expr = (
-                f"replace({seq_expr}, '<{left}><{right}>', "
-                f"'<{left}{right}>')"
-            )
-        vocab = vocab.withColumn(
-            "seq", F.expr(seq_expr)
-        ).localCheckpoint(eager=True)
+        # large batches chunk the replace chain like bpe_segment_vocab
+        # (a >=~1000-deep nest overflows Catalyst codegen's recursion;
+        # batch=512 is within one order of magnitude of the cliff)
+        for i in range(0, len(accepted), _BPE_REPLACE_CHUNK):
+            if i:
+                vocab = vocab.localCheckpoint(eager=False)
+            seq_expr = "seq"
+            for left, right, _c in accepted[i : i + _BPE_REPLACE_CHUNK]:
+                seq_expr = (
+                    f"replace({seq_expr}, '<{left}><{right}>', "
+                    f"'<{left}{right}>')"
+                )
+            vocab = vocab.withColumn("seq", F.expr(seq_expr))
+        vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 
@@ -1824,6 +1829,16 @@ def bpe_decode(
     )
 
 
+#: Max StringReplace expressions nested in one projection before the
+#: chain is cut with a plan-truncating checkpoint: Catalyst's codegen
+#: recurses once per nesting level and a ~1000-deep chain overflows
+#: the JVM stack (measured r15 — the 1k-merge fidelity probe crashed
+#: in defineCodeGen). 128 keeps ~8x headroom per stage; every
+#: oracle-registered gate (12 merges) stays single-chunk, plan
+#: byte-identical to the pre-r15 form.
+_BPE_REPLACE_CHUNK = 128
+
+
 def bpe_segment_vocab(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -1834,24 +1849,37 @@ def bpe_segment_vocab(
 ) -> DataFrame:
     """Apply a learned merge list to the corpus vocabulary: the
     (word, cnt, seq, n_syms) table after replaying every merge in
-    order — 1 projection with ``len(merges)`` chained scan-local
-    replaces, no per-round jobs. This IS the tokenizer's applied
-    form: joining corpus words against it segments the corpus under
-    the learned vocab (the train->serve pair of ``bpe_train``).
-    ``word_freq`` shares a precomputed vocabulary frame (see
-    ``bpe_train``)."""
+    order — chained scan-local replaces, no per-round jobs. This IS
+    the tokenizer's applied form: joining corpus words against it
+    segments the corpus under the learned vocab (the train->serve
+    pair of ``bpe_train``). ``word_freq`` shares a precomputed
+    vocabulary frame (see ``bpe_train``).
+
+    PRODUCTION MERGE COUNTS (r15, found by the >=1k-merge fidelity
+    probe, not review): one projection nesting ``len(merges)``
+    StringReplace expressions overflows the JVM stack in Catalyst's
+    recursive codegen somewhere below 1000 levels — encode under any
+    production-size merge list simply crashed. The chain is now cut
+    every ``_BPE_REPLACE_CHUNK`` merges with a plan-truncating local
+    checkpoint (vocab-sized frame, lazy — no extra job; each chunk
+    becomes one codegen'd stage over the previous chunk's RDD). At or
+    below one chunk — every oracle-registered gate (12 merges) — the
+    plan is byte-identical to the pre-r15 form: zero checkpoints."""
     vocab = (
         word_freq
         if word_freq is not None
         else bpe_word_freq(df, text_col=text_col, token_re=token_re)
     )
-    for left, right, _cnt in merges:
-        vocab = vocab.withColumn(
-            "seq",
-            F.expr(
-                f"replace(seq, '<{left}><{right}>', '<{left}{right}>')"
-            ),
-        )
+    for start in range(0, len(merges), _BPE_REPLACE_CHUNK):
+        if start:
+            vocab = vocab.localCheckpoint(eager=False)
+        for left, right, _cnt in merges[start : start + _BPE_REPLACE_CHUNK]:
+            vocab = vocab.withColumn(
+                "seq",
+                F.expr(
+                    f"replace(seq, '<{left}><{right}>', '<{left}{right}>')"
+                ),
+            )
     return vocab.withColumn(
         "n_syms",
         F.size(

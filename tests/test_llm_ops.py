@@ -2772,3 +2772,32 @@ def test_bpe_fidelity_probe_harness(spark):
     assert merge_overlap(
         [("a", "b", 9), ("c", "d", 5)], [("c", "d", 1), ("a", "b", 2)]
     ) == 1.0
+
+
+def test_bpe_segment_vocab_survives_production_merge_count(spark):
+    """r15 probe finding: a single projection nesting one
+    StringReplace per merge overflows Catalyst codegen's recursion
+    below ~1000 levels — encode under a production-size merge list
+    crashed outright. The chunked chain must (a) complete at 1000+
+    merges and (b) segment identically to the unchunked form on a
+    list small enough for both to run."""
+    from mriya_spark.ops.text import bpe_segment_vocab, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "new low newer aa a9")],
+        "doc_id long, text string",
+    )
+    real = bpe_train(df, n_merges=4)
+    # 1000+ merges: pad the real list with no-op merges (symbols that
+    # never occur adjacently) — depth is what's under test, and inert
+    # tail merges keep the expected segmentation checkable
+    padded = real + [(f"q{i}", f"z{i}", 1) for i in range(1200)]
+    got = {
+        r["word"]: r["seq"]
+        for r in bpe_segment_vocab(df, padded).collect()
+    }
+    want = {
+        r["word"]: r["seq"]
+        for r in bpe_segment_vocab(df, real).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from mriya_spark.ops import relational as R
@@ -560,3 +561,126 @@ def test_fuzzy_join_multiblock_cap_is_per_pass(spark):
         ).collect()
     }
     assert got2 == {(1, 10), (2, 20)}
+
+
+def test_fuzzy_join_middle_pass_recovers_double_ended_edits(spark):
+    """r15: a pair with one edit near EACH end escapes both the prefix
+    and suffix passes (each window contains one edit site); the middle
+    pass recovers it because the centered window excludes both. Single
+    edits stay covered by the classic two passes, and the middle pass
+    must never add a false pair."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.relational import fuzzy_join_multiblock
+
+    # 24-char strings; blk=6 -> prefix 1-6, middle 10-15, suffix 19-24
+    base = [(i, f"alpha beta gamma delta {chr(97 + i)}") for i in range(4)]
+    a = spark.createDataFrame(base, ["id", "name"])
+    s = base[0][1]
+    b_rows = [
+        # two edits: positions 2 and len-1 — escapes prefix AND suffix
+        (100, "aXpha beta gamma delta Xa"[: len(s)]),
+        (101, s),  # exact twin
+    ]
+    # build the double-ended edit deterministically from s itself
+    dbl = s[:1] + "X" + s[2 : len(s) - 2] + "X" + s[len(s) - 1 :]
+    b_rows[0] = (100, dbl)
+    b = spark.createDataFrame(b_rows, ["id", "name"])
+    kw = dict(col="name", id_col="id", max_dist=2, block_len=6)
+    two = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_multiblock(a, b, **kw).collect()
+    }
+    three = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_multiblock(
+            a, b, passes=("prefix", "suffix", "middle"), **kw
+        ).collect()
+    }
+    assert (0, 100) not in two  # double-ended edit escapes both passes
+    assert three[(0, 100)] == 2  # middle pass recovers it at dist 2
+    assert three[(0, 101)] == 0  # exact twin still found
+    assert set(three) - two == {(0, 100)}  # no false additions
+    with pytest.raises(ValueError, match="passes"):
+        fuzzy_join_multiblock(a, b, passes=("soundex",), **kw)
+
+
+def test_fuzzy_join_threeblock_sql_replay_prevalidation(spark):
+    """Pre-validates the r16 gate oracle for the three-pass fuzzy
+    join: prefix + clamped suffix + centered middle window, each with
+    the per-side hot-block cap, unioned with per-pair min(dist) —
+    replayed in DuckDB pair-for-pair, including a short-string row
+    that exercises the middle key's start clamp (DuckDB `//` floor
+    division vs Spark floor() must agree on negative lengths)."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.relational import fuzzy_join_multiblock
+
+    s = "alpha beta gamma delta x"
+    dbl = s[:1] + "X" + s[2 : len(s) - 2] + "X" + s[len(s) - 1 :]
+    names = (
+        [(i, f"form letter body {i:03d} pad") for i in range(6)]  # hot
+        + [(10, s), (11, "acme corporation north"),
+           (12, "initech consulting gmbh"),
+           (13, "ab"),   # shorter than blk: middle+suffix clamp to
+           (14, "b")]    # the whole string on BOTH engines
+    )
+    b_names = (
+        [(100 + i, f"form letter body {i:03d} pad") for i in range(6)]
+        + [(110, dbl),                      # double-ended edit
+           (111, "acme corporation norths"),  # suffix-window edit
+           (112, "initech consulting gmbh"),  # exact
+           (113, "ab"), (114, "ba")]
+    )
+    a = spark.createDataFrame(names, ["id", "name"])
+    b = spark.createDataFrame(b_names, ["id", "name"])
+    cap, blk, maxd = 4, 6, 2
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_join_multiblock(
+            a, b, col="name", id_col="id", max_dist=maxd, block_len=blk,
+            max_block=cap, passes=("prefix", "suffix", "middle"),
+        ).collect()
+    }
+    assert got[(10, 110)] == 2  # the middle pass's unique recovery
+    assert got[(13, 113)] == 0
+
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame(names, columns=["id", "name"]))
+    con.register("tb", pd.DataFrame(b_names, columns=["id", "name"]))
+    passes = []
+    for key in (
+        f"substr(name, 1, {blk})",
+        f"substr(name, greatest(1, length(name) - {blk} + 1), {blk})",
+        f"substr(name, greatest(1, (length(name) - {blk}) // 2 + 1), "
+        f"{blk})",
+    ):
+        passes.append(f"""
+        SELECT id_a, id_b, dist FROM (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+          FROM (SELECT *, {key} AS blk FROM ta
+                WHERE {key} NOT IN (
+                  SELECT blk FROM (
+                    SELECT {key} AS blk FROM ta GROUP BY 1
+                    HAVING count(*) > {cap}
+                    UNION
+                    SELECT {key} AS blk FROM tb GROUP BY 1
+                    HAVING count(*) > {cap}))) a
+          JOIN (SELECT *, {key} AS blk FROM tb
+                WHERE {key} NOT IN (
+                  SELECT blk FROM (
+                    SELECT {key} AS blk FROM ta GROUP BY 1
+                    HAVING count(*) > {cap}
+                    UNION
+                    SELECT {key} AS blk FROM tb GROUP BY 1
+                    HAVING count(*) > {cap}))) b
+          USING (blk)
+          WHERE abs(length(a.name) - length(b.name)) <= {maxd}
+            AND levenshtein(a.name, b.name) <= {maxd})
+        """)
+    sql = ("SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist FROM ("
+           + " UNION ALL ".join(passes) + ") GROUP BY 1, 2")
+    want = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert got == want
