@@ -56,29 +56,51 @@ def probe(spark, sf_dir: str, variant: str) -> dict:
     cust = Catalog(spark, sf_dir).table("customer")
     if variant == "short":
         src = cust.select("c_custkey", F.col("c_name").alias("nm"))
-    else:  # 'long': 37 chars > 2*block_len — the exact-recall regime
+    else:  # 'long'/'double': 37 chars > 2*block_len — exact regime
         src = cust.select(
             "c_custkey", F.expr("concat(c_name, '/', c_name)").alias("nm")
         )
     a = src.select("c_custkey", F.col("nm").alias("v"))
-    # one substitution at position p = 1 + custkey % 4 (chars 1-4)
-    b = src.select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
-        F.expr(
-            "concat(substr(nm, 1, c_custkey % 4), 'x', "
-            "substr(nm, c_custkey % 4 + 2))"
-        ).alias("v"),
-    )
+    if variant == "double":
+        # TWO substitutions, one near each end (p = 1 + custkey % 4
+        # and len-1): each classic window contains one edit site, so
+        # the pair escapes BOTH the prefix and suffix passes — the
+        # middle pass's unique recovery (r15 `passes=` extension)
+        b = src.select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.expr(
+                "concat(substr(nm, 1, c_custkey % 4), 'x', "
+                "substr(nm, c_custkey % 4 + 2, "
+                "length(nm) - (c_custkey % 4 + 2) - 1), 'x', "
+                "substr(nm, length(nm)))"
+            ).alias("v"),
+        )
+    else:
+        # one substitution at position p = 1 + custkey % 4 (chars 1-4)
+        b = src.select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.expr(
+                "concat(substr(nm, 1, c_custkey % 4), 'x', "
+                "substr(nm, c_custkey % 4 + 2))"
+            ).alias("v"),
+        )
     n_true = src.count()
     out = {"sf": sf_dir, "variant": variant, "n_true_mates": n_true}
-    for label, fn in (
-        ("prefix_only", fuzzy_join_blocked),
-        ("union", fuzzy_join_multiblock),
-    ):
+    modes = [
+        ("prefix_only", fuzzy_join_blocked, {}),
+        ("union", fuzzy_join_multiblock, {}),
+    ]
+    if variant == "double":
+        modes.append((
+            "union3",
+            fuzzy_join_multiblock,
+            {"passes": ("prefix", "suffix", "middle")},
+        ))
+    for label, fn, extra in modes:
         t0 = time.monotonic()
         pairs = fn(
             a, b, col="v", id_col="c_custkey",
-            max_dist=MAX_DIST, block_len=BLOCK_LEN,
+            max_dist=MAX_DIST, block_len=BLOCK_LEN, **extra,
         ).cache()
         mates = pairs.filter(
             F.col("id_b") - 1_000_000 == F.col("id_a")
@@ -114,7 +136,7 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in args.sf:
-        for variant in ("short", "long"):
+        for variant in ("short", "long", "double"):
             print(json.dumps(probe(spark, sf_dir, variant)))
 
 
