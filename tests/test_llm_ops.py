@@ -2801,3 +2801,81 @@ def test_bpe_segment_vocab_survives_production_merge_count(spark):
         for r in bpe_segment_vocab(df, real).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pack_bestfit_string_id_sql_replay_prevalidation(spark):
+    """Pre-validates an r16 gate oracle for the STRING-id FFD shard
+    path (r15 change): shard = first-60-md5-bits of '42_{id}' mod
+    shards — the shard_shuffle portable recipe — then the same FFD
+    recursive-CTE replay as pack_sequences_bestfit, with the in-shard
+    rank ordered by (n_tokens DESC, id ASC) where id order is now
+    VARCHAR binary order on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import pack_sequences_bestfit
+
+    rows = [
+        (f"doc://site-{i % 5}/p{i:03d}", "w " * (3 + (i * 7) % 11))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    cap, shards = 16, 3
+    got = {
+        r.doc_id: (r.shard, r.win, r.win_fill, r.pad, r.oversize)
+        for r in pack_sequences_bestfit(
+            df, context_tokens=cap, shards=shards
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = f"""
+    WITH RECURSIVE counts AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5('42_' || doc_id), 1, 15))::BIGINT
+                  % {shards} AS INTEGER) AS shard
+      FROM docs_t),
+    base AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+      FROM counts),
+    step(shard, rk, doc_id, n_tokens, win, fills) AS (
+      SELECT shard, rk, doc_id, n_tokens, CAST(1 AS BIGINT), [n_tokens]
+      FROM base WHERE rk = 1
+      UNION ALL
+      SELECT b.shard, b.rk, b.doc_id, b.n_tokens,
+             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
+                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
+                  len(s.fills) + 1) AS BIGINT),
+             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
+                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
+                  len(s.fills) + 1) <= len(s.fills)
+                  THEN list_transform(range(1, len(s.fills) + 1),
+                    i -> CASE WHEN i = COALESCE(
+                           list_filter(range(1, len(s.fills) + 1),
+                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
+                           len(s.fills) + 1)
+                         THEN s.fills[i] + b.n_tokens
+                         ELSE s.fills[i] END)
+                  ELSE list_append(s.fills, b.n_tokens) END
+      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1),
+    final_fills AS (
+      SELECT shard, fills FROM step s
+      WHERE rk = (SELECT max(rk) FROM step s2 WHERE s2.shard = s.shard))
+    SELECT st.doc_id, st.shard, st.win,
+           CAST(ff.fills[st.win] AS BIGINT) AS win_fill,
+           CAST(greatest(0, {cap} - ff.fills[st.win]) AS BIGINT) AS pad,
+           CAST(CASE WHEN st.n_tokens > {cap} THEN 1 ELSE 0 END
+                AS INTEGER) AS oversize
+    FROM step st JOIN final_fills ff USING (shard)
+    """
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+    assert len({s for s, *_ in got.values()}) == shards  # all shards hit
