@@ -425,6 +425,16 @@ def pack_windows_bestfit(
         # Python steps and minutes of wall time (measured r14); the
         # tree gives the IDENTICAL first-fit assignment in O(n log n)
         # — the property test pins exact equality with the naive fold.
+        # a NULL count (a left-joined upstream) would otherwise die in
+        # astype() with an opaque non-finite-cast error naming no doc —
+        # the same silent-failure class as the negative case below
+        na = pdf[count_col].isna()
+        if na.any():
+            raise ValueError(
+                "pack_windows_bestfit: NULL token count for "
+                f"{id_col}={pdf.loc[na, id_col].iloc[0]!r} — token "
+                "counts must be non-NULL and >= 0"
+            )
         pdf = pdf.sort_values(
             [count_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
@@ -1631,6 +1641,7 @@ def bpe_symbols(
     text_col: str = "text",
     word_freq: DataFrame | None = None,
     token_re: str = ASCII_TOKEN_RE,
+    vseg: DataFrame | None = None,
 ) -> list[str]:
     """The tokenizer's vocab.json half: the SORTED distinct symbol
     list of the segmented vocabulary (token id = 1-based index, the
@@ -1640,10 +1651,16 @@ def bpe_symbols(
     point), so a plain list: persist it next to merges.txt with
     ``bpe_save_vocab`` and any later session decodes ids without
     retraining. Pass the same ``word_freq`` the encode call uses so
-    the corpus word reduce isn't paid twice."""
-    vseg = bpe_segment_vocab(
-        df, merges, text_col=text_col, word_freq=word_freq, token_re=token_re
-    )
+    the corpus word reduce isn't paid twice; pass ``vseg`` (a
+    checkpointed ``bpe_segment_vocab`` frame) to also share the
+    merge-replay projection with a sibling encode/truncate call
+    (r15 self-review: train -> symbols -> encode otherwise replays
+    the merge chain twice)."""
+    if vseg is None:
+        vseg = bpe_segment_vocab(
+            df, merges, text_col=text_col, word_freq=word_freq,
+            token_re=token_re,
+        )
     syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     return sorted(
         r["sym"]
@@ -1661,6 +1678,7 @@ def bpe_symbols_topk(
     text_col: str = "text",
     word_freq: DataFrame | None = None,
     token_re: str = ASCII_TOKEN_RE,
+    vseg: DataFrame | None = None,
 ) -> list[str]:
     """FREQUENCY-TRUNCATED vocab: the ``keep`` most frequent symbols
     of the segmented corpus (corpus occurrence count = Σ word_cnt ×
@@ -1672,10 +1690,13 @@ def bpe_symbols_topk(
     policy (or fail loud), exactly the UNK budget a pipeline tunes.
     All work is vocab-sized (one explode + sum over the segmented
     vocabulary, one bounded driver collect of ``keep`` rows); the
-    ranking is integer-exact and SQL-replayable."""
-    vseg = bpe_segment_vocab(
-        df, merges, text_col=text_col, word_freq=word_freq, token_re=token_re
-    )
+    ranking is integer-exact and SQL-replayable. ``word_freq`` /
+    ``vseg`` share frames with sibling calls as in ``bpe_symbols``."""
+    if vseg is None:
+        vseg = bpe_segment_vocab(
+            df, merges, text_col=text_col, word_freq=word_freq,
+            token_re=token_re,
+        )
     syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     freq = (
         vseg.select(F.col("cnt"), F.explode(syms).alias("sym"))
@@ -1864,7 +1885,19 @@ def bpe_segment_vocab(
     checkpoint (vocab-sized frame, lazy — no extra job; each chunk
     becomes one codegen'd stage over the previous chunk's RDD). At or
     below one chunk — every oracle-registered gate (12 merges) — the
-    plan is byte-identical to the pre-r15 form: zero checkpoints."""
+    plan is byte-identical to the pre-r15 form: zero checkpoints.
+
+    Storage bound, stated honestly: the chunk checkpoints pin
+    ``ceil(n_merges / _BPE_REPLACE_CHUNK)`` vocab-sized cached frames
+    while the returned frame (or anything derived from it) is alive —
+    the lineage holds JVM references, so Spark's ContextCleaner frees
+    all of them once the caller drops the result, but PEAK storage
+    during a 30k-merge replay is ~235 vocab copies. At that scale the
+    chained-replace form itself is the wrong algorithm (30k sequential
+    rewrites of every row); the production encode path there is a
+    merge-rank segmenter (broadcast rank dict + per-word Arrow-batched
+    merge loop), which this library would add before anyone ships a
+    30k-merge vocab through ``bpe_segment_vocab``."""
     vocab = (
         word_freq
         if word_freq is not None
@@ -1912,6 +1945,7 @@ def bpe_token_ids(
     token_re: str = ASCII_TOKEN_RE,
     symbols: list[str] | None = None,
     oov_id: int | None = None,
+    vseg: DataFrame | None = None,
 ) -> DataFrame:
     """REAL per-doc token-id sequences under a learned merge list —
     the encode output a pretraining pipeline feeds to packing
@@ -1990,20 +2024,27 @@ def bpe_token_ids(
         )
     limit = BPE_INLINE_MAX_SYMS if max_inline_syms is None else max_inline_syms
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
-    # checkpoint the (vocab-sized) segmented vocabulary: the symbol
-    # collect (or distinct) below and the main DAG both read it —
-    # without this the corpus-sized word reduction would run twice
-    vseg = (
-        bpe_segment_vocab(
-            df,
-            merges,
-            text_col=text_col,
-            word_freq=word_freq,
-            token_re=token_re,
+    if vseg is not None:
+        # caller shares an already-checkpointed bpe_segment_vocab frame
+        # (r15 self-review: train -> symbols -> encode pipelines were
+        # replaying the merge chain twice) — just project it, no second
+        # materialization
+        vseg = vseg.select("word", syms_arr.alias("s"))
+    else:
+        # checkpoint the (vocab-sized) segmented vocabulary: the symbol
+        # collect (or distinct) below and the main DAG both read it —
+        # without this the corpus-sized word reduction would run twice
+        vseg = (
+            bpe_segment_vocab(
+                df,
+                merges,
+                text_col=text_col,
+                word_freq=word_freq,
+                token_re=token_re,
+            )
+            .select("word", syms_arr.alias("s"))
+            .localCheckpoint(eager=True)
         )
-        .select("word", syms_arr.alias("s"))
-        .localCheckpoint(eager=True)
-    )
     if symbols is not None:
         n_sym_bound = len(symbols)
     elif token_re == ASCII_TOKEN_RE:

@@ -5409,6 +5409,7 @@ def tokenizer_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-vocab gate. Reference contract: GPT-2/SentencePiece
     vocab truncation + UNK id."""
     from mriya_spark.ops.text import (
+        bpe_segment_vocab,
         bpe_symbols_topk,
         bpe_token_ids,
         bpe_train,
@@ -5420,10 +5421,12 @@ def tokenizer_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = bpe_train(
         docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
     )
-    top = bpe_symbols_topk(docs, trained, keep=_TOPK_KEEP, word_freq=wf)
-    ids = bpe_token_ids(
-        docs, trained, symbols=top, oov_id=0, word_freq=wf
+    # one merge replay shared by ranking AND encode (vseg=)
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
     )
+    top = bpe_symbols_topk(docs, trained, keep=_TOPK_KEEP, vseg=vseg)
+    ids = bpe_token_ids(docs, trained, symbols=top, oov_id=0, vseg=vseg)
     return ids.select(
         "doc_id",
         "n_bpe_tokens",
@@ -6665,21 +6668,15 @@ def join_fuzzy_blocked_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fuzzy_multiblock_oracle_sql(
-    max_dist: int = 2, blk: int = 16, cap: int = 150
-) -> str:
-    """Two blocking passes (prefix / clamped suffix), each with the
-    per-side hot-block cap, unioned with per-pair min(dist). The
-    suffix key start is ``greatest(1, length - blk + 1)`` — DuckDB's
-    negative-start ``substr`` diverges from Spark's on strings shorter
-    than ``blk`` (sentinel fixture pinned in
-    ``test_fuzzy_join_multiblock_sql_replay_prevalidation``)."""
-    passes = []
-    for key in (
-        f"substr(name, 1, {blk})",
-        f"substr(name, greatest(1, length(name) - {blk} + 1), {blk})",
-    ):
-        passes.append(f"""
+def _fuzzy_pass_sql(key: str, cap: int, max_dist: int) -> str:
+    """ONE blocking pass over relations ``ta``/``tb`` (columns id,
+    name): per-side hot-key screen (HAVING > cap, unioned), length
+    band, Levenshtein verify — the SQL twin of
+    ``ops.relational._fuzzy_pass_on_key``. Single-sourced here and
+    imported by the two- and three-pass prevalidation tests so the
+    registered oracle and its prevalidations cannot drift (r15
+    self-review)."""
+    return f"""
     SELECT id_a, id_b, dist FROM (
       SELECT a.id AS id_a, b.id AS id_b,
              CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
@@ -6702,7 +6699,43 @@ def _fuzzy_multiblock_oracle_sql(
       USING (blk)
       WHERE abs(length(a.name) - length(b.name)) <= {max_dist}
         AND levenshtein(a.name, b.name) <= {max_dist})
-    """)
+    """
+
+
+#: The three blocking-pass keys over a column named ``name`` — the
+#: DuckDB twins of fuzzy_join_multiblock's prefix / clamped-suffix /
+#: centered-middle Column expressions. NOTE on "middle": DuckDB ``//``
+#: TRUNCATES toward zero while Spark floor() floors — they differ only
+#: on negative odd quotients (length < blk), where greatest(1, ...)
+#: saturates both to 1; the clamp, not the operator, makes the recipe
+#: cross-engine. Never copy the ``//`` form into an unclamped oracle.
+def _fuzzy_pass_keys(blk: int) -> dict[str, str]:
+    return {
+        "prefix": f"substr(name, 1, {blk})",
+        "suffix": (
+            f"substr(name, greatest(1, length(name) - {blk} + 1), {blk})"
+        ),
+        "middle": (
+            f"substr(name, greatest(1, (length(name) - {blk}) // 2 + 1), "
+            f"{blk})"
+        ),
+    }
+
+
+def _fuzzy_multiblock_oracle_sql(
+    max_dist: int = 2, blk: int = 16, cap: int = 150
+) -> str:
+    """Two blocking passes (prefix / clamped suffix), each with the
+    per-side hot-block cap, unioned with per-pair min(dist). The
+    suffix key start is ``greatest(1, length - blk + 1)`` — DuckDB's
+    negative-start ``substr`` diverges from Spark's on strings shorter
+    than ``blk`` (sentinel fixture pinned in
+    ``test_fuzzy_join_multiblock_sql_replay_prevalidation``)."""
+    keys = _fuzzy_pass_keys(blk)
+    passes = [
+        _fuzzy_pass_sql(keys["prefix"], cap, max_dist),
+        _fuzzy_pass_sql(keys["suffix"], cap, max_dist),
+    ]
     return f"""
     WITH src AS (
       SELECT c_custkey,
@@ -8067,15 +8100,18 @@ def _sft_pack_oracle_sql(
     cap: int = _SFT_CAP,
     shards: int = _SFT_SHARDS,
     token_re: str = "[^a-z0-9]+",
+    doc_rel: str = "documents",
 ) -> str:
     """One statement, three replays (the capstone): BPE training (the
     shared ``_bpe_oracle_sql`` chain) -> per-doc token-id sequences
     under the corpus-lexicographic symbol table -> per-shard FFD bin
     packing as a recursive CTE carrying the window-fill vector as list
     state -> per-window payload grouping (ids concatenated in doc_id
-    order). Validated end-to-end against the composed Spark pipeline
-    in ``test_sft_pack_capstone_sql_replay_prevalidation``."""
-    train = _bpe_oracle_sql(n_merges, token_re)
+    order). ``doc_rel`` parametrizes the corpus relation so
+    ``test_sft_pack_capstone_sql_replay_prevalidation`` validates THIS
+    text on an in-memory corpus — one source, no drift between the
+    registered oracle and its prevalidation."""
+    train = _bpe_oracle_sql(n_merges, token_re, doc_rel)
     body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
     return "WITH RECURSIVE " + body[len("WITH "):] + f""",
     symid AS MATERIALIZED (
@@ -8098,13 +8134,13 @@ def _sft_pack_oracle_sql(
                    list_filter(string_split_regex(lower(trim(text)),
                                                   '{token_re}'),
                                x -> x <> '') AS words
-            FROM documents) d,
+            FROM {doc_rel}) d,
            unnest(range(1, len(d.words) + 1)) t(j)),
     dtok AS (
       SELECT d.doc_id,
              COALESCE(t.token_ids, CAST([] AS BIGINT[])) AS token_ids,
              CAST(COALESCE(len(t.token_ids), 0) AS BIGINT) AS n_tokens
-      FROM documents d LEFT JOIN (
+      FROM {doc_rel} d LEFT JOIN (
         SELECT dwp.doc_id,
                flatten(list(wid.word_ids ORDER BY dwp.wpos)) AS token_ids
         FROM dwp JOIN wid USING (word) GROUP BY dwp.doc_id) t
@@ -8140,7 +8176,8 @@ def _sft_pack_oracle_sql(
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS fill,
            CAST(greatest(0, {cap} - sum(n_tokens)) AS BIGINT) AS pad,
-           array_to_string(flatten(list(token_ids ORDER BY doc_id)), ',')
+           COALESCE(array_to_string(
+             flatten(list(token_ids ORDER BY doc_id)), ','), '')
              AS token_ids
     FROM step GROUP BY shard, win
     """
@@ -8169,6 +8206,7 @@ def tokenizer_pack_bestfit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: the SFT counterpart of ``tokenizer_bpe_pack``'s
     straddling pipeline."""
     from mriya_spark.ops.text import (
+        bpe_segment_vocab,
         bpe_symbols,
         bpe_token_ids,
         bpe_train,
@@ -8182,8 +8220,12 @@ def tokenizer_pack_bestfit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = bpe_train(
         docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
     )
-    vocab = bpe_symbols(docs, trained, word_freq=wf)
-    ids = bpe_token_ids(docs, trained, symbols=vocab, word_freq=wf)
+    # one merge replay shared by the vocab collect AND encode (vseg=)
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    ids = bpe_token_ids(docs, trained, symbols=vocab, vseg=vseg)
     packed = pack_windows_bestfit(
         ids,
         context_tokens=_SFT_CAP,

@@ -2490,34 +2490,11 @@ def test_fuzzy_join_multiblock_sql_replay_prevalidation(spark):
     con = duckdb.connect()
     con.register("ta", pd.DataFrame(names, columns=["id", "name"]))
     con.register("tb", pd.DataFrame(b_names, columns=["id", "name"]))
-    passes = []
-    for key in (f"substr(name, 1, {blk})",
-                f"substr(name, greatest(1, length(name) - {blk} + 1), "
-                f"{blk})"):
-        passes.append(f"""
-        SELECT id_a, id_b, dist FROM (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-          FROM (SELECT *, {key} AS blk FROM ta
-                WHERE {key} NOT IN (
-                  SELECT blk FROM (
-                    SELECT {key} AS blk FROM ta GROUP BY 1
-                    HAVING count(*) > {cap}
-                    UNION
-                    SELECT {key} AS blk FROM tb GROUP BY 1
-                    HAVING count(*) > {cap}))) a
-          JOIN (SELECT *, {key} AS blk FROM tb
-                WHERE {key} NOT IN (
-                  SELECT blk FROM (
-                    SELECT {key} AS blk FROM ta GROUP BY 1
-                    HAVING count(*) > {cap}
-                    UNION
-                    SELECT {key} AS blk FROM tb GROUP BY 1
-                    HAVING count(*) > {cap}))) b
-          USING (blk)
-          WHERE abs(length(a.name) - length(b.name)) <= {maxd}
-            AND levenshtein(a.name, b.name) <= {maxd})
-        """)
+    from mriya_spark.queries import _fuzzy_pass_keys, _fuzzy_pass_sql
+
+    keys = _fuzzy_pass_keys(blk)
+    passes = [_fuzzy_pass_sql(keys["prefix"], cap, maxd),
+              _fuzzy_pass_sql(keys["suffix"], cap, maxd)]
     sql = ("SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist FROM ("
            + " UNION ALL ".join(passes) + ") GROUP BY 1, 2")
     want = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
@@ -2527,12 +2504,14 @@ def test_fuzzy_join_multiblock_sql_replay_prevalidation(spark):
 
 
 def test_sft_pack_capstone_sql_replay_prevalidation(spark):
-    """Pre-validates the r15 SFT-pack capstone oracle: BPE training
-    replay (shared CTE chain) -> per-doc token ids -> FFD bin packing
-    (recursive CTE, fill-vector list state) -> per-window payloads,
-    all in ONE DuckDB statement, compared against the composed Spark
-    pipeline (bpe_token_ids + pack_windows_bestfit(carry) +
-    pack_windows_table) window-for-window."""
+    """Pre-validates the SFT-pack capstone oracle by running the
+    REGISTERED builder itself (`_sft_pack_oracle_sql`, parametrized to
+    an in-memory corpus — one source, no drift between this test and
+    the gate text): BPE training replay -> per-doc token ids -> FFD
+    bin packing (recursive CTE, fill-vector list state) -> per-window
+    payloads, all in ONE DuckDB statement, compared against the
+    composed Spark pipeline (bpe_token_ids + pack_windows_bestfit
+    (carry) + pack_windows_table) window-for-window."""
     import duckdb
     import pandas as pd
 
@@ -2543,6 +2522,7 @@ def test_sft_pack_capstone_sql_replay_prevalidation(spark):
         pack_windows_bestfit,
         pack_windows_table,
     )
+    from mriya_spark.queries import _sft_pack_oracle_sql
 
     texts = ["low lower lowest low", "new low newer", "aaa aa a9 low",
              "", "newer lowest aa aa"]
@@ -2558,85 +2538,18 @@ def test_sft_pack_capstone_sql_replay_prevalidation(spark):
         carry_cols=("token_ids",),
     )
     got = {
-        (r.shard, r.win): (r.n_docs, r.fill, r.pad, list(r.token_ids))
+        (r.shard, r.win): (
+            r.n_docs, r.fill, r.pad, ",".join(map(str, r.token_ids))
+        )
         for r in pack_windows_table(packed).collect()
     }
-
-    from mriya_spark.queries import _bpe_oracle_sql
 
     con = duckdb.connect()
     con.register("docs_t", pd.DataFrame({"doc_id": range(len(texts)),
                                          "text": texts}))
-    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_t")
-    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
-    sql = "WITH RECURSIVE " + body[len("WITH "):] + f""",
-    symid AS (
-      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
-               AS sym_id
-      FROM (SELECT DISTINCT
-              unnest(regexp_extract_all(seq, '<([^>]*)>', 1)) AS sym
-            FROM v{n_merges})),
-    wid AS (
-      SELECT w.word, list(si.sym_id ORDER BY w.spos) AS word_ids
-      FROM (SELECT f.word, t.j AS spos, f.s[t.j] AS sym
-            FROM (SELECT word,
-                         regexp_extract_all(seq, '<([^>]*)>', 1) AS s
-                  FROM v{n_merges}) f,
-                 unnest(range(1, len(f.s) + 1)) t(j)) w
-      JOIN symid si USING (sym) GROUP BY w.word),
-    dwp AS (
-      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(trim(text)),
-                                                  '[^a-z0-9]+'),
-                               x -> x <> '') AS words
-            FROM docs_t) d,
-           unnest(range(1, len(d.words) + 1)) t(j)),
-    dtok AS (
-      SELECT d.doc_id,
-             COALESCE(t.token_ids, CAST([] AS BIGINT[])) AS token_ids,
-             CAST(COALESCE(len(t.token_ids), 0) AS BIGINT) AS n_tokens
-      FROM docs_t d LEFT JOIN (
-        SELECT dwp.doc_id,
-               flatten(list(wid.word_ids ORDER BY dwp.wpos)) AS token_ids
-        FROM dwp JOIN wid USING (word) GROUP BY dwp.doc_id) t
-      USING (doc_id)),
-    base AS (
-      SELECT doc_id, n_tokens, token_ids,
-             CAST(doc_id % {shards} AS INTEGER) AS shard,
-             CAST(row_number() OVER (PARTITION BY doc_id % {shards}
-                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
-      FROM dtok),
-    step(shard, rk, doc_id, n_tokens, token_ids, win, fills) AS (
-      SELECT shard, rk, doc_id, n_tokens, token_ids,
-             CAST(1 AS BIGINT), [n_tokens]
-      FROM base WHERE rk = 1
-      UNION ALL
-      SELECT b.shard, b.rk, b.doc_id, b.n_tokens, b.token_ids,
-             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) AS BIGINT),
-             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) <= len(s.fills)
-                  THEN list_transform(range(1, len(s.fills) + 1),
-                    i -> CASE WHEN i = COALESCE(
-                           list_filter(range(1, len(s.fills) + 1),
-                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
-                           len(s.fills) + 1)
-                         THEN s.fills[i] + b.n_tokens
-                         ELSE s.fills[i] END)
-                  ELSE list_append(s.fills, b.n_tokens) END
-      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1)
-    SELECT shard, win,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS fill,
-           CAST(greatest(0, {cap} - sum(n_tokens)) AS BIGINT) AS pad,
-           flatten(list(token_ids ORDER BY doc_id)) AS token_ids
-    FROM step GROUP BY shard, win
-    """
+    sql = _sft_pack_oracle_sql(n_merges, cap, shards, doc_rel="docs_t")
     want = {
-        (r[0], r[1]): (r[2], r[3], r[4], list(r[5]))
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
         for r in con.execute(sql).fetchall()
     }
     assert got == want
@@ -2703,6 +2616,7 @@ def test_pack_shard_expr_string_ids_and_numeric_compat(spark):
             sdf, context_tokens=16, shards=4
         ).collect()
     }
+    assert len(got) == 20  # no silent row loss on the new shard path
     want = {
         d: int(hashlib.md5(f"42_{d}".encode()).hexdigest()[:15], 16) % 4
         for d in got

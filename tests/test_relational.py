@@ -577,14 +577,10 @@ def test_fuzzy_join_middle_pass_recovers_double_ended_edits(spark):
     base = [(i, f"alpha beta gamma delta {chr(97 + i)}") for i in range(4)]
     a = spark.createDataFrame(base, ["id", "name"])
     s = base[0][1]
-    b_rows = [
-        # two edits: positions 2 and len-1 — escapes prefix AND suffix
-        (100, "aXpha beta gamma delta Xa"[: len(s)]),
-        (101, s),  # exact twin
-    ]
-    # build the double-ended edit deterministically from s itself
+    # two edits, one near each end (positions 2 and len-1): escapes
+    # the prefix AND suffix passes, recovered only by the middle pass
     dbl = s[:1] + "X" + s[2 : len(s) - 2] + "X" + s[len(s) - 1 :]
-    b_rows[0] = (100, dbl)
+    b_rows = [(100, dbl), (101, s)]  # double-ended edit + exact twin
     b = spark.createDataFrame(b_rows, ["id", "name"])
     kw = dict(col="name", id_col="id", max_dist=2, block_len=6)
     two = {
@@ -609,9 +605,14 @@ def test_fuzzy_join_threeblock_sql_replay_prevalidation(spark):
     """Pre-validates the r16 gate oracle for the three-pass fuzzy
     join: prefix + clamped suffix + centered middle window, each with
     the per-side hot-block cap, unioned with per-pair min(dist) —
-    replayed in DuckDB pair-for-pair, including a short-string row
-    that exercises the middle key's start clamp (DuckDB `//` floor
-    division vs Spark floor() must agree on negative lengths)."""
+    replayed in DuckDB pair-for-pair, including short-string rows
+    that exercise the middle key's start clamp. NOTE: DuckDB `//`
+    TRUNCATES toward zero ((-5)//2 = -2, verified) while Spark's
+    floor() floors (-3) — they differ exactly on negative odd
+    quotients, i.e. only when length < block_len, where the
+    greatest(1, ...) clamp saturates both to 1; the clamp, not the
+    operator, is what makes the recipe cross-engine. Never copy the
+    `//` form into an UNCLAMPED oracle expression."""
     import duckdb
     import pandas as pd
 
@@ -649,37 +650,11 @@ def test_fuzzy_join_threeblock_sql_replay_prevalidation(spark):
     con = duckdb.connect()
     con.register("ta", pd.DataFrame(names, columns=["id", "name"]))
     con.register("tb", pd.DataFrame(b_names, columns=["id", "name"]))
-    passes = []
-    for key in (
-        f"substr(name, 1, {blk})",
-        f"substr(name, greatest(1, length(name) - {blk} + 1), {blk})",
-        f"substr(name, greatest(1, (length(name) - {blk}) // 2 + 1), "
-        f"{blk})",
-    ):
-        passes.append(f"""
-        SELECT id_a, id_b, dist FROM (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-          FROM (SELECT *, {key} AS blk FROM ta
-                WHERE {key} NOT IN (
-                  SELECT blk FROM (
-                    SELECT {key} AS blk FROM ta GROUP BY 1
-                    HAVING count(*) > {cap}
-                    UNION
-                    SELECT {key} AS blk FROM tb GROUP BY 1
-                    HAVING count(*) > {cap}))) a
-          JOIN (SELECT *, {key} AS blk FROM tb
-                WHERE {key} NOT IN (
-                  SELECT blk FROM (
-                    SELECT {key} AS blk FROM ta GROUP BY 1
-                    HAVING count(*) > {cap}
-                    UNION
-                    SELECT {key} AS blk FROM tb GROUP BY 1
-                    HAVING count(*) > {cap}))) b
-          USING (blk)
-          WHERE abs(length(a.name) - length(b.name)) <= {maxd}
-            AND levenshtein(a.name, b.name) <= {maxd})
-        """)
+    from mriya_spark.queries import _fuzzy_pass_keys, _fuzzy_pass_sql
+
+    keys = _fuzzy_pass_keys(blk)
+    passes = [_fuzzy_pass_sql(keys[p], cap, maxd)
+              for p in ("prefix", "suffix", "middle")]
     sql = ("SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist FROM ("
            + " UNION ALL ".join(passes) + ") GROUP BY 1, 2")
     want = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
