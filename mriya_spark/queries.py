@@ -5334,6 +5334,7 @@ def _bpe_topk_oracle_sql(
     n_merges: int = _BPE_MERGES,
     keep: int = _TOPK_KEEP,
     token_re: str = "[^a-z0-9]+",
+    doc_rel: str = "documents",
 ) -> str:
     """Training replay -> corpus symbol frequencies (Σ word_cnt ×
     occurrences-in-word) -> top-``keep`` (count DESC, symbol ASC) ->
@@ -5341,7 +5342,7 @@ def _bpe_topk_oracle_sql(
     encode with ``COALESCE(sym_id, 0)`` as the UNK policy. Same corpus
     for train and encode, so segmentation reuses the training chain's
     final v{n} directly (no second replace chain)."""
-    train = _bpe_oracle_sql(n_merges, token_re)
+    train = _bpe_oracle_sql(n_merges, token_re, doc_rel)
     body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
     return body + f""",
     sfreq AS MATERIALIZED (
@@ -5372,7 +5373,7 @@ def _bpe_topk_oracle_sql(
                    list_filter(string_split_regex(lower(trim(text)),
                                                   '{token_re}'),
                                x -> x <> '') AS words
-            FROM documents) d,
+            FROM {doc_rel}) d,
            unnest(range(1, len(d.words) + 1)) t(j)),
     dtok AS (
       SELECT dwp.doc_id,
@@ -5383,7 +5384,7 @@ def _bpe_topk_oracle_sql(
            CAST(COALESCE(len(list_filter(t.token_ids, x -> x = 0)), 0)
                 AS BIGINT) AS n_unk,
            COALESCE(array_to_string(t.token_ids, ','), '') AS token_ids
-    FROM documents d LEFT JOIN dtok t USING (doc_id)
+    FROM {doc_rel} d LEFT JOIN dtok t USING (doc_id)
     """
 
 

@@ -2401,16 +2401,21 @@ def test_bpe_symbols_topk_truncation_drives_unk_budget(spark):
 
 
 def test_bpe_symbols_topk_sql_replay_prevalidation(spark):
-    """Pre-validates the r15 gate oracle for the truncated vocab: the
-    frequency ranking (Sigma word_cnt x occurrences, count DESC /
-    symbol ASC, LIMIT keep, lexicographic output) replayed in DuckDB
-    from the SAME training-replay CTE chain the registered BPE oracles
-    use, compared against bpe_symbols_topk over an in-memory corpus."""
+    """Pre-validates the truncated-vocab gate oracle by running the
+    REGISTERED builder itself (`_bpe_topk_oracle_sql`, parametrized to
+    an in-memory corpus — one source, no drift): frequency ranking
+    (count DESC / symbol ASC, LIMIT keep), kept-set id assignment, and
+    the UNK-0 encode, compared doc-for-doc against the composed Spark
+    pipeline (bpe_symbols_topk + bpe_token_ids(oov_id=0))."""
     import duckdb
     import pandas as pd
 
-    from mriya_spark.ops.text import bpe_symbols_topk, bpe_train
-    from mriya_spark.queries import _bpe_oracle_sql
+    from mriya_spark.ops.text import (
+        bpe_symbols_topk,
+        bpe_token_ids,
+        bpe_train,
+    )
+    from mriya_spark.queries import _bpe_topk_oracle_sql
 
     texts = ["low lower lowest low", "new low newer", "aaa aa a9 low"]
     df = spark.createDataFrame(
@@ -2418,25 +2423,25 @@ def test_bpe_symbols_topk_sql_replay_prevalidation(spark):
     )
     n_merges, keep = 3, 5
     merges = bpe_train(df, n_merges=n_merges)
-    got = bpe_symbols_topk(df, merges, keep=keep)
+    top = bpe_symbols_topk(df, merges, keep=keep)
+    ids = bpe_token_ids(df, merges, symbols=top, oov_id=0)
+    got = {
+        r.doc_id: (
+            r.n_bpe_tokens,
+            sum(1 for i in r.token_ids if i == 0),
+            ",".join(map(str, r.token_ids)),
+        )
+        for r in ids.collect()
+    }
+    assert any(v[1] > 0 for v in got.values())  # truncation made UNKs
 
     con = duckdb.connect()
     con.register("docs_t", pd.DataFrame({"doc_id": range(len(texts)),
                                          "text": texts}))
-    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_t")
-    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
-    sql = body + f""",
-    sfreq AS (
-      SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq
-      FROM (SELECT cnt, unnest(regexp_extract_all(seq, '<([^>]*)>', 1))
-                     AS sym
-            FROM v{n_merges})
-      GROUP BY sym),
-    kept AS (SELECT sym FROM sfreq ORDER BY freq DESC, sym ASC
-             LIMIT {keep})
-    SELECT sym FROM kept ORDER BY sym
-    """
-    want = [r[0] for r in con.execute(sql).fetchall()]
+    sql = _bpe_topk_oracle_sql(n_merges, keep, doc_rel="docs_t")
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
     assert got == want
 
 
