@@ -1856,8 +1856,53 @@ def bpe_decode(
 #: the JVM stack (measured r15 — the 1k-merge fidelity probe crashed
 #: in defineCodeGen). 128 keeps ~8x headroom per stage; every
 #: oracle-registered gate (12 merges) stays single-chunk, plan
-#: byte-identical to the pre-r15 form.
+#: byte-identical to the pre-r15 form. Above this count the default
+#: ``engine="auto"`` abandons the chain entirely for the merge-rank
+#: segmenter (see ``_merge_rank_segment``) — per-word cost independent
+#: of merge count, the way a production tokenizer actually applies a
+#: 30k-merge vocab.
 _BPE_REPLACE_CHUNK = 128
+
+
+def _merge_rank_segment(word: str, ranks: dict) -> str:
+    """Segment ONE pretokenized word under a learned merge list the
+    way a shipped tokenizer does (GPT-2/SentencePiece merge-rank
+    apply): start from codepoints, repeatedly merge the adjacent pair
+    with the LOWEST rank (all non-overlapping occurrences, leftmost
+    first) until no adjacent pair is in the table. Provably identical
+    to replaying the merges in listed order with global string
+    replaces (the ``bpe_segment_vocab`` chain / DuckDB-oracle form):
+    merging a pair can only create adjacencies involving its PRODUCT
+    symbol, and any learned pair containing that product has a later
+    rank — so the lowest applicable rank at every step is exactly the
+    next in-order merge that applies, and one pass per pair is
+    complete (a replace can never create a new occurrence of its own
+    pattern). Equality with the chain is pinned by a Hypothesis
+    property test, not argued. Cost: O(passes × word_len) with
+    word_len-bounded passes — independent of merge-list size, which is
+    the whole point at 30k merges."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (syms[i], syms[i + 1])
+        if best is None:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return "".join(f"<{s}>" for s in syms)
 
 
 def bpe_segment_vocab(
@@ -1867,52 +1912,73 @@ def bpe_segment_vocab(
     text_col: str = "text",
     word_freq: DataFrame | None = None,
     token_re: str = ASCII_TOKEN_RE,
+    engine: str = "auto",
 ) -> DataFrame:
     """Apply a learned merge list to the corpus vocabulary: the
-    (word, cnt, seq, n_syms) table after replaying every merge in
-    order — chained scan-local replaces, no per-round jobs. This IS
+    (word, cnt, seq, n_syms) table under the learned vocab. This IS
     the tokenizer's applied form: joining corpus words against it
-    segments the corpus under the learned vocab (the train->serve
-    pair of ``bpe_train``). ``word_freq`` shares a precomputed
-    vocabulary frame (see ``bpe_train``).
+    segments the corpus (the train->serve pair of ``bpe_train``).
+    ``word_freq`` shares a precomputed vocabulary frame (see
+    ``bpe_train``).
 
-    PRODUCTION MERGE COUNTS (r15, found by the >=1k-merge fidelity
-    probe, not review): one projection nesting ``len(merges)``
-    StringReplace expressions overflows the JVM stack in Catalyst's
-    recursive codegen somewhere below 1000 levels — encode under any
-    production-size merge list simply crashed. The chain is now cut
-    every ``_BPE_REPLACE_CHUNK`` merges with a plan-truncating local
-    checkpoint (vocab-sized frame, lazy — no extra job; each chunk
-    becomes one codegen'd stage over the previous chunk's RDD). At or
-    below one chunk — every oracle-registered gate (12 merges) — the
-    plan is byte-identical to the pre-r15 form: zero checkpoints.
+    Two result-identical engines (equality Hypothesis-pinned in
+    ``test_merge_rank_equals_replace_chain``):
 
-    Storage bound, stated honestly: the chunk checkpoints pin
-    ``ceil(n_merges / _BPE_REPLACE_CHUNK)`` vocab-sized cached frames
-    while the returned frame (or anything derived from it) is alive —
-    the lineage holds JVM references, so Spark's ContextCleaner frees
-    all of them once the caller drops the result, but PEAK storage
-    during a 30k-merge replay is ~235 vocab copies. At that scale the
-    chained-replace form itself is the wrong algorithm (30k sequential
-    rewrites of every row); the production encode path there is a
-    merge-rank segmenter (broadcast rank dict + per-word Arrow-batched
-    merge loop), which this library would add before anyone ships a
-    30k-merge vocab through ``bpe_segment_vocab``."""
+    - ``"chain"``: replay every merge in order as chained scan-local
+      string replaces — the exact form the DuckDB gate oracles replay,
+      zero Python. r15 (found by the >=1k-merge fidelity probe, not
+      review): one projection nesting ``len(merges)`` StringReplace
+      expressions overflows Catalyst codegen's recursion below ~1000
+      levels, so the chain is cut every ``_BPE_REPLACE_CHUNK`` merges
+      with a lazy plan-truncating checkpoint; at or below one chunk —
+      every oracle-registered gate (12 merges) — the plan is
+      byte-identical to the pre-r15 form. Peak storage is
+      ``ceil(n/128)`` vocab-sized cached frames while the result is
+      alive (lineage-pinned, ContextCleaner-freed after) and per-row
+      cost grows WITH the merge count — fine to a few hundred merges,
+      the wrong algorithm at 30k.
+    - ``"rank"``: the production form — broadcast the merge-rank table
+      in the UDF closure and segment each vocab word with the
+      GPT-2-style lowest-rank-first merge loop
+      (``_merge_rank_segment``), one Arrow-batched pass over the
+      vocab-sized frame, per-word cost INDEPENDENT of merge count.
+
+    ``"auto"`` (default) picks chain at or below ``_BPE_REPLACE_CHUNK``
+    merges (gate plans unchanged) and rank above it."""
+    if engine not in ("auto", "chain", "rank"):
+        raise ValueError(f"engine must be auto/chain/rank, got {engine!r}")
     vocab = (
         word_freq
         if word_freq is not None
         else bpe_word_freq(df, text_col=text_col, token_re=token_re)
     )
-    for start in range(0, len(merges), _BPE_REPLACE_CHUNK):
-        if start:
-            vocab = vocab.localCheckpoint(eager=False)
-        for left, right, _cnt in merges[start : start + _BPE_REPLACE_CHUNK]:
-            vocab = vocab.withColumn(
-                "seq",
-                F.expr(
-                    f"replace(seq, '<{left}><{right}>', '<{left}{right}>')"
-                ),
-            )
+    if engine == "rank" or (
+        engine == "auto" and len(merges) > _BPE_REPLACE_CHUNK
+    ):
+        ranks: dict = {}
+        for i, (left, right, _cnt) in enumerate(merges):
+            ranks.setdefault((left, right), i)
+
+        def _seg(words):  # pd.Series -> pd.Series (Arrow-batched)
+            return words.map(lambda w: _merge_rank_segment(w, ranks))
+
+        vocab = vocab.withColumn(
+            "seq", F.pandas_udf(_seg, "string")("word")
+        )
+    else:
+        for start in range(0, len(merges), _BPE_REPLACE_CHUNK):
+            if start:
+                vocab = vocab.localCheckpoint(eager=False)
+            for left, right, _cnt in merges[
+                start : start + _BPE_REPLACE_CHUNK
+            ]:
+                vocab = vocab.withColumn(
+                    "seq",
+                    F.expr(
+                        f"replace(seq, '<{left}><{right}>', "
+                        f"'<{left}{right}>')"
+                    ),
+                )
     return vocab.withColumn(
         "n_syms",
         F.size(

@@ -2697,9 +2697,13 @@ def test_bpe_segment_vocab_survives_production_merge_count(spark):
     """r15 probe finding: a single projection nesting one
     StringReplace per merge overflows Catalyst codegen's recursion
     below ~1000 levels — encode under a production-size merge list
-    crashed outright. The chunked chain must (a) complete at 1000+
-    merges and (b) segment identically to the unchunked form on a
-    list small enough for both to run."""
+    crashed outright. Both big-list engines must (a) complete at
+    1000+ merges and (b) segment identically to the small-list chain:
+    engine="chain" exercises the chunked-checkpoint fix, the default
+    engine="auto" routes >128 merges onto the merge-rank segmenter
+    (whose algebraic equality with the chain is Hypothesis-pinned in
+    test_merge_rank_equals_replace_chain — this is the Spark-wiring
+    half of that property)."""
     from mriya_spark.ops.text import bpe_segment_vocab, bpe_train
 
     df = spark.createDataFrame(
@@ -2711,15 +2715,16 @@ def test_bpe_segment_vocab_survives_production_merge_count(spark):
     # never occur adjacently) — depth is what's under test, and inert
     # tail merges keep the expected segmentation checkable
     padded = real + [(f"q{i}", f"z{i}", 1) for i in range(1200)]
-    got = {
-        r["word"]: r["seq"]
-        for r in bpe_segment_vocab(df, padded).collect()
-    }
     want = {
         r["word"]: r["seq"]
         for r in bpe_segment_vocab(df, real).collect()
     }
-    assert got == want and len(got) > 0
+    for engine in ("chain", "auto"):
+        got = {
+            r["word"]: r["seq"]
+            for r in bpe_segment_vocab(df, padded, engine=engine).collect()
+        }
+        assert got == want and len(got) > 0, engine
 
 
 def test_pack_bestfit_string_id_sql_replay_prevalidation(spark):

@@ -807,3 +807,56 @@ def test_fixed_vocab_encode_is_corpus_independent_property(
         assert enc_b[i] == enc_a[i]
     # the training corpus itself never produces UNK under its own vocab
     assert all(0 not in ids for ids in enc_a.values())
+
+
+BPE_WORD = st.text(alphabet="abcdéλ9", min_size=1, max_size=8)
+
+
+@given(st.lists(BPE_WORD, min_size=1, max_size=10), st.integers(0, 12))
+@settings(max_examples=60, deadline=None)
+def test_merge_rank_equals_replace_chain(words, n_merges):
+    """The merge-rank segmenter (`_merge_rank_segment`, the
+    production engine for big merge lists) must produce EXACTLY the
+    segmentation of replaying the merges in listed order with global
+    string replaces (the chain engine / the DuckDB-oracle form), on
+    any valid BPE merge list — including repeated-character words
+    ('aaa') where leftmost-first non-overlapping merging is the
+    tie-sensitive part, and non-ASCII symbols. Merges are learned by
+    an in-test pure-Python trainer that mirrors bpe_train's greedy
+    rule (count DESC, pair ASC), so the lists are exactly the
+    reachable ones. No Spark: the chain per word IS pure string
+    replacement, which is what makes this property cheap enough to
+    run at 60 examples."""
+    from collections import Counter
+
+    from mriya_spark.ops.text import _merge_rank_segment
+
+    # --- pure-Python mirror of the greedy trainer ---
+    seqs = {w: "<" + "><".join(w) + ">" for w in set(words)}
+    cnt = Counter(words)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            syms = re.findall(r"<([^>]*)>", seq)
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt[w]
+        if not pairs:
+            break
+        (left, right), _c = max(
+            pairs.items(), key=lambda kv: (kv[1], [-ord(c) for c in f"{kv[0][0]} {kv[0][1]}"])
+        )
+        merges.append((left, right, pairs[(left, right)]))
+        for w in seqs:
+            seqs[w] = seqs[w].replace(
+                f"<{left}><{right}>", f"<{left}{right}>"
+            )
+    # --- chain model: replay in order with global replaces ---
+    ranks = {}
+    for i, (left, right, _c) in enumerate(merges):
+        ranks.setdefault((left, right), i)
+    for w in set(words):
+        chain = "<" + "><".join(w) + ">"
+        for left, right, _c in merges:
+            chain = chain.replace(f"<{left}><{right}>", f"<{left}{right}>")
+        assert _merge_rank_segment(w, ranks) == chain, (w, merges)
