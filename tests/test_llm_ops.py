@@ -2803,3 +2803,56 @@ def test_pack_bestfit_string_id_sql_replay_prevalidation(spark):
     }
     assert got == want
     assert len({s for s, *_ in got.values()}) == shards  # all shards hit
+
+
+def test_rank_engine_encode_sql_replay_prevalidation(spark):
+    """Pre-validates an r16 gate row that pins the merge-rank engine
+    AGAINST THE ENGINE-INDEPENDENT ORACLE: the Spark side segments the
+    vocabulary with engine='rank' (the production 30k-merge path) and
+    encodes under a truncated vocab, while DuckDB replays the classic
+    in-order replace CHAIN (`_bpe_topk_oracle_sql` — the registered
+    builder, unchanged). A hash match means the rank engine's
+    segmentation is chain-identical on the cluster, not just in the
+    Hypothesis model."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols_topk,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+    )
+    from mriya_spark.queries import _bpe_topk_oracle_sql
+
+    texts = ["low lower lowest low", "new low newer", "aaa aa a9 low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_merges, keep = 3, 5
+    wf = bpe_word_freq(df).localCheckpoint(eager=True)
+    merges = bpe_train(df, n_merges=n_merges, word_freq=wf)
+    vseg = bpe_segment_vocab(
+        df, merges, word_freq=wf, engine="rank"
+    ).localCheckpoint(eager=True)
+    top = bpe_symbols_topk(df, merges, keep=keep, vseg=vseg)
+    ids = bpe_token_ids(df, merges, symbols=top, oov_id=0, vseg=vseg)
+    got = {
+        r.doc_id: (
+            r.n_bpe_tokens,
+            sum(1 for i in r.token_ids if i == 0),
+            ",".join(map(str, r.token_ids)),
+        )
+        for r in ids.collect()
+    }
+    assert any(v[1] > 0 for v in got.values())
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame({"doc_id": range(len(texts)),
+                                         "text": texts}))
+    sql = _bpe_topk_oracle_sql(n_merges, keep, doc_rel="docs_t")
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
