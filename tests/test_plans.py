@@ -559,6 +559,27 @@ def test_headline_queries_have_no_row_python(spark, queries):
     assert audited >= 14
 
 
+def test_r15_queries_shuffle_ceilings(spark, queries):
+    """Pin the r15 additions' exchange budgets. Ceilings use THIS
+    file's raw plan-string count, which (unlike PLANS.md's walker:
+    4/5/2 distinct shuffles at the tip) also counts the exchanges a
+    persisted/reused subtree reprints inline — measured 8/10/4 at the
+    r15 tip, pinned exactly. A regression that re-derives the shared
+    vseg, loses a broadcast to a shuffle join, or adds a global sort
+    shows up here as a ceiling break, not as a silent bench drift."""
+    sf = "/root/testdata/sf0.001"
+    ceilings = {
+        "tokenizer_pack_bestfit": 8,
+        "join_fuzzy_multiblock": 10,
+        "tokenizer_vocab_topk": 4,
+    }
+    for name, cap in ceilings.items():
+        df = queries[name](spark, sf)
+        df.collect()  # finalize AQE
+        got = n_shuffles(executed_plan(df))
+        assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"
+
+
 def test_zorder_layout_shrinks_rowgroup_rectangles(spark, tmp_path):
     """The point of the Morton layout: with rows z-ordered on (a, b),
     every parquet row group covers a small RECTANGLE in (a, b) space,
