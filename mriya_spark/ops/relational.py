@@ -322,11 +322,16 @@ def fuzzy_join_multiblock(
     independently — a key degenerate on BOTH ends stays excluded, by
     design).
 
-    Cost shape: one blocked join per pass (each the linear-candidate
-    plan measured in SCALE.md) plus one distinct-by-pair aggregate on
-    the UNION of their outputs — output-sized, never corpus-sized
-    (the r15 recall probe measured passes adding LINEAR wall time,
-    ~0.5-2 s each at sf0.01 and sf0.1 alike).
+    Cost shape: each side is scanned ONCE and exploded into its
+    (pass, key) pairs, then one hot screen + one equi-join on
+    (pass, key) + one pair-sized min aggregate serve ALL passes — the
+    candidate multiset is identical to running the blocked join once
+    per pass and unioning (the r14 two-join form), but the N-pass
+    version no longer pays N scans and N shuffle joins per side; at
+    100 TB the scans are the cost. Candidate volume stays the sum of
+    per-(pass, key) block products — linear, never corpus² (the r15
+    recall probe measured passes adding ~0.5-2 s each at sf0.01 and
+    sf0.1 alike, and the single-join rewrite only lowers the constant).
 
     ``passes`` selects the blocking keys (default the classic
     prefix+suffix two-pass). ``"middle"`` adds a centered window —
@@ -357,15 +362,63 @@ def fuzzy_join_multiblock(
             f"passes must be a non-empty subset of {sorted(keys)}, "
             f"got {passes!r}"
         )
-    out = None
-    for p in passes:
-        one = _fuzzy_pass_on_key(
-            a, b, col=col, id_col=id_col, max_dist=max_dist,
-            key=keys[p], max_block=max_block,
+    # SINGLE-JOIN FORM (r15): rather than one blocked join per pass
+    # (N scans + N shuffles per side), explode each row into its
+    # (pass, key) pairs and run ONE hot screen + ONE equi-join on
+    # (pass, key) — the candidate multiset is identical (a pair
+    # matching on two passes appears twice, merged by the min() just
+    # like the unionAll form), the per-pass per-side cap semantics are
+    # exactly the (pass, key) group counts, and each side is scanned
+    # once instead of N times — at 100 TB the scans ARE the cost.
+    # Result-equality with the per-pass oracle replay is what every
+    # multiblock gate hash checks.
+    def keyed(side: DataFrame, id_out: str, v_out: str, l_out: str):
+        pairs_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"), keys[p].alias("k")
+                )
+                for p in passes
+            ]
         )
-        out = one if out is None else out.unionAll(one)
+        return side.select(
+            F.col(id_col).alias(id_out),
+            F.col(col).alias(v_out),
+            F.length(F.col(col)).alias(l_out),
+            F.explode(pairs_arr).alias("pb"),
+        ).select(
+            id_out,
+            v_out,
+            l_out,
+            F.col("pb.p").alias("__pass"),
+            F.col("pb.k").alias("__blk"),
+        )
+
+    ka = keyed(a, "id_a", "__va", "__la")
+    kb = keyed(b, "id_b", "__vb", "__lb")
+    if max_block is not None:
+        hot = (
+            ka.groupBy("__pass", "__blk")
+            .count()
+            .filter(F.col("count") > max_block)
+            .select("__pass", "__blk")
+            .unionAll(
+                kb.groupBy("__pass", "__blk")
+                .count()
+                .filter(F.col("count") > max_block)
+                .select("__pass", "__blk")
+            )
+            .distinct()
+        )
+        ka = ka.join(F.broadcast(hot), ["__pass", "__blk"], "left_anti")
+        kb = kb.join(F.broadcast(hot), ["__pass", "__blk"], "left_anti")
     return (
-        out.groupBy("id_a", "id_b").agg(F.min("dist").alias("dist"))
+        ka.join(kb, on=["__pass", "__blk"])
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .withColumn("dist", F.levenshtein("__va", "__vb"))
+        .filter(F.col("dist") <= max_dist)
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.col("dist").cast("long")).alias("dist"))
     )
 
 
