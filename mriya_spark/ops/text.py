@@ -2216,3 +2216,70 @@ def bpe_token_ids(
             "n_bpe_tokens"
         ),
     )
+
+
+def sft_encode_masks(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    completion_col: str = "completion",
+    symbols: list[str] | None = None,
+    oov_id: int | None = None,
+    word_freq: DataFrame | None = None,
+    vseg: DataFrame | None = None,
+    token_re: str = ASCII_TOKEN_RE,
+) -> DataFrame:
+    """SFT loss-mask encoding — the (token_ids, loss_mask) pair a
+    supervised-fine-tuning loader actually consumes: the prompt and
+    completion columns are tokenized under ONE vocabulary, the per-doc
+    sequence is their concatenation, and ``loss_mask`` is 0 over every
+    prompt position and 1 over every completion position — aligned by
+    construction (``size(token_ids) == size(loss_mask)``, completion
+    mask count = completion token count). Returns ``(id, token_ids,
+    loss_mask, n_tokens, n_completion_tokens)``; feed it through
+    ``pack_windows_bestfit(carry_cols=('token_ids', 'loss_mask'))`` +
+    ``pack_windows_table`` for non-straddling masked training shards
+    (both carries concatenate in the same doc order, so alignment
+    survives packing).
+
+    ``symbols``/``oov_id`` follow ``bpe_token_ids``' id-authority
+    contract. Pass ``word_freq``/``vseg`` built over a corpus whose
+    word vocabulary COVERS both columns (e.g. the full text the pair
+    was split from, or the union of both columns) — the word->ids map
+    is a lookup, so a superset vocabulary is exactly right and the
+    merge replay is paid once for both encodes. Plan: two
+    posexplode->broadcast-join->regroup encode passes (one per
+    column — each column is its own corpus-sized input) sharing one
+    vocab-sized segmentation, one id-side join, scan-local mask
+    construction. Reference contract: HF/TRL `DataCollatorForCompletionOnlyLM`
+    semantics (prompt tokens excluded from the loss)."""
+    p = bpe_token_ids(
+        df, merges, id_col=id_col, text_col=prompt_col,
+        word_freq=word_freq, token_re=token_re, symbols=symbols,
+        oov_id=oov_id, vseg=vseg,
+    ).select(
+        id_col,
+        F.col("token_ids").alias("__p_ids"),
+        F.col("n_bpe_tokens").alias("__np"),
+    )
+    c = bpe_token_ids(
+        df, merges, id_col=id_col, text_col=completion_col,
+        word_freq=word_freq, token_re=token_re, symbols=symbols,
+        oov_id=oov_id, vseg=vseg,
+    ).select(
+        id_col,
+        F.col("token_ids").alias("__c_ids"),
+        F.col("n_bpe_tokens").alias("__nc"),
+    )
+    return p.join(c, id_col).select(
+        id_col,
+        F.expr("concat(__p_ids, __c_ids)").alias("token_ids"),
+        F.expr(
+            "concat(array_repeat(0, cast(__np as int)), "
+            "array_repeat(1, cast(__nc as int)))"
+        ).alias("loss_mask"),
+        (F.col("__np") + F.col("__nc")).cast("long").alias("n_tokens"),
+        F.col("__nc").cast("long").alias("n_completion_tokens"),
+    )

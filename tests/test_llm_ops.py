@@ -2856,3 +2856,167 @@ def test_rank_engine_encode_sql_replay_prevalidation(spark):
         r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_sft_encode_masks_sql_replay_prevalidation(spark):
+    """Pre-validates an r16 gate oracle for SFT loss-mask encoding:
+    training replay on the joined prompt+completion text, then TWO
+    encode chains (one per column) under the shared vocabulary,
+    concatenated ids and the 0/1 loss mask replayed in DuckDB
+    doc-for-doc. Also pins the alignment invariants the op guarantees
+    (len(ids) == len(mask); mask ones == completion token count)."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_word_freq,
+        bpe_train,
+        sft_encode_masks,
+    )
+    from mriya_spark.queries import _bpe_oracle_sql
+
+    rows = [
+        (0, "what is low", "low is a word"),
+        (1, "say newer", "newer lowest aa"),
+        (2, "aaa", "aa a9"),
+        (3, "empty completion", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, prompt string, "
+                                     "completion string")
+    full = df.select(
+        "doc_id",
+        F.concat_ws(" ", "prompt", "completion").alias("text"),
+    )
+    n_merges = 3
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=n_merges, word_freq=wf)
+    vseg = bpe_segment_vocab(full, merges, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, merges, vseg=vseg)
+    out = sft_encode_masks(
+        df, merges, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    got = {}
+    for r in out.collect():
+        assert len(r.token_ids) == len(r.loss_mask) == r.n_tokens
+        assert sum(r.loss_mask) == r.n_completion_tokens
+        got[r.doc_id] = (
+            ",".join(map(str, r.token_ids)),
+            ",".join(map(str, r.loss_mask)),
+            r.n_tokens,
+            r.n_completion_tokens,
+        )
+
+    con = duckdb.connect()
+    con.register(
+        "pairs_t",
+        pd.DataFrame(rows, columns=["doc_id", "prompt", "completion"]),
+    )
+    prelude = """docs_train AS MATERIALIZED (
+      SELECT doc_id, concat_ws(' ', prompt, completion) AS text
+      FROM pairs_t),
+    """
+    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_train", prelude)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    enc_chains = []
+    for tag, col in (("p", "prompt"), ("c", "completion")):
+        enc_chains.append(f""",
+    dwp_{tag} AS (
+      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim({col})),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS words
+            FROM pairs_t) d,
+           unnest(range(1, len(d.words) + 1)) t(j)),
+    dtok_{tag} AS (
+      SELECT d.doc_id,
+             COALESCE(t.ids, CAST([] AS BIGINT[])) AS ids
+      FROM pairs_t d LEFT JOIN (
+        SELECT dwp_{tag}.doc_id,
+               flatten(list(wid.word_ids ORDER BY dwp_{tag}.wpos)) AS ids
+        FROM dwp_{tag} JOIN wid USING (word) GROUP BY dwp_{tag}.doc_id) t
+      USING (doc_id))""")
+    sql = body + f""",
+    symid AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+               AS sym_id
+      FROM (SELECT DISTINCT
+              unnest(regexp_extract_all(seq, '<([^>]*)>', 1)) AS sym
+            FROM v{n_merges})),
+    wid AS MATERIALIZED (
+      SELECT w.word, list(si.sym_id ORDER BY w.spos) AS word_ids
+      FROM (SELECT f.word, t.j AS spos, f.s[t.j] AS sym
+            FROM (SELECT word,
+                         regexp_extract_all(seq, '<([^>]*)>', 1) AS s
+                  FROM v{n_merges}) f,
+                 unnest(range(1, len(f.s) + 1)) t(j)) w
+      JOIN symid si USING (sym) GROUP BY w.word)
+    {"".join(enc_chains)}
+    SELECT p.doc_id,
+           array_to_string(flatten([p.ids, c.ids]), ',') AS token_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(c.ids)), x -> 1)]), ',') AS loss_mask,
+           CAST(len(p.ids) + len(c.ids) AS BIGINT) AS n_tokens,
+           CAST(len(c.ids) AS BIGINT) AS n_completion_tokens
+    FROM dtok_p p JOIN dtok_c c USING (doc_id)
+    """
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+
+
+def test_sft_masked_pack_alignment_survives_windows(spark):
+    """The masked-shard composition: sft_encode_masks ->
+    pack_windows_bestfit carrying BOTH arrays -> per-window payloads
+    via two pack_windows_table views joined on (shard, win). Both
+    carries concatenate in the same doc_id order, so every window's
+    ids and mask must stay position-aligned and the window's mask-sum
+    must equal the sum of its members' completion token counts."""
+    from mriya_spark.ops.text import (
+        bpe_train,
+        pack_windows_bestfit,
+        pack_windows_table,
+        sft_encode_masks,
+    )
+
+    rows = [
+        (0, "what is low", "low is a word"),
+        (1, "say newer", "newer lowest aa"),
+        (2, "aaa", "aa a9"),
+        (3, "low lower", "lowest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, prompt string, "
+                                     "completion string")
+    full = df.select(
+        "doc_id", F.concat_ws(" ", "prompt", "completion").alias("text")
+    )
+    merges = bpe_train(full, n_merges=3)
+    enc = sft_encode_masks(df, merges)
+    packed = pack_windows_bestfit(
+        enc, context_tokens=16, shards=2, count_col="n_tokens",
+        carry_cols=("token_ids", "loss_mask"),
+    )
+    ids_w = pack_windows_table(packed, ids_col="token_ids")
+    mask_w = pack_windows_table(packed, ids_col="loss_mask").select(
+        "shard", "win", F.col("loss_mask")
+    )
+    per_doc = {
+        r.doc_id: r.n_completion_tokens for r in enc.collect()
+    }
+    docs_by_win = {}
+    for r in packed.collect():
+        docs_by_win.setdefault((r.shard, r.win), []).append(r.doc_id)
+    joined = ids_w.join(mask_w, ["shard", "win"]).collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert len(r.token_ids) == len(r.loss_mask)  # aligned payloads
+        assert sum(r.loss_mask) == sum(
+            per_doc[d] for d in docs_by_win[(r.shard, r.win)]
+        )
