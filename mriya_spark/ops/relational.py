@@ -322,13 +322,19 @@ def fuzzy_join_multiblock(
     independently — a key degenerate on BOTH ends stays excluded, by
     design).
 
-    Cost shape: each side is scanned ONCE and exploded into its
-    (pass, key) pairs, then one hot screen + one equi-join on
-    (pass, key) + one pair-sized min aggregate serve ALL passes — the
-    candidate multiset is identical to running the blocked join once
-    per pass and unioning (the r14 two-join form), but the N-pass
-    version no longer pays N scans and N shuffle joins per side; at
-    100 TB the scans are the cost. Candidate volume stays the sum of
+    Cost shape: each side is scanned once PER CONSUMER rather than
+    once per pass: one explode into (pass, key) pairs serves ALL
+    passes, so the probe join costs one scan + one shuffle join per
+    side regardless of pass count — the candidate multiset is
+    identical to running the blocked join once per pass and unioning
+    (the r14 N-join form, which paid N scans and N shuffle joins per
+    side). With ``max_block`` set, the hot-key screen is a SECOND
+    consumer of each side — a column-pruned count scan (it reads only
+    ``col``) feeding a broadcast anti-join — so the precise total is
+    two pruned scans per side, pass-count-independent, not one (r15
+    ADVICE; persisting the exploded frames instead would write
+    ~N_passes×|side| rows of cache for a scan the format prunes to
+    one column, the wrong trade at 100 TB). Candidate volume stays the sum of
     per-(pass, key) block products — linear, never corpus² (the r15
     recall probe measured passes adding ~0.5-2 s each at sf0.01 and
     sf0.1 alike, and the single-join rewrite only lowers the constant).

@@ -546,6 +546,7 @@ def pack_windows_table(
     *,
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
+    extra_ids_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Collapse ``pack_windows_bestfit(..., carry_cols=(ids_col,))``
     output into PER-WINDOW rows — the training-shard artifact itself:
@@ -555,23 +556,35 @@ def pack_windows_table(
     references another window. One grouped aggregate on (shard, win);
     order inside the window is rebuilt from collected (id, ids)
     structs, so no global sort. The per-doc frame stays the
-    lineage/debug view; this is the view a data loader mmaps."""
+    lineage/debug view; this is the view a data loader mmaps.
+
+    ``extra_ids_cols`` concatenates further carried arrays in the SAME
+    per-window order inside the SAME aggregate — the masked-SFT shard
+    emits (token_ids, loss_mask) pairs this way, position-aligned
+    because every payload concatenates in identical doc-id order (the
+    r16 capstone; two separate ``pack_windows_table`` calls joined on
+    (shard, win) would instead re-run the whole upstream per call)."""
+
+    def _payload(c: str):
+        # drop NULL member arrays before flatten(): flatten returns
+        # NULL when the outer array holds a NULL element, which would
+        # emit a window whose n_docs/fill claim content but whose
+        # payload is silently NULL (bpe_token_ids never emits NULL
+        # arrays; this guards arbitrary library callers)
+        return F.expr(
+            f"flatten(filter(transform(array_sort(collect_list("
+            f"struct({id_col}, {c}))), x -> x.{c}), "
+            f"a -> a is not null))"
+        ).alias(c)
+
     return (
         packed.groupBy("shard", "win")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.max("win_fill").cast("long").alias("fill"),
             F.max("pad").cast("long").alias("pad"),
-            # drop NULL member arrays before flatten(): flatten returns
-            # NULL when the outer array holds a NULL element, which
-            # would emit a window whose n_docs/fill claim content but
-            # whose payload is silently NULL (bpe_token_ids never emits
-            # NULL arrays; this guards arbitrary library callers)
-            F.expr(
-                f"flatten(filter(transform(array_sort(collect_list("
-                f"struct({id_col}, {ids_col}))), x -> x.{ids_col}), "
-                f"a -> a is not null))"
-            ).alias(ids_col),
+            _payload(ids_col),
+            *[_payload(c) for c in extra_ids_cols],
         )
     )
 
@@ -1864,6 +1877,29 @@ def bpe_decode(
 _BPE_REPLACE_CHUNK = 128
 
 
+def _merge_rank_premise_ok(merges) -> bool:
+    """Validate the premise the rank engine's chain-equivalence proof
+    rests on (r15 ADVICE): every pair's components must be BASE symbols
+    (single codepoints) or products of EARLIER merges. Any trained list
+    (exact or approximate) satisfies it by construction — each round
+    counts pairs over the previous round's segmentation, so accepted
+    components always predate their pair — but an arbitrary or
+    hand-edited merges.txt loaded via ``bpe_load_merges`` can violate
+    it (e.g. ``[(ab, c), (a, b)]``: the chain replays ``<ab><c>``
+    before ``ab`` exists — a no-op — while the lowest-rank-first loop
+    merges ``a+b`` THEN ``ab+c``, silently diverging). O(n_merges)
+    driver-side; duplicates are fine (first rank wins in both
+    engines)."""
+    produced: set[str] = set()
+    for left, right, _cnt in merges:
+        if (len(left) > 1 and left not in produced) or (
+            len(right) > 1 and right not in produced
+        ):
+            return False
+        produced.add(left + right)
+    return True
+
+
 def _merge_rank_segment(word: str, ranks: dict) -> str:
     """Segment ONE pretokenized word under a learned merge list the
     way a shipped tokenizer does (GPT-2/SentencePiece merge-rank
@@ -1944,7 +1980,10 @@ def bpe_segment_vocab(
       vocab-sized frame, per-word cost INDEPENDENT of merge count.
 
     ``"auto"`` (default) picks chain at or below ``_BPE_REPLACE_CHUNK``
-    merges (gate plans unchanged) and rank above it."""
+    merges (gate plans unchanged) and rank above it. The rank engine is
+    gated on ``_merge_rank_premise_ok`` (r15 ADVICE): a hand-edited
+    merges.txt that references a later merge's product falls back to
+    the chain under ``auto`` and fails loud under explicit ``rank``."""
     if engine not in ("auto", "chain", "rank"):
         raise ValueError(f"engine must be auto/chain/rank, got {engine!r}")
     vocab = (
@@ -1952,9 +1991,25 @@ def bpe_segment_vocab(
         if word_freq is not None
         else bpe_word_freq(df, text_col=text_col, token_re=token_re)
     )
-    if engine == "rank" or (
+    want_rank = engine == "rank" or (
         engine == "auto" and len(merges) > _BPE_REPLACE_CHUNK
-    ):
+    )
+    if want_rank and not _merge_rank_premise_ok(merges):
+        # r15 ADVICE: the rank engine is only provably chain-identical
+        # for BPE-reachable lists; an arbitrary merges.txt can violate
+        # the later-rank premise and silently change results at the
+        # auto threshold. auto falls back to the (always-correct,
+        # slower) chunked chain; an EXPLICIT rank request fails loud.
+        if engine == "rank":
+            raise ValueError(
+                "bpe_segment_vocab(engine='rank'): merge list violates "
+                "the rank-equivalence premise (a pair's component is "
+                "neither a base symbol nor an earlier merge's product) "
+                "— results would diverge from the in-order replay; use "
+                "engine='chain' for this list"
+            )
+        want_rank = False
+    if want_rank:
         ranks: dict = {}
         for i, (left, right, _cnt) in enumerate(merges):
             ranks.setdefault((left, right), i)
@@ -2089,6 +2144,7 @@ def bpe_token_ids(
             "corpus-derived ids cover every symbol by construction"
         )
     limit = BPE_INLINE_MAX_SYMS if max_inline_syms is None else max_inline_syms
+    caller_vseg = vseg is not None
     syms_arr = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     if vseg is not None:
         # caller shares an already-checkpointed bpe_segment_vocab frame
@@ -2196,9 +2252,33 @@ def bpe_token_ids(
             F.expr(f"transform(s, {lam})").alias("word_ids"),
         )
     toks = _pretokenize_expr(text_col, token_re)
+    dwords = df.select(
+        F.col(id_col), F.posexplode(toks).alias("wpos", "word")
+    )
+    if caller_vseg:
+        # r15 ADVICE (medium): a caller-supplied segmentation may not
+        # cover this corpus's words — an inner join would silently DROP
+        # every uncovered word from the token stream (the oov policy
+        # only handles unmapped SYMBOLS, not missing WORDS). Left-join
+        # and fail loud the moment an uncovered word is encoded; a
+        # vseg built internally (or by sft_encode_masks over the union
+        # of its columns) covers by construction, so the guard never
+        # fires there and the inner-join fast path below keeps every
+        # pre-r15 gate plan unchanged.
+        dwords = dwords.join(F.broadcast(wid), "word", "left").withColumn(
+            "word_ids",
+            F.expr(
+                "if(word_ids is null, cast(raise_error(concat("
+                "'bpe_token_ids: word <', word, '> is not covered by "
+                "the supplied vseg= segmentation — build vseg (or "
+                "word_freq) over a corpus whose vocabulary covers the "
+                "encode corpus')) as array<bigint>), word_ids)"
+            ),
+        )
+    else:
+        dwords = dwords.join(F.broadcast(wid), "word")
     dtok = (
-        df.select(F.col(id_col), F.posexplode(toks).alias("wpos", "word"))
-        .join(F.broadcast(wid), "word")
+        dwords
         .groupBy(id_col)
         .agg(
             F.expr(
@@ -2249,12 +2329,31 @@ def sft_encode_masks(
     word vocabulary COVERS both columns (e.g. the full text the pair
     was split from, or the union of both columns) — the word->ids map
     is a lookup, so a superset vocabulary is exactly right and the
-    merge replay is paid once for both encodes. Plan: two
-    posexplode->broadcast-join->regroup encode passes (one per
-    column — each column is its own corpus-sized input) sharing one
-    vocab-sized segmentation, one id-side join, scan-local mask
-    construction. Reference contract: HF/TRL `DataCollatorForCompletionOnlyLM`
-    semantics (prompt tokens excluded from the loss)."""
+    merge replay is paid once for both encodes. When NEITHER is given
+    (r15 ADVICE, high): one shared segmentation is built here over the
+    UNION of the two columns and passed to both encode calls — before
+    r16 each call derived its own corpus-dependent symbol-id table
+    from its own column's symbol set, so without ``symbols=`` the same
+    symbol could get DIFFERENT ids in the two halves of one
+    concatenated sequence (silently incoherent training data). The
+    union build also pays the merge replay once instead of twice.
+    Plan: two posexplode->broadcast-join->regroup encode passes (one
+    per column — each column is its own corpus-sized input) sharing
+    one vocab-sized segmentation, one id-side join, scan-local mask
+    construction. Reference contract: HF/TRL
+    `DataCollatorForCompletionOnlyLM` semantics (prompt tokens
+    excluded from the loss)."""
+    if vseg is None:
+        if word_freq is None:
+            union = df.select(
+                F.col(prompt_col).alias("__sft_text")
+            ).unionAll(df.select(F.col(completion_col).alias("__sft_text")))
+            word_freq = bpe_word_freq(
+                union, text_col="__sft_text", token_re=token_re
+            )
+        vseg = bpe_segment_vocab(
+            df, merges, word_freq=word_freq, token_re=token_re
+        ).localCheckpoint(eager=True)
     p = bpe_token_ids(
         df, merges, id_col=id_col, text_col=prompt_col,
         word_freq=word_freq, token_re=token_re, symbols=symbols,

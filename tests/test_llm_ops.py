@@ -2711,10 +2711,13 @@ def test_bpe_segment_vocab_survives_production_merge_count(spark):
         "doc_id long, text string",
     )
     real = bpe_train(df, n_merges=4)
-    # 1000+ merges: pad the real list with no-op merges (symbols that
-    # never occur adjacently) — depth is what's under test, and inert
-    # tail merges keep the expected segmentation checkable
-    padded = real + [(f"q{i}", f"z{i}", 1) for i in range(1200)]
+    # 1000+ merges: pad the real list with no-op merges over symbols
+    # absent from the corpus (q/z) — depth is what's under test, and
+    # inert tail merges keep the expected segmentation checkable. The
+    # pads are PREMISE-VALID (each component is a base char or an
+    # earlier pad's product: q+z, qz+z, qzz+z, ...) so the auto route
+    # still reaches the rank engine after the r16 premise gate.
+    padded = real + [("q" + "z" * i, "z", 1) for i in range(1200)]
     want = {
         r["word"]: r["seq"]
         for r in bpe_segment_vocab(df, real).collect()
@@ -2725,6 +2728,87 @@ def test_bpe_segment_vocab_survives_production_merge_count(spark):
             for r in bpe_segment_vocab(df, padded, engine=engine).collect()
         }
         assert got == want and len(got) > 0, engine
+
+
+def test_merge_rank_premise_gate(spark):
+    """r15 ADVICE (low): the rank engine is only chain-equivalent for
+    lists whose pair components are base symbols or earlier products.
+    A violating list — here (ab, c) BEFORE (a, b), where the chain
+    replays <ab><c> as a no-op but lowest-rank-first would merge a+b
+    then ab+c — must fail loud under explicit engine='rank' and fall
+    back to the chain under 'auto' (forced over the threshold by
+    premise-VALID inert pads so the violating head is what trips it).
+    """
+    from mriya_spark.ops.text import (
+        _merge_rank_premise_ok,
+        bpe_segment_vocab,
+    )
+
+    df = spark.createDataFrame([(0, "abc abc ab")], "doc_id long, text string")
+    bad = [("ab", "c", 1), ("a", "b", 1)]
+    assert not _merge_rank_premise_ok(bad)
+    assert _merge_rank_premise_ok([("a", "b", 1), ("ab", "c", 1)])
+    with pytest.raises(ValueError, match="rank-equivalence premise"):
+        bpe_segment_vocab(df, bad, engine="rank")
+    padded_bad = bad + [("q" + "z" * i, "z", 1) for i in range(140)]
+    want = {
+        r["word"]: r["seq"]
+        for r in bpe_segment_vocab(df, padded_bad, engine="chain").collect()
+    }
+    got = {
+        r["word"]: r["seq"]
+        for r in bpe_segment_vocab(df, padded_bad, engine="auto").collect()
+    }
+    assert got == want  # auto fell back to the chain, not rank
+    assert want["abc"] == "<ab><c>"  # the no-op replay order, pinned
+
+
+def test_sft_encode_masks_default_shared_vocab(spark):
+    """r15 ADVICE (high): with no symbols=/vseg=/word_freq=, both
+    columns must encode under ONE symbol-id table built over their
+    union. Fixture chosen so the PER-COLUMN tables would disagree:
+    under merges [(z,z)] the prompt 'aa zz' yields symbols {a, zz}
+    (zz -> id 2) while the completion 'zz' alone yields {zz}
+    (zz -> id 1) — the pre-fix path would emit different ids for the
+    same symbol inside one concatenated sequence."""
+    from mriya_spark.ops.text import sft_encode_masks
+
+    df = spark.createDataFrame(
+        [(0, "aa zz", "zz")], "doc_id long, prompt string, completion string"
+    )
+    r = sft_encode_masks(df, [("z", "z", 1)]).collect()[0]
+    # union symbols {a, zz}: a=1, zz=2; prompt aa zz -> [1,1,2],
+    # completion zz -> [2] — same symbol, same id in both halves
+    assert list(r.token_ids) == [1, 1, 2, 2]
+    assert list(r.loss_mask) == [0, 0, 0, 1]
+    assert r.n_tokens == 4 and r.n_completion_tokens == 1
+
+
+def test_bpe_token_ids_uncovered_vseg_fails_loud(spark):
+    """r15 ADVICE (medium): a caller-supplied vseg= that does not
+    cover the encode corpus must raise, not silently shorten
+    sequences (the word join used to be inner, dropping every
+    uncovered word; the oov policy only covers unmapped SYMBOLS)."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_token_ids,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low lower")], "doc_id long, text string"
+    )
+    merges = bpe_train(train, n_merges=2)
+    vseg = bpe_segment_vocab(train, merges).localCheckpoint(eager=True)
+    encode = spark.createDataFrame(
+        [(0, "low unseen")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="not covered"):
+        bpe_token_ids(encode, merges, vseg=vseg).collect()
+    # covered corpus through the same guarded path: values unchanged
+    got = bpe_token_ids(train, merges, vseg=vseg).collect()[0]
+    want = bpe_token_ids(train, merges).collect()[0]
+    assert list(got.token_ids) == list(want.token_ids)
 
 
 def test_pack_bestfit_string_id_sql_replay_prevalidation(spark):
