@@ -3104,3 +3104,46 @@ def test_sft_masked_pack_alignment_survives_windows(spark):
         assert sum(r.loss_mask) == sum(
             per_doc[d] for d in docs_by_win[(r.shard, r.win)]
         )
+
+
+def test_rank_gate_merges_premise_and_scale(spark):
+    """The r16 rank-engine gate list must satisfy the rank==chain
+    premise by construction and sit far past the 128-merge auto
+    threshold; and an APPROX-TRAINED list at a few hundred merges —
+    the production artifact class whose training replay DuckDB cannot
+    afford — must segment identically under both engines on the same
+    digit-rich corpus the gate row uses (the in-cluster half of the
+    equivalence the gate row pins cross-engine for the literal list).
+    """
+    from mriya_spark.ops.text import (
+        _merge_rank_premise_ok,
+        bpe_segment_vocab,
+        bpe_train_approx,
+        bpe_word_freq,
+    )
+    from mriya_spark.queries import _RANK_GATE_MERGES
+
+    assert len(_RANK_GATE_MERGES) == 1100 > 128
+    assert _merge_rank_premise_ok(_RANK_GATE_MERGES)
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .selectExpr("c_custkey AS doc_id", "c_name AS text")
+    )
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train_approx(docs, n_merges=600, batch=64, word_freq=wf)
+    assert len(trained) >= 300  # corpus-rich enough to mean something
+    assert _merge_rank_premise_ok(trained)  # trained => premise, always
+    chain = {
+        r["word"]: r["seq"]
+        for r in bpe_segment_vocab(
+            docs, trained, word_freq=wf, engine="chain"
+        ).collect()
+    }
+    rank = {
+        r["word"]: r["seq"]
+        for r in bpe_segment_vocab(
+            docs, trained, word_freq=wf, engine="rank"
+        ).collect()
+    }
+    assert chain == rank and len(chain) > 100
