@@ -89,6 +89,17 @@ HEADLINE = [
     "tokenizer_pack_bestfit",
     "join_fuzzy_multiblock",
     "tokenizer_vocab_topk",
+    # r16 additions: the masked SFT shard capstone (TWO encode passes +
+    # an id-side join + FFD carrying two aligned payloads — the
+    # registry's deepest tokenizer DAG now), the three-pass fuzzy join
+    # (its delta vs the two-pass row IS the marginal pass cost of the
+    # single-join explode form), the string-keyed FFD packer (the md5
+    # shard draw vs pmod), and the 1100-merge rank-engine encode (the
+    # production segmenter's vocab-sized Arrow pass gets a trend line)
+    "tokenizer_pack_masked",
+    "join_fuzzy_threeblock",
+    "pack_bestfit_string_id",
+    "tokenizer_encode_rank_engine",
 ]
 
 
@@ -263,7 +274,15 @@ def main() -> None:
                     "join_fuzzy_multiblock (two-pass blocked fuzzy join), "
                     "and tokenizer_vocab_topk (truncated-vocab encode) — "
                     "r15 totals are NOT comparable to r14; compare per-query "
-                    "or on the 36-query common set. Full payload (all raw runs) is "
+                    "or on the 36-query common set. r16 adds "
+                    "tokenizer_pack_masked (the masked SFT shard capstone: "
+                    "two encode passes + FFD carrying token_ids+loss_mask), "
+                    "join_fuzzy_threeblock (three-pass blocked fuzzy join), "
+                    "pack_bestfit_string_id (md5-sharded string-keyed FFD), "
+                    "and tokenizer_encode_rank_engine (1100-merge rank-"
+                    "engine encode) — r16 totals are NOT comparable to r15; "
+                    "compare per-query or on the 39-query common set. "
+                    "Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "
                     "stdout tail, which lost most per-query runs to r11 "
