@@ -100,6 +100,10 @@ HEADLINE = [
     "join_fuzzy_threeblock",
     "pack_bestfit_string_id",
     "tokenizer_encode_rank_engine",
+    # ... and the varlen attention-metadata capstone (same pipeline as
+    # tokenizer_pack_bestfit plus the wider final aggregate — the
+    # delta between the two rows is the measured cost of the metadata)
+    "tokenizer_pack_positions",
 ]
 
 
@@ -279,8 +283,9 @@ def main() -> None:
                     "two encode passes + FFD carrying token_ids+loss_mask), "
                     "join_fuzzy_threeblock (three-pass blocked fuzzy join), "
                     "pack_bestfit_string_id (md5-sharded string-keyed FFD), "
-                    "and tokenizer_encode_rank_engine (1100-merge rank-"
-                    "engine encode) — r16 totals are NOT comparable to r15; "
+                    "tokenizer_encode_rank_engine (1100-merge rank-engine "
+                    "encode), and tokenizer_pack_positions (varlen attention "
+                    "metadata) — r16 totals are NOT comparable to r15; "
                     "compare per-query or on the 39-query common set. "
                     "Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "

@@ -589,6 +589,63 @@ def pack_windows_table(
     )
 
 
+def pack_windows_attention(
+    packed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """``pack_windows_table`` plus the ATTENTION METADATA a packed
+    varlen trainer actually consumes (HF ``packing=True`` with proper
+    position ids / FlashAttention varlen batching): per window,
+    ``position_ids`` RESET to 0 at every document boundary (rotary/
+    absolute positions must not leak across packed documents) and
+    ``segment_ids`` carrying each token's document ordinal WITHIN the
+    window (0-based, by id order over ALL members including
+    zero-token docs) — the pair from which the block-diagonal
+    attention mask is derived (attend iff same segment). All three
+    payloads concatenate in identical (doc id) order from ONE
+    collected struct list, so they are position-aligned by
+    construction; non-straddling packing makes each row one complete
+    training sequence. One grouped aggregate on (shard, win), no
+    global sort; zero-token members contribute an empty slice to
+    every payload but still consume a segment ordinal (both engines
+    rank them identically)."""
+    members = F.expr(
+        f"array_sort(collect_list(struct({id_col}, {count_col}, "
+        f"{ids_col})))"
+    )
+    win = packed.groupBy("shard", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("win_fill").cast("long").alias("fill"),
+        F.max("pad").cast("long").alias("pad"),
+        members.alias("__m"),
+    )
+    empty = "cast(array() as array<bigint>)"
+    return win.select(
+        "shard",
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        # same NULL-member guard as pack_windows_table
+        F.expr(
+            f"flatten(filter(transform(__m, x -> x.{ids_col}), "
+            "a -> a is not null))"
+        ).alias(ids_col),
+        F.expr(
+            f"flatten(transform(__m, x -> if(x.{count_col} <= 0, "
+            f"{empty}, sequence(cast(0 as bigint), "
+            f"cast(x.{count_col} as bigint) - 1))))"
+        ).alias("position_ids"),
+        F.expr(
+            "flatten(transform(__m, (x, i) -> "
+            f"array_repeat(cast(i as bigint), cast(x.{count_col} as int))))"
+        ).alias("segment_ids"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

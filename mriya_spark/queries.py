@@ -10195,3 +10195,166 @@ def tokenizer_encode_rank_engine_q(
         .alias("n_unk"),
         F.array_join("token_ids", ",").alias("token_ids"),
     )
+
+
+def _pack_positions_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    cap: int = _SFT_CAP,
+    shards: int = _SFT_SHARDS,
+    token_re: str = "[^a-z0-9]+",
+    doc_rel: str = "documents",
+) -> str:
+    """The attention-metadata capstone oracle: the same training +
+    encode + per-shard FFD replay as ``_sft_pack_oracle_sql``, with
+    the final window grouping ALSO replaying per-document position
+    resets (``range(n_tokens)`` per member, concatenated in doc-id
+    order) and segment ordinals (``row_number`` per window by doc id,
+    minus one, repeated n_tokens times) — so a position leaking
+    across a document boundary, a segment ordinal skipping a
+    zero-token member, or any payload mis-ordering flips the hash."""
+    train = _bpe_oracle_sql(n_merges, token_re, doc_rel)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return "WITH RECURSIVE " + body[len("WITH "):] + f""",
+    symid AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+               AS sym_id
+      FROM (SELECT DISTINCT
+              unnest(regexp_extract_all(seq, '<([^>]*)>', 1)) AS sym
+            FROM v{n_merges})),
+    wid AS MATERIALIZED (
+      SELECT w.word, list(si.sym_id ORDER BY w.spos) AS word_ids
+      FROM (SELECT f.word, t.j AS spos, f.s[t.j] AS sym
+            FROM (SELECT word,
+                         regexp_extract_all(seq, '<([^>]*)>', 1) AS s
+                  FROM v{n_merges}) f,
+                 unnest(range(1, len(f.s) + 1)) t(j)) w
+      JOIN symid si USING (sym) GROUP BY w.word),
+    dwp AS (
+      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM {doc_rel}) d,
+           unnest(range(1, len(d.words) + 1)) t(j)),
+    dtok AS (
+      SELECT d.doc_id,
+             COALESCE(t.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+             CAST(COALESCE(len(t.token_ids), 0) AS BIGINT) AS n_tokens
+      FROM {doc_rel} d LEFT JOIN (
+        SELECT dwp.doc_id,
+               flatten(list(wid.word_ids ORDER BY dwp.wpos)) AS token_ids
+        FROM dwp JOIN wid USING (word) GROUP BY dwp.doc_id) t
+      USING (doc_id)),
+    base AS (
+      SELECT doc_id, n_tokens, token_ids,
+             CAST(doc_id % {shards} AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY doc_id % {shards}
+                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+      FROM dtok),
+    step(shard, rk, doc_id, n_tokens, token_ids, win, fills) AS (
+      SELECT shard, rk, doc_id, n_tokens, token_ids,
+             CAST(1 AS BIGINT), [n_tokens]
+      FROM base WHERE rk = 1
+      UNION ALL
+      SELECT b.shard, b.rk, b.doc_id, b.n_tokens, b.token_ids,
+             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
+                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
+                  len(s.fills) + 1) AS BIGINT),
+             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
+                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
+                  len(s.fills) + 1) <= len(s.fills)
+                  THEN list_transform(range(1, len(s.fills) + 1),
+                    i -> CASE WHEN i = COALESCE(
+                           list_filter(range(1, len(s.fills) + 1),
+                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
+                           len(s.fills) + 1)
+                         THEN s.fills[i] + b.n_tokens
+                         ELSE s.fills[i] END)
+                  ELSE list_append(s.fills, b.n_tokens) END
+      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1),
+    w AS (
+      SELECT shard, win, doc_id, n_tokens, token_ids,
+             row_number() OVER (PARTITION BY shard, win
+                                ORDER BY doc_id) - 1 AS seg
+      FROM step)
+    SELECT shard, win,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS fill,
+           CAST(greatest(0, {cap} - sum(n_tokens)) AS BIGINT) AS pad,
+           COALESCE(array_to_string(
+             flatten(list(token_ids ORDER BY doc_id)), ','), '')
+             AS token_ids,
+           COALESCE(array_to_string(
+             flatten(list(range(n_tokens) ORDER BY doc_id)), ','), '')
+             AS position_ids,
+           COALESCE(array_to_string(
+             flatten(list(list_transform(range(n_tokens), x -> seg)
+                          ORDER BY doc_id)), ','), '')
+             AS segment_ids
+    FROM w GROUP BY shard, win
+    """
+
+
+@register("tokenizer_pack_positions", _pack_positions_oracle_sql())
+def tokenizer_pack_positions_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PACKED VARLEN ATTENTION METADATA (r16 coverage extension): the
+    third artifact a packed-sequence trainer consumes next to the ids
+    (``tokenizer_pack_bestfit``) and the loss mask
+    (``tokenizer_pack_masked``) — per window, ``position_ids`` RESET
+    to 0 at every document boundary (rotary/absolute positions must
+    not leak across packed documents) and ``segment_ids`` giving each
+    token its document ordinal within the window, from which the
+    block-diagonal attention mask is derived (attend iff same
+    segment). HF `DataCollatorWithFlattening` / FlashAttention varlen
+    semantics. All three payloads concatenate in identical doc-id
+    order from ONE collected struct list
+    (``ops.text.pack_windows_attention``), so alignment is by
+    construction; the oracle replays training, encode, the FFD fold,
+    the per-document position ranges, and the per-window segment
+    ordinals — a position continuing across a boundary, a segment
+    skipping a member, or a payload ordered differently from the ids
+    all flip the hash. Plan: identical to the pack capstone plus one
+    wider final aggregate (same shuffle count; the metadata is
+    derived scan-locally from the collected member list)."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+        pack_windows_attention,
+        pack_windows_bestfit,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    ids = bpe_token_ids(docs, trained, symbols=vocab, vseg=vseg)
+    packed = pack_windows_bestfit(
+        ids,
+        context_tokens=_SFT_CAP,
+        shards=_SFT_SHARDS,
+        count_col="n_bpe_tokens",
+        carry_cols=("token_ids",),
+    )
+    return pack_windows_attention(
+        packed, count_col="n_bpe_tokens"
+    ).select(
+        "shard",
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("position_ids", ",").alias("position_ids"),
+        F.array_join("segment_ids", ",").alias("segment_ids"),
+    )

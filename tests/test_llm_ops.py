@@ -3147,3 +3147,60 @@ def test_rank_gate_merges_premise_and_scale(spark):
         ).collect()
     }
     assert chain == rank and len(chain) > 100
+
+
+def test_pack_windows_attention_invariants(spark):
+    """Attention metadata for packed windows: per window, all three
+    payloads are position-aligned; position_ids reset to 0 at every
+    document boundary and increment by 1 within a document;
+    segment_ids are the doc's ordinal within the window by id order —
+    with zero-token members consuming an ordinal but contributing no
+    positions (segment values may skip)."""
+    from mriya_spark.ops.text import (
+        pack_windows_attention,
+        pack_windows_bestfit,
+    )
+
+    rows = [
+        (1, 3, [11, 12, 13]),
+        (2, 0, []),           # zero-token member: ordinal, no tokens
+        (3, 2, [31, 32]),
+        (4, 5, [41, 42, 43, 44, 45]),
+        (5, 4, [51, 52, 53, 54]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n long, token_ids array<bigint>"
+    )
+    packed = pack_windows_bestfit(
+        df, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids",),
+    )
+    out = pack_windows_attention(packed, count_col="n").collect()
+    assert len(out) >= 2
+    seen_docs = 0
+    for r in out:
+        assert len(r.token_ids) == len(r.position_ids) == len(r.segment_ids)
+        assert sum(1 for _ in r.token_ids) == r.fill
+        # positions reset at segment changes, +1 within a segment
+        for i in range(len(r.position_ids)):
+            if i == 0 or r.segment_ids[i] != r.segment_ids[i - 1]:
+                assert r.position_ids[i] == 0
+            else:
+                assert r.position_ids[i] == r.position_ids[i - 1] + 1
+        # segments non-decreasing, bounded by n_docs (zero-token
+        # members consume ordinals, so values may skip but never exceed)
+        segs = list(r.segment_ids)
+        assert segs == sorted(segs)
+        assert all(0 <= s < r.n_docs for s in segs)
+        seen_docs += r.n_docs
+    assert seen_docs == len(rows)
+    # the doc-id order inside one window pins ids<->positions alignment
+    by_win = {(r.shard, r.win): r for r in out}
+    members = {}
+    for p in packed.collect():
+        members.setdefault((p.shard, p.win), []).append(
+            (p.doc_id, list(p.token_ids))
+        )
+    for key, mem in members.items():
+        want = [t for _d, ids in sorted(mem) for t in ids]
+        assert list(by_win[key].token_ids) == want
