@@ -629,10 +629,17 @@ def pack_windows_attention(
         "n_docs",
         "fill",
         "pad",
-        # same NULL-member guard as pack_windows_table
+        # STRICTER than pack_windows_table's drop-NULL guard: a NULL
+        # member payload here would silently emit token_ids SHORTER
+        # than position_ids/segment_ids (those derive from count_col)
+        # — misaligned training data, the worst failure mode this op
+        # exists to prevent — so fail loud instead of dropping
         F.expr(
-            f"flatten(filter(transform(__m, x -> x.{ids_col}), "
-            "a -> a is not null))"
+            f"flatten(transform(__m, x -> if(x.{ids_col} is null, "
+            f"cast(raise_error(concat('pack_windows_attention: NULL "
+            f"{ids_col} for {id_col} ', cast(x.{id_col} as string), "
+            f"' — payloads must be non-NULL arrays')) as "
+            f"array<bigint>), x.{ids_col})))"
         ).alias(ids_col),
         F.expr(
             f"flatten(transform(__m, x -> if(x.{count_col} <= 0, "

@@ -3204,3 +3204,25 @@ def test_pack_windows_attention_invariants(spark):
     for key, mem in members.items():
         want = [t for _d, ids in sorted(mem) for t in ids]
         assert list(by_win[key].token_ids) == want
+
+
+def test_pack_windows_attention_null_payload_fails_loud(spark):
+    """A NULL member payload would emit token_ids SHORTER than
+    position_ids/segment_ids (those derive from the count column) —
+    silently misaligned training data — so the attention view raises
+    where pack_windows_table's lenient view drops."""
+    from mriya_spark.ops.text import (
+        pack_windows_attention,
+        pack_windows_bestfit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, None), (2, 1, [9])],
+        "doc_id long, n long, token_ids array<bigint>",
+    )
+    packed = pack_windows_bestfit(
+        df, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids",),
+    )
+    with pytest.raises(Exception, match="NULL token_ids"):
+        pack_windows_attention(packed, count_col="n").collect()
