@@ -589,6 +589,32 @@ def pack_windows_table(
     )
 
 
+def append_eos(
+    df: DataFrame,
+    eos_id: int,
+    *,
+    ids_col: str = "token_ids",
+    count_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Append a document-boundary token to every document's id
+    sequence BEFORE packing — the GPT-style EOS-between-documents
+    contract (a packed window then reads `doc₁ <eos> doc₂ <eos> …`,
+    and next-token training learns boundaries from the data itself).
+    Every document gets one, including empty ones (a document EXISTS,
+    so its boundary does too — which also means no zero-token members
+    reach the packer: counts become ``n + 1 >= 1``). Scan-local (one
+    projection); the caller owns the id-space contract — pick
+    ``eos_id`` OUTSIDE the vocabulary's 1..N range (0 is free when no
+    ``oov_id`` is in play, the GPT-2 `<|endoftext|>`-as-reserved-id
+    posture)."""
+    return df.withColumn(
+        ids_col,
+        F.expr(f"concat({ids_col}, array(cast({int(eos_id)} as bigint)))"),
+    ).withColumn(
+        count_col, (F.col(count_col) + F.lit(1)).cast("long")
+    )
+
+
 def pack_windows_attention(
     packed: DataFrame,
     *,

@@ -10358,3 +10358,100 @@ def tokenizer_pack_positions_q(
         F.array_join("position_ids", ",").alias("position_ids"),
         F.array_join("segment_ids", ",").alias("segment_ids"),
     )
+
+
+def _pack_eos_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    cap: int = _SFT_CAP,
+    shards: int = _SFT_SHARDS,
+    token_re: str = "[^a-z0-9]+",
+    doc_rel: str = "documents",
+) -> str:
+    """The EOS-boundary pack oracle: identical to the pack-capstone
+    replay except every document's id list gains a trailing 0 and its
+    count grows by one BEFORE the FFD fold — so the boundary token
+    participates in bin packing exactly like a content token (a
+    missing/extra/misplaced EOS changes fills, window assignments, and
+    payloads all at once)."""
+    sql = _sft_pack_oracle_sql(n_merges, cap, shards, token_re, doc_rel)
+    # splice the EOS projection between the encode (dtok) and the FFD
+    # base — string surgery over the SHARED builder keeps the two
+    # replays from drifting (same single-sourcing rationale as
+    # _fuzzy_pass_sql). Order matters: repoint base's "FROM dtok)"
+    # FIRST (unique in the original text), THEN insert the dtok_eos
+    # CTE — inserting first would put another "FROM dtok)" ahead of
+    # base's and the repoint would rename the new CTE's own source.
+    anchor = """      USING (doc_id)),
+    base AS (
+      SELECT doc_id, n_tokens, token_ids,"""
+    assert anchor in sql, "pack capstone oracle changed shape"
+    assert sql.count("FROM dtok)") == 1, "base FROM anchor not unique"
+    sql = sql.replace("FROM dtok)", "FROM dtok_eos)", 1)
+    return sql.replace(
+        anchor,
+        """      USING (doc_id)),
+    dtok_eos AS (
+      SELECT doc_id,
+             list_append(token_ids, CAST(0 AS BIGINT)) AS token_ids,
+             CAST(n_tokens + 1 AS BIGINT) AS n_tokens
+      FROM dtok),
+    base AS (
+      SELECT doc_id, n_tokens, token_ids,""",
+        1,
+    )
+
+
+@register("tokenizer_pack_eos", _pack_eos_oracle_sql())
+def tokenizer_pack_eos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOS-BOUNDARY PACKING (r16 coverage extension): the GPT-style
+    document-separator contract — every document's id sequence gains a
+    trailing reserved boundary id (0, outside the 1..N vocabulary
+    range; ``ops.text.append_eos``) BEFORE first-fit-decreasing
+    packing, so each packed window reads `doc <eos> doc <eos> ...` and
+    the boundary token occupies window budget exactly like a content
+    token (empty documents still carry their boundary, so no
+    zero-token members reach the packer). The oracle splices the same
+    +1/append into the shared pack-capstone replay ahead of the FFD
+    fold — a dropped, doubled, or mis-packed EOS shifts fills, window
+    assignments, and every downstream payload. Plan: identical to
+    ``tokenizer_pack_bestfit`` plus one scan-local projection.
+    Reference contract: GPT-2/Pile `<|endoftext|>`-between-documents
+    packing."""
+    from mriya_spark.ops.text import (
+        append_eos,
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+        pack_windows_bestfit,
+        pack_windows_table,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    ids = append_eos(
+        bpe_token_ids(docs, trained, symbols=vocab, vseg=vseg), eos_id=0
+    )
+    packed = pack_windows_bestfit(
+        ids,
+        context_tokens=_SFT_CAP,
+        shards=_SFT_SHARDS,
+        count_col="n_bpe_tokens",
+        carry_cols=("token_ids",),
+    )
+    return pack_windows_table(packed).select(
+        "shard",
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        F.array_join("token_ids", ",").alias("token_ids"),
+    )

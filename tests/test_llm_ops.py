@@ -3226,3 +3226,30 @@ def test_pack_windows_attention_null_payload_fails_loud(spark):
     )
     with pytest.raises(Exception, match="NULL token_ids"):
         pack_windows_attention(packed, count_col="n").collect()
+
+
+def test_append_eos_boundary_invariants(spark):
+    """Every document gains exactly one trailing boundary id —
+    including empty documents — and the packed window payloads carry
+    exactly n_docs boundary tokens each (id 0 is reserved outside the
+    1..N vocabulary range, so the count is exact)."""
+    from mriya_spark.ops.text import (
+        append_eos,
+        pack_windows_bestfit,
+        pack_windows_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3, [7, 8, 9]), (2, 0, []), (3, 1, [5])],
+        "doc_id long, n long, token_ids array<bigint>",
+    )
+    withe = append_eos(df, eos_id=0, ids_col="token_ids", count_col="n")
+    got = {r.doc_id: (r.n, list(r.token_ids)) for r in withe.collect()}
+    assert got == {1: (4, [7, 8, 9, 0]), 2: (1, [0]), 3: (2, [5, 0])}
+    packed = pack_windows_bestfit(
+        withe, context_tokens=8, shards=1, count_col="n",
+        carry_cols=("token_ids",),
+    )
+    for r in pack_windows_table(packed).collect():
+        assert sum(1 for t in r.token_ids if t == 0) == r.n_docs
+        assert len(r.token_ids) == r.fill  # boundaries occupy budget
