@@ -589,6 +589,46 @@ def pack_windows_table(
     )
 
 
+#: Default chat template, deliberately minimal: role markers survive
+#: the ASCII pretokenizer as ordinary words ('system'/'user'/
+#: 'assistant'), so the rendered pair flows through the standard BPE
+#: ops with no special-token machinery — the loss boundary (prompt
+#: ends after the assistant marker) is what the template pins.
+CHAT_TEMPLATE_PROMPT = "system : {system} user : {user} assistant :"
+
+
+def chat_render(
+    df: DataFrame,
+    *,
+    system_col: str = "system",
+    user_col: str = "user",
+    assistant_col: str = "assistant",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Render (system, user, assistant) conversation rows into the
+    (prompt, completion) pair ``sft_encode_masks`` consumes — the
+    template step every SFT pipeline runs before tokenization (HF
+    ``apply_chat_template`` semantics, single-turn). The prompt is
+    ``CHAT_TEMPLATE_PROMPT`` filled in; the completion is the
+    assistant text alone, so completion-only loss covers exactly the
+    assistant's tokens and the role markers/system/user text are all
+    masked out. Scan-local (one projection); NULL role columns render
+    as empty segments (concat_ws drops nothing — NULLs become '')."""
+    prompt = F.concat_ws(
+        " ",
+        F.lit("system :"),
+        F.coalesce(F.col(system_col), F.lit("")),
+        F.lit("user :"),
+        F.coalesce(F.col(user_col), F.lit("")),
+        F.lit("assistant :"),
+    )
+    return df.select(
+        F.col(id_col),
+        prompt.alias("prompt"),
+        F.coalesce(F.col(assistant_col), F.lit("")).alias("completion"),
+    )
+
+
 def append_eos(
     df: DataFrame,
     eos_id: int,

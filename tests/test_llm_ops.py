@@ -3253,3 +3253,96 @@ def test_append_eos_boundary_invariants(spark):
     for r in pack_windows_table(packed).collect():
         assert sum(1 for t in r.token_ids if t == 0) == r.n_docs
         assert len(r.token_ids) == r.fill  # boundaries occupy budget
+
+
+def test_chat_template_sft_sql_replay_prevalidation(spark):
+    """Pre-validates the r17 chat-SFT gate recipe: (system, user,
+    assistant) rows -> chat_render's (prompt, completion) pair ->
+    sft_encode_masks under one shared vocabulary, with the DuckDB twin
+    rendering the SAME template string and replaying train + both
+    encode chains + the mask. The loss boundary is the template's
+    whole point: every role marker, system and user token is masked 0;
+    ONLY assistant tokens carry 1."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_render,
+        sft_encode_masks,
+    )
+    from mriya_spark.queries import _bpe_oracle_sql
+
+    rows = [
+        (0, "be low", "what is low", "low is a word"),
+        (1, "say newer", "newer aa", "lowest aa a9"),
+        (2, None, "aaa", ""),  # NULL system, empty assistant
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, system string, user string, assistant string"
+    )
+    pairs = chat_render(df)
+    full = pairs.select(
+        "doc_id", F.concat_ws(" ", "prompt", "completion").alias("text")
+    )
+    n_merges = 3
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=n_merges, word_freq=wf)
+    vseg = bpe_segment_vocab(full, merges, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, merges, vseg=vseg)
+    out = sft_encode_masks(
+        pairs, merges, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    got = {}
+    for r in out.collect():
+        assert len(r.token_ids) == len(r.loss_mask) == r.n_tokens
+        got[r.doc_id] = (
+            ",".join(map(str, r.token_ids)),
+            ",".join(map(str, r.loss_mask)),
+            r.n_tokens,
+            r.n_completion_tokens,
+        )
+    assert got[2][3] == 0  # empty assistant -> all-masked row survives
+
+    con = duckdb.connect()
+    con.register(
+        "conv_t",
+        pd.DataFrame(rows, columns=["doc_id", "system", "user",
+                                    "assistant"]),
+    )
+    prelude = """pairs_t AS MATERIALIZED (
+      SELECT doc_id,
+             concat_ws(' ', 'system :', COALESCE(system, ''),
+                       'user :', COALESCE("user", ''),
+                       'assistant :') AS prompt,
+             COALESCE(assistant, '') AS completion
+      FROM conv_t),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id, concat_ws(' ', prompt, completion) AS text
+      FROM pairs_t),
+    """
+    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_train", prelude)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    from mriya_spark.queries import _sft_masks_encode_sql
+
+    sql = body + _sft_masks_encode_sql(n_merges, "[^a-z0-9]+") + """
+    SELECT p.doc_id,
+           array_to_string(flatten([p.ids, c.ids]), ',') AS token_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(c.ids)), x -> 1)]), ',')
+             AS loss_mask,
+           CAST(len(p.ids) + len(c.ids) AS BIGINT) AS n_tokens,
+           CAST(len(c.ids) AS BIGINT) AS n_completion_tokens
+    FROM dtok_p p JOIN dtok_c c USING (doc_id)
+    """
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
