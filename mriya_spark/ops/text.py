@@ -563,9 +563,27 @@ def pack_windows_table(
     emits (token_ids, loss_mask) pairs this way, position-aligned
     because every payload concatenates in identical doc-id order (the
     r16 capstone; two separate ``pack_windows_table`` calls joined on
-    (shard, win) would instead re-run the whole upstream per call)."""
+    (shard, win) would instead re-run the whole upstream per call).
+    NULL-member handling differs by mode (r16 self-review): with ONE
+    payload a NULL member array is dropped before flatten (flatten
+    would otherwise NULL the whole window, and with a single payload
+    there is nothing to misalign against); with ``extra_ids_cols``
+    the payloads must stay position-aligned, and dropping a member
+    from one payload but not another would silently misalign them —
+    so multi-payload mode FAILS LOUD on any NULL member instead."""
+    strict = bool(extra_ids_cols)
 
     def _payload(c: str):
+        if strict:
+            return F.expr(
+                f"flatten(transform(array_sort(collect_list("
+                f"struct({id_col}, {c}))), x -> if(x.{c} is null, "
+                f"cast(raise_error(concat('pack_windows_table: NULL "
+                f"{c} for {id_col} ', cast(x.{id_col} as string), "
+                f"' — with extra_ids_cols every payload must be a "
+                f"non-NULL array (alignment)')) as array<bigint>), "
+                f"x.{c})))"
+            ).alias(c)
         # drop NULL member arrays before flatten(): flatten returns
         # NULL when the outer array holds a NULL element, which would
         # emit a window whose n_docs/fill claim content but whose
@@ -589,14 +607,6 @@ def pack_windows_table(
     )
 
 
-#: Default chat template, deliberately minimal: role markers survive
-#: the ASCII pretokenizer as ordinary words ('system'/'user'/
-#: 'assistant'), so the rendered pair flows through the standard BPE
-#: ops with no special-token machinery — the loss boundary (prompt
-#: ends after the assistant marker) is what the template pins.
-CHAT_TEMPLATE_PROMPT = "system : {system} user : {user} assistant :"
-
-
 def chat_render(
     df: DataFrame,
     *,
@@ -609,11 +619,17 @@ def chat_render(
     (prompt, completion) pair ``sft_encode_masks`` consumes — the
     template step every SFT pipeline runs before tokenization (HF
     ``apply_chat_template`` semantics, single-turn). The prompt is
-    ``CHAT_TEMPLATE_PROMPT`` filled in; the completion is the
-    assistant text alone, so completion-only loss covers exactly the
-    assistant's tokens and the role markers/system/user text are all
-    masked out. Scan-local (one projection); NULL role columns render
-    as empty segments (concat_ws drops nothing — NULLs become '')."""
+    ``system : {system} user : {user} assistant :`` (role markers are
+    ordinary ASCII-tokenizer words, so no special-token machinery);
+    the completion is the assistant text alone, so completion-only
+    loss covers exactly the assistant's tokens and the role markers/
+    system/user text are all masked out. The template text is pinned
+    cross-engine by
+    ``test_chat_template_sft_sql_replay_prevalidation`` (the DuckDB
+    prelude renders the same string), not by a shared constant — a
+    Column expression and an SQL literal can't consume one anyway.
+    Scan-local (one projection); NULL role columns render as empty
+    segments (coalesced to '')."""
     prompt = F.concat_ws(
         " ",
         F.lit("system :"),
@@ -695,16 +711,23 @@ def pack_windows_attention(
         "n_docs",
         "fill",
         "pad",
-        # STRICTER than pack_windows_table's drop-NULL guard: a NULL
-        # member payload here would silently emit token_ids SHORTER
-        # than position_ids/segment_ids (those derive from count_col)
-        # — misaligned training data, the worst failure mode this op
-        # exists to prevent — so fail loud instead of dropping
+        # STRICTER than pack_windows_table's drop-NULL guard:
+        # position_ids/segment_ids derive from count_col, so a NULL
+        # payload OR a count that disagrees with the payload's length
+        # (a truncation after counting, a NULL count surviving a
+        # left join) would silently emit payloads of DIFFERENT
+        # lengths — misaligned training data, the worst failure mode
+        # this op exists to prevent — so fail loud instead of
+        # dropping or diverging
         F.expr(
-            f"flatten(transform(__m, x -> if(x.{ids_col} is null, "
+            f"flatten(transform(__m, x -> if(x.{ids_col} is null "
+            f"or x.{count_col} is null "
+            f"or size(x.{ids_col}) != x.{count_col}, "
             f"cast(raise_error(concat('pack_windows_attention: NULL "
-            f"{ids_col} for {id_col} ', cast(x.{id_col} as string), "
-            f"' — payloads must be non-NULL arrays')) as "
+            f"or count-mismatched {ids_col} for {id_col} ', "
+            f"cast(x.{id_col} as string), "
+            f"' — need non-NULL arrays with size({ids_col}) == "
+            f"{count_col}')) as "
             f"array<bigint>), x.{ids_col})))"
         ).alias(ids_col),
         F.expr(

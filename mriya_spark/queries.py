@@ -9706,6 +9706,41 @@ def tokenizer_sft_masks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ffd_step_sql(cap: int, carry: tuple[str, ...] = ()) -> str:
+    """The per-shard FFD fill-vector fold as a recursive-CTE fragment
+    (reads a ``base`` CTE with (shard, rk, doc_id, n_tokens, *carry),
+    emits ``step``) — single-sourced for the r16 oracles so a future
+    fold fix cannot drift between them (r16 self-review). The r14/r15
+    builders keep their recorded byte-identical inline copies:
+    rewriting a RECORDED oracle's text re-prioritizes it through the
+    digest sidecar for no semantic gain, so sharing starts with the
+    round that registered against this text."""
+    cols = ", ".join(["shard", "rk", "doc_id", "n_tokens", *carry])
+    bcols = ", ".join(
+        f"b.{c}" for c in ("shard", "rk", "doc_id", "n_tokens", *carry)
+    )
+    return f"""step({cols}, win, fills) AS (
+      SELECT {cols}, CAST(1 AS BIGINT), [n_tokens]
+      FROM base WHERE rk = 1
+      UNION ALL
+      SELECT {bcols},
+             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
+                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
+                  len(s.fills) + 1) AS BIGINT),
+             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
+                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
+                  len(s.fills) + 1) <= len(s.fills)
+                  THEN list_transform(range(1, len(s.fills) + 1),
+                    i -> CASE WHEN i = COALESCE(
+                           list_filter(range(1, len(s.fills) + 1),
+                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
+                           len(s.fills) + 1)
+                         THEN s.fills[i] + b.n_tokens
+                         ELSE s.fills[i] END)
+                  ELSE list_append(s.fills, b.n_tokens) END
+      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1)"""
+
+
 def _sft_masked_pack_oracle_sql(
     n_merges: int = _BPE_MERGES,
     cap: int = _SFT_CAP,
@@ -9740,26 +9775,7 @@ def _sft_masked_pack_oracle_sql(
              CAST(row_number() OVER (PARTITION BY doc_id % {shards}
                   ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
       FROM enc),
-    step(shard, rk, doc_id, n_tokens, win, fills) AS (
-      SELECT shard, rk, doc_id, n_tokens, CAST(1 AS BIGINT), [n_tokens]
-      FROM base WHERE rk = 1
-      UNION ALL
-      SELECT b.shard, b.rk, b.doc_id, b.n_tokens,
-             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) AS BIGINT),
-             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) <= len(s.fills)
-                  THEN list_transform(range(1, len(s.fills) + 1),
-                    i -> CASE WHEN i = COALESCE(
-                           list_filter(range(1, len(s.fills) + 1),
-                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
-                           len(s.fills) + 1)
-                         THEN s.fills[i] + b.n_tokens
-                         ELSE s.fills[i] END)
-                  ELSE list_append(s.fills, b.n_tokens) END
-      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1)
+    {_ffd_step_sql(cap)}
     SELECT st.shard, st.win,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(st.n_tokens) AS BIGINT) AS fill,
@@ -9961,26 +9977,7 @@ def _pack_string_id_oracle_sql(
              CAST(row_number() OVER (PARTITION BY shard
                   ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
       FROM keyed),
-    step(shard, rk, doc_id, n_tokens, win, fills) AS (
-      SELECT shard, rk, doc_id, n_tokens, CAST(1 AS BIGINT), [n_tokens]
-      FROM base WHERE rk = 1
-      UNION ALL
-      SELECT b.shard, b.rk, b.doc_id, b.n_tokens,
-             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) AS BIGINT),
-             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) <= len(s.fills)
-                  THEN list_transform(range(1, len(s.fills) + 1),
-                    i -> CASE WHEN i = COALESCE(
-                           list_filter(range(1, len(s.fills) + 1),
-                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
-                           len(s.fills) + 1)
-                         THEN s.fills[i] + b.n_tokens
-                         ELSE s.fills[i] END)
-                  ELSE list_append(s.fills, b.n_tokens) END
-      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1),
+    {_ffd_step_sql(cap)},
     final_fills AS (
       SELECT shard, fills FROM step s
       WHERE rk = (SELECT max(rk) FROM step s2 WHERE s2.shard = s.shard))
@@ -10148,8 +10145,9 @@ def tokenizer_encode_rank_engine_q(
     merge-count-independent (the 30k-merge production path; 1100 is
     ~9x past the 128-merge auto threshold AND past the pre-r15
     Catalyst codegen cliff the chain form crashed on) — while the
-    oracle replays the classic IN-ORDER REPLACE CHAIN, chunked 128
-    per CTE. A hash match is the cross-engine, real-data form of the
+    oracle replays the classic IN-ORDER REPLACE CHAIN, chunked 64
+    per CTE (DuckDB's binder recursion cap is 128 — see
+    ``_rank_gate_oracle_sql``). A hash match is the cross-engine, real-data form of the
     rank==chain equivalence the Hypothesis property pins
     algebraically: a wrong lowest-rank choice, a missed leftmost-first
     occurrence, or a premature stop changes some word's segmentation,
@@ -10252,27 +10250,7 @@ def _pack_positions_oracle_sql(
              CAST(row_number() OVER (PARTITION BY doc_id % {shards}
                   ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
       FROM dtok),
-    step(shard, rk, doc_id, n_tokens, token_ids, win, fills) AS (
-      SELECT shard, rk, doc_id, n_tokens, token_ids,
-             CAST(1 AS BIGINT), [n_tokens]
-      FROM base WHERE rk = 1
-      UNION ALL
-      SELECT b.shard, b.rk, b.doc_id, b.n_tokens, b.token_ids,
-             CAST(COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) AS BIGINT),
-             CASE WHEN COALESCE(list_filter(range(1, len(s.fills) + 1),
-                    i -> s.fills[i] + b.n_tokens <= {cap})[1],
-                  len(s.fills) + 1) <= len(s.fills)
-                  THEN list_transform(range(1, len(s.fills) + 1),
-                    i -> CASE WHEN i = COALESCE(
-                           list_filter(range(1, len(s.fills) + 1),
-                             j -> s.fills[j] + b.n_tokens <= {cap})[1],
-                           len(s.fills) + 1)
-                         THEN s.fills[i] + b.n_tokens
-                         ELSE s.fills[i] END)
-                  ELSE list_append(s.fills, b.n_tokens) END
-      FROM step s JOIN base b ON b.shard = s.shard AND b.rk = s.rk + 1),
+    {_ffd_step_sql(cap, ('token_ids',))},
     w AS (
       SELECT shard, win, doc_id, n_tokens, token_ids,
              row_number() OVER (PARTITION BY shard, win

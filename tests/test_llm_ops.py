@@ -3224,8 +3224,20 @@ def test_pack_windows_attention_null_payload_fails_loud(spark):
         df, context_tokens=6, shards=1, count_col="n",
         carry_cols=("token_ids",),
     )
-    with pytest.raises(Exception, match="NULL token_ids"):
+    with pytest.raises(Exception, match="count-mismatched token_ids"):
         pack_windows_attention(packed, count_col="n").collect()
+    # count disagreeing with the payload length is the same class of
+    # silent misalignment (r16 self-review): fail loud too
+    df3 = spark.createDataFrame(
+        [(1, 3, [7, 8]), (2, 1, [9])],
+        "doc_id long, n long, token_ids array<bigint>",
+    )
+    p3 = pack_windows_bestfit(
+        df3, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids",),
+    )
+    with pytest.raises(Exception, match="count-mismatched token_ids"):
+        pack_windows_attention(p3, count_col="n").collect()
 
 
 def test_append_eos_boundary_invariants(spark):
