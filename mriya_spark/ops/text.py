@@ -2535,3 +2535,203 @@ def sft_encode_masks(
         (F.col("__np") + F.col("__nc")).cast("long").alias("n_tokens"),
         F.col("__nc").cast("long").alias("n_completion_tokens"),
     )
+
+
+def dpo_encode_pairs(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    symbols: list[str] | None = None,
+    oov_id: int | None = None,
+    word_freq: DataFrame | None = None,
+    vseg: DataFrame | None = None,
+    token_re: str = ASCII_TOKEN_RE,
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF reward-model) encoding — the
+    (chosen_ids, chosen_mask, rejected_ids, rejected_mask) quadruple a
+    DPO trainer actually consumes: one prompt, two candidate
+    completions, all three columns tokenized under ONE vocabulary,
+    each sequence the prompt+candidate concatenation with a
+    completion-only 0/1 loss mask (TRL ``DPOTrainer`` data contract:
+    the log-prob difference is taken over completion positions only,
+    prompt positions masked out of both sides). Returns ``(id,
+    chosen_ids, chosen_mask, rejected_ids, rejected_mask,
+    n_prompt_tokens, n_chosen_tokens, n_rejected_tokens)`` — both
+    masks share the same prompt-length zero run, so a loader can
+    verify pair alignment with ``n_prompt_tokens`` alone.
+
+    Vocabulary coherence follows ``sft_encode_masks``' r16 contract:
+    pass ``word_freq``/``vseg`` built over a corpus covering ALL THREE
+    columns; when neither is given, one shared segmentation is built
+    here over their union and reused by all three encode passes (the
+    merge replay is paid once, and the same symbol can never get
+    different ids across the pair). ``symbols``/``oov_id`` follow
+    ``bpe_token_ids``' id-authority contract. Plan: three
+    posexplode->broadcast-join->regroup encode passes (each column is
+    its own corpus-sized input) sharing one vocab-sized segmentation,
+    two doc-keyed joins, scan-local mask construction — the masked-SFT
+    capstone's measured shape (SCALE.md r16) plus one encode pass."""
+    if vseg is None:
+        if word_freq is None:
+            union = (
+                df.select(F.col(prompt_col).alias("__dpo_text"))
+                .unionAll(df.select(F.col(chosen_col).alias("__dpo_text")))
+                .unionAll(df.select(F.col(rejected_col).alias("__dpo_text")))
+            )
+            word_freq = bpe_word_freq(
+                union, text_col="__dpo_text", token_re=token_re
+            )
+        vseg = bpe_segment_vocab(
+            df, merges, word_freq=word_freq, token_re=token_re
+        ).localCheckpoint(eager=True)
+
+    def _enc(col: str, tag: str) -> DataFrame:
+        return bpe_token_ids(
+            df, merges, id_col=id_col, text_col=col,
+            word_freq=word_freq, token_re=token_re, symbols=symbols,
+            oov_id=oov_id, vseg=vseg,
+        ).select(
+            id_col,
+            F.col("token_ids").alias(f"__{tag}_ids"),
+            F.col("n_bpe_tokens").alias(f"__n{tag}"),
+        )
+
+    p = _enc(prompt_col, "p")
+    ch = _enc(chosen_col, "ch")
+    rj = _enc(rejected_col, "rj")
+
+    def _mask(n_cand: str) -> F.Column:
+        return F.expr(
+            f"concat(array_repeat(0, cast(__np as int)), "
+            f"array_repeat(1, cast({n_cand} as int)))"
+        )
+
+    return p.join(ch, id_col).join(rj, id_col).select(
+        id_col,
+        F.expr("concat(__p_ids, __ch_ids)").alias("chosen_ids"),
+        _mask("__nch").alias("chosen_mask"),
+        F.expr("concat(__p_ids, __rj_ids)").alias("rejected_ids"),
+        _mask("__nrj").alias("rejected_mask"),
+        F.col("__np").cast("long").alias("n_prompt_tokens"),
+        F.col("__nch").cast("long").alias("n_chosen_tokens"),
+        F.col("__nrj").cast("long").alias("n_rejected_tokens"),
+    )
+
+
+def chat_encode_multiturn(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    id_col: str = "doc_id",
+    turns_col: str = "turns",
+    assistant_role: str = "assistant",
+    symbols: list[str] | None = None,
+    oov_id: int | None = None,
+    word_freq: DataFrame | None = None,
+    vseg: DataFrame | None = None,
+    token_re: str = ASCII_TOKEN_RE,
+) -> DataFrame:
+    """MULTI-turn chat SFT encoding — conversations as an ordered
+    ``array<struct<role, text>>`` column, rendered turn-by-turn under
+    the ASCII template (``{role} : {text}``, role markers as plain
+    tokenizer words) and tokenized under ONE vocabulary, with the loss
+    mask INTERLEAVED: a turn's content tokens carry 1 iff its role is
+    ``assistant_role``; every role-marker token and every non-assistant
+    turn carries 0 (HF multi-turn ``apply_chat_template`` +
+    ``assistant_only_loss`` semantics — the single-turn
+    ``sft_encode_masks`` can't express a mask that switches on and off
+    mid-sequence). Returns ``(id, token_ids, loss_mask, n_tokens,
+    n_loss_tokens)``; feed through ``pack_windows_bestfit(carry_cols=
+    ('token_ids', 'loss_mask'))`` for packed multi-turn shards.
+
+    Plan — and why it SCALES BETTER than the per-column form: the
+    conversation explodes into (turn, part) segments (part 0 = the
+    role marker, part 1 = the content) keyed by one composite string,
+    so the whole corpus takes ONE posexplode->broadcast-join->regroup
+    encode pass regardless of turn count (the single-turn op pays one
+    corpus-sized pass PER column); one segment-count-sized join brings
+    (tpos, part, loss) back, and one per-doc regroup concatenates ids
+    and masks in turn order — segments sort by (tpos, part) inside
+    their own group, no global order. Vocabulary coherence follows the
+    r16 contract: pass ``word_freq``/``vseg`` covering the RENDERED
+    text (markers included); when neither is given, one shared
+    segmentation is built here over the segment texts (which include
+    the markers) and reused. Docs whose ``turns`` array is empty or
+    NULL are dropped (a conversation with no turns is not a training
+    example); empty-text turns still render their marker token."""
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(turns_col).alias("__tpos", "__turn"),
+    ).select(
+        id_col,
+        "__tpos",
+        F.coalesce(F.col("__turn.role"), F.lit("")).alias("__role"),
+        F.coalesce(F.col("__turn.text"), F.lit("")).alias("__txt"),
+    )
+    segs = (
+        t.select(
+            id_col, "__tpos",
+            F.lit(0).alias("__part"),
+            F.col("__role").alias("__stxt"),
+            F.lit(0).cast("long").alias("__loss"),
+        )
+        .unionAll(
+            t.select(
+                id_col, "__tpos",
+                F.lit(1).alias("__part"),
+                F.col("__txt").alias("__stxt"),
+                (F.col("__role") == F.lit(assistant_role))
+                .cast("long").alias("__loss"),
+            )
+        )
+        .withColumn(
+            "__seg",
+            F.concat_ws(
+                "#", F.col(id_col).cast("string"), "__tpos", "__part"
+            ),
+        )
+    )
+    if vseg is None:
+        if word_freq is None:
+            word_freq = bpe_word_freq(
+                segs, text_col="__stxt", token_re=token_re
+            )
+        vseg = bpe_segment_vocab(
+            segs, merges, text_col="__stxt", word_freq=word_freq,
+            token_re=token_re,
+        ).localCheckpoint(eager=True)
+    enc = bpe_token_ids(
+        segs, merges, id_col="__seg", text_col="__stxt",
+        word_freq=word_freq, token_re=token_re, symbols=symbols,
+        oov_id=oov_id, vseg=vseg,
+    )
+    joined = segs.select(
+        "__seg", id_col, "__tpos", "__part", "__loss"
+    ).join(enc, "__seg")
+    g = joined.groupBy(id_col).agg(
+        F.expr(
+            "array_sort(collect_list(struct(__tpos, __part, __loss, "
+            "token_ids)))"
+        ).alias("__segs")
+    )
+    return g.select(
+        id_col,
+        F.expr("flatten(transform(__segs, s -> s.token_ids))")
+        .alias("token_ids"),
+        F.expr(
+            "flatten(transform(__segs, s -> "
+            "array_repeat(s.__loss, cast(size(s.token_ids) as int))))"
+        ).alias("loss_mask"),
+        F.expr(
+            "aggregate(__segs, cast(0 as long), "
+            "(a, s) -> a + size(s.token_ids))"
+        ).alias("n_tokens"),
+        F.expr(
+            "aggregate(__segs, cast(0 as long), "
+            "(a, s) -> a + s.__loss * size(s.token_ids))"
+        ).alias("n_loss_tokens"),
+    )

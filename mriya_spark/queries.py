@@ -10433,3 +10433,509 @@ def tokenizer_pack_eos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pad",
         F.array_join("token_ids", ",").alias("token_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 r16 (continuation): chat-template SFT capstone
+# ---------------------------------------------------------------------------
+
+
+def _chat_conv_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
+    """The (doc_id, system, user, assistant) conversation fixture the
+    chat-SFT gate derives deterministically from ``documents.text``:
+    word-split under the tokenizer regex, thirds at ``n // 3`` and
+    ``(2n) // 3`` (integer division over non-negative counts — same
+    result as Spark's ``div``), rejoined with ' ' (lossless under the
+    split regex). ``pairs_t`` then renders the SINGLE-TURN chat
+    template — ``system : {sys} user : {usr} assistant :`` as the
+    prompt, the assistant text alone as the completion — character-
+    for-character the string ``ops.text.chat_render`` builds, pinned
+    cross-engine by ``test_chat_template_sft_sql_replay_prevalidation``
+    before this registration. ``docs_train`` is the rendered full text
+    the tokenizer trains on (template role-marker words included, as a
+    production chat tokenizer's corpus would)."""
+    return f"""conv_t AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(words[1 : len(words) // 3], ' ')
+               AS sys_txt,
+             array_to_string(words[len(words) // 3 + 1 :
+                                   (2 * len(words)) // 3], ' ')
+               AS usr_txt,
+             array_to_string(words[(2 * len(words)) // 3 + 1 :
+                                   len(words)], ' ')
+               AS ast_txt
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM documents)),
+    pairs_t AS MATERIALIZED (
+      SELECT doc_id,
+             concat_ws(' ', 'system :', COALESCE(sys_txt, ''),
+                       'user :', COALESCE(usr_txt, ''),
+                       'assistant :') AS prompt,
+             COALESCE(ast_txt, '') AS completion
+      FROM conv_t),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id, concat_ws(' ', prompt, completion) AS text
+      FROM pairs_t),
+    """
+
+
+def _sft_chat_oracle_sql(
+    n_merges: int = _BPE_MERGES, token_re: str = "[^a-z0-9]+"
+) -> str:
+    """Chat-template SFT oracle: conversation fixture -> rendered
+    template -> full BPE training replay on the rendered text -> both
+    encode chains (shared symbol table, via ``_sft_masks_encode_sql``
+    so the recipe cannot drift from the masks gate) -> concatenated
+    ids + completion-only 0/1 mask, value-checked per position."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "docs_train", _chat_conv_prelude_sql(token_re)
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return body + _sft_masks_encode_sql(n_merges, token_re) + """
+    SELECT p.doc_id,
+           array_to_string(flatten([p.ids, c.ids]), ',') AS token_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(c.ids)), x -> 1)]), ',')
+             AS loss_mask,
+           CAST(len(p.ids) + len(c.ids) AS BIGINT) AS n_tokens,
+           CAST(len(c.ids) AS BIGINT) AS n_completion_tokens
+    FROM dtok_p p JOIN dtok_c c USING (doc_id)
+    """
+
+
+def _chat_conv_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_chat_conv_prelude_sql``'s ``conv_t``: word-
+    split thirds rebuilt as (system, user, assistant). Scan-local
+    (one projection, no shuffle); slice lengths are non-negative by
+    construction (``b >= a`` and ``n >= b`` for every n)."""
+    w = (
+        "filter(split(lower(trim(coalesce(text, ''))), '[^a-z0-9]+'), "
+        "x -> x != '')"
+    )
+    a = f"(size({w}) div 3)"
+    b = f"((2 * size({w})) div 3)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_join(slice({w}, 1, {a}), ' ')").alias("system"),
+        F.expr(
+            f"array_join(slice({w}, {a} + 1, {b} - {a}), ' ')"
+        ).alias("user"),
+        F.expr(
+            f"array_join(slice({w}, {b} + 1, size({w}) - {b}), ' ')"
+        ).alias("assistant"),
+    )
+
+
+@register("tokenizer_sft_chat", _sft_chat_oracle_sql())
+def tokenizer_sft_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template SFT capstone (the r16 SCALE.md pre-validated
+    recipe): single-turn (system, user, assistant) conversations —
+    rebuilt deterministically as word-split thirds of
+    ``documents.text`` — rendered through ``ops.text.chat_render``
+    (HF ``apply_chat_template`` semantics: role markers as plain
+    tokenizer words, assistant text as the completion), then tokenized
+    with completion-only loss masks under ONE vocabulary learned on
+    the RENDERED corpus (``sft_encode_masks``). This is the template
+    step every production SFT pipeline runs before tokenization; the
+    loss boundary is its whole point — every role marker, system and
+    user token masked 0, ONLY assistant tokens carry 1, and the oracle
+    hash-checks mask values position-for-position. Plan: identical
+    exchange shape to ``tokenizer_sft_masks`` (one corpus pass for
+    word_freq, one shared merge replay, two posexplode->broadcast-join
+    encodes, one doc-keyed join) — the template adds a single
+    scan-local projection."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_render,
+        sft_encode_masks,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    pairs = chat_render(_chat_conv_frame(docs))
+    full = pairs.select(
+        "doc_id", F.concat_ws(" ", "prompt", "completion").alias("text")
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    trained = bpe_train(
+        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, trained, vseg=vseg)
+    out = sft_encode_masks(
+        pairs, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("loss_mask", ",").alias("loss_mask"),
+        "n_tokens",
+        "n_completion_tokens",
+    )
+
+
+def _cols_encode_sql(
+    n_merges: int, token_re: str, cols: tuple[tuple[str, str], ...]
+) -> str:
+    """``_sft_masks_encode_sql`` generalized to N ``pairs_t`` columns —
+    for ``(('p', 'prompt'), ('c', 'completion'))`` it emits BYTE-
+    IDENTICAL text (pinned by
+    ``test_cols_encode_sql_matches_recorded_two_col_form``), so the
+    recorded r16 SFT oracles stay untouched while the DPO oracle's
+    three chains share the exact same recipe."""
+    enc_chains = []
+    for tag, col in cols:
+        enc_chains.append(f""",
+    dwp_{tag} AS (
+      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim({col})),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM pairs_t) d,
+           unnest(range(1, len(d.words) + 1)) t(j)),
+    dtok_{tag} AS (
+      SELECT d.doc_id,
+             COALESCE(t.ids, CAST([] AS BIGINT[])) AS ids
+      FROM pairs_t d LEFT JOIN (
+        SELECT dwp_{tag}.doc_id,
+               flatten(list(wid.word_ids ORDER BY dwp_{tag}.wpos)) AS ids
+        FROM dwp_{tag} JOIN wid USING (word) GROUP BY dwp_{tag}.doc_id) t
+      USING (doc_id))""")
+    return f""",
+    symid AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+               AS sym_id
+      FROM (SELECT DISTINCT
+              unnest(regexp_extract_all(seq, '<([^>]*)>', 1)) AS sym
+            FROM v{n_merges})),
+    wid AS MATERIALIZED (
+      SELECT w.word, list(si.sym_id ORDER BY w.spos) AS word_ids
+      FROM (SELECT f.word, t.j AS spos, f.s[t.j] AS sym
+            FROM (SELECT word,
+                         regexp_extract_all(seq, '<([^>]*)>', 1) AS s
+                  FROM v{n_merges}) f,
+                 unnest(range(1, len(f.s) + 1)) t(j)) w
+      JOIN symid si USING (sym) GROUP BY w.word)
+    {"".join(enc_chains)}"""
+
+
+def _dpo_pairs_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
+    """The (doc_id, prompt, chosen, rejected) preference-pair fixture
+    the DPO gate derives deterministically from ``documents.text``:
+    word-split thirds (prompt / chosen candidate / rejected candidate),
+    rejoined with ' ' (lossless under the split regex); ``docs_train``
+    is all three rebuilt columns combined — the union corpus the
+    shared vocabulary trains on, so frequencies equal the raw text's."""
+    return f"""pairs_t AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(words[1 : len(words) // 3], ' ')
+               AS prompt,
+             array_to_string(words[len(words) // 3 + 1 :
+                                   (2 * len(words)) // 3], ' ')
+               AS chosen,
+             array_to_string(words[(2 * len(words)) // 3 + 1 :
+                                   len(words)], ' ')
+               AS rejected
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM documents)),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id,
+             concat_ws(' ', prompt, chosen, rejected) AS text
+      FROM pairs_t),
+    """
+
+
+def _dpo_pairs_oracle_sql(
+    n_merges: int = _BPE_MERGES, token_re: str = "[^a-z0-9]+"
+) -> str:
+    """DPO oracle: preference-pair fixture -> full BPE training replay
+    on the combined text -> THREE encode chains under the shared
+    symbol table (``_cols_encode_sql``, byte-pinned to the recorded
+    SFT recipe) -> both prompt+candidate concatenations with their
+    completion-only masks, value-checked per position."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "docs_train", _dpo_pairs_prelude_sql(token_re)
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    chains = _cols_encode_sql(
+        n_merges, token_re,
+        (("p", "prompt"), ("ch", "chosen"), ("rj", "rejected")),
+    )
+    return body + chains + """
+    SELECT p.doc_id,
+           array_to_string(flatten([p.ids, ch.ids]), ',') AS chosen_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(ch.ids)), x -> 1)]), ',')
+             AS chosen_mask,
+           array_to_string(flatten([p.ids, rj.ids]), ',') AS rejected_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(rj.ids)), x -> 1)]), ',')
+             AS rejected_mask,
+           CAST(len(p.ids) AS BIGINT) AS n_prompt_tokens,
+           CAST(len(ch.ids) AS BIGINT) AS n_chosen_tokens,
+           CAST(len(rj.ids) AS BIGINT) AS n_rejected_tokens
+    FROM dtok_p p JOIN dtok_ch ch USING (doc_id)
+         JOIN dtok_rj rj USING (doc_id)
+    """
+
+
+def _dpo_pairs_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_dpo_pairs_prelude_sql``'s ``pairs_t``: word-
+    split thirds rebuilt as (prompt, chosen, rejected). Scan-local."""
+    w = (
+        "filter(split(lower(trim(coalesce(text, ''))), '[^a-z0-9]+'), "
+        "x -> x != '')"
+    )
+    a = f"(size({w}) div 3)"
+    b = f"((2 * size({w})) div 3)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_join(slice({w}, 1, {a}), ' ')").alias("prompt"),
+        F.expr(
+            f"array_join(slice({w}, {a} + 1, {b} - {a}), ' ')"
+        ).alias("chosen"),
+        F.expr(
+            f"array_join(slice({w}, {b} + 1, size({w}) - {b}), ' ')"
+        ).alias("rejected"),
+    )
+
+
+@register("tokenizer_dpo_pairs", _dpo_pairs_oracle_sql())
+def tokenizer_dpo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (DPO) encoding capstone: (prompt, chosen,
+    rejected) triples — rebuilt deterministically as word-split thirds
+    of ``documents.text`` — encoded by ``ops.text.dpo_encode_pairs``
+    under ONE vocabulary learned on the combined text: per doc the
+    chosen and rejected prompt+candidate sequences with their
+    completion-only 0/1 masks (TRL ``DPOTrainer`` data contract — the
+    preference loss reads completion positions only, and BOTH
+    sequences share the same prompt-length zero run). The oracle
+    replays training plus all THREE encode chains under the shared
+    symbol table and hash-checks every id and mask position. Plan:
+    the masked-SFT shape plus one encode pass — one corpus pass for
+    word_freq, one shared merge replay, three posexplode->broadcast-
+    join encodes, two doc-keyed joins, scan-local masks."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        dpo_encode_pairs,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    pairs = _dpo_pairs_frame(docs)
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    out = dpo_encode_pairs(
+        pairs, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("chosen_ids", ",").alias("chosen_ids"),
+        F.array_join("chosen_mask", ",").alias("chosen_mask"),
+        F.array_join("rejected_ids", ",").alias("rejected_ids"),
+        F.array_join("rejected_mask", ",").alias("rejected_mask"),
+        "n_prompt_tokens",
+        "n_chosen_tokens",
+        "n_rejected_tokens",
+    )
+
+
+def _segs_encode_sql(n_merges: int, token_re: str) -> str:
+    """Encode chain for the MULTI-turn chat gate: the recorded
+    symid/wid recipe (via ``_cols_encode_sql`` with zero column
+    chains), then ONE chain over a ``segs_t`` CTE keyed by (doc_id,
+    tpos, part) with its ``is_loss`` flag carried through — the DuckDB
+    twin of ``chat_encode_multiturn``'s single segment-keyed encode
+    pass."""
+    return _cols_encode_sql(n_merges, token_re, ()) + f""",
+    dwp_s AS (
+      SELECT d.doc_id, d.tpos, d.part, t.j AS wpos, d.words[t.j] AS word
+      FROM (SELECT doc_id, tpos, part,
+                   list_filter(string_split_regex(lower(trim(txt)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM segs_t) d,
+           unnest(range(1, len(d.words) + 1)) t(j)),
+    dtok_s AS (
+      SELECT s.doc_id, s.tpos, s.part, s.is_loss,
+             COALESCE(t.ids, CAST([] AS BIGINT[])) AS ids
+      FROM segs_t s LEFT JOIN (
+        SELECT dwp_s.doc_id, dwp_s.tpos, dwp_s.part,
+               flatten(list(wid.word_ids ORDER BY dwp_s.wpos)) AS ids
+        FROM dwp_s JOIN wid USING (word)
+        GROUP BY dwp_s.doc_id, dwp_s.tpos, dwp_s.part) t
+      USING (doc_id, tpos, part))"""
+
+
+_MULTITURN_FINAL_SQL = """
+    SELECT doc_id,
+           array_to_string(flatten(list(ids ORDER BY tpos, part)), ',')
+             AS token_ids,
+           array_to_string(flatten(list(
+             list_transform(range(len(ids)), x -> is_loss)
+             ORDER BY tpos, part)), ',') AS loss_mask,
+           CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_loss * len(ids)) AS BIGINT) AS n_loss_tokens
+    FROM dtok_s GROUP BY doc_id
+    """
+
+
+def _multiturn_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
+    """The 4-turn conversation fixture the multi-turn gate derives
+    deterministically from ``documents.text``: word-split quarters
+    alternating user/assistant turns (the two-exchange dialogue shape),
+    each turn rendered ``{role} : {text}``; ``segs_t`` splits every
+    turn into its marker segment (part 0, never in the loss) and its
+    content segment (part 1, in the loss iff assistant); ``docs_train``
+    is the rendered conversation the shared vocabulary trains on."""
+    return f"""turns_t AS MATERIALIZED (
+      SELECT doc_id, t.tpos,
+             CASE WHEN t.tpos % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             CASE t.tpos
+               WHEN 0 THEN array_to_string(
+                             words[1 : len(words) // 4], ' ')
+               WHEN 1 THEN array_to_string(
+                             words[len(words) // 4 + 1 :
+                                   len(words) // 2], ' ')
+               WHEN 2 THEN array_to_string(
+                             words[len(words) // 2 + 1 :
+                                   (3 * len(words)) // 4], ' ')
+               ELSE array_to_string(
+                      words[(3 * len(words)) // 4 + 1 :
+                            len(words)], ' ')
+             END AS txt
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM documents) w,
+           unnest([0, 1, 2, 3]) t(tpos)),
+    segs_t AS MATERIALIZED (
+      SELECT doc_id, tpos, 0 AS part, role AS txt,
+             CAST(0 AS BIGINT) AS is_loss
+      FROM turns_t
+      UNION ALL
+      SELECT doc_id, tpos, 1 AS part, txt,
+             CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+                  AS BIGINT)
+      FROM turns_t),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id,
+             string_agg(concat_ws(' ', role, ':', txt), ' '
+                        ORDER BY tpos) AS text
+      FROM turns_t GROUP BY doc_id),
+    """
+
+
+def _multiturn_oracle_sql(
+    n_merges: int = _BPE_MERGES, token_re: str = "[^a-z0-9]+"
+) -> str:
+    """Multi-turn chat oracle: 4-turn fixture -> full BPE training
+    replay on the rendered conversations -> one segment-keyed encode
+    chain -> per-doc concatenation in (turn, part) order with the
+    INTERLEAVED assistant-only mask, value-checked per position."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "docs_train", _multiturn_prelude_sql(token_re)
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return body + _segs_encode_sql(n_merges, token_re) + _MULTITURN_FINAL_SQL
+
+
+def _multiturn_conv_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_multiturn_prelude_sql``'s ``turns_t``, nested:
+    (doc_id, turns array<struct<role, text>>) — word-split quarters
+    alternating user/assistant. Scan-local."""
+    w = (
+        "filter(split(lower(trim(coalesce(text, ''))), '[^a-z0-9]+'), "
+        "x -> x != '')"
+    )
+    a = f"(size({w}) div 4)"
+    b = f"(size({w}) div 2)"
+    c = f"((3 * size({w})) div 4)"
+    seg = {
+        0: f"slice({w}, 1, {a})",
+        1: f"slice({w}, {a} + 1, {b} - {a})",
+        2: f"slice({w}, {b} + 1, {c} - {b})",
+        3: f"slice({w}, {c} + 1, size({w}) - {c})",
+    }
+    turns = ", ".join(
+        f"named_struct('role', '{'user' if i % 2 == 0 else 'assistant'}',"
+        f" 'text', array_join({seg[i]}, ' '))"
+        for i in range(4)
+    )
+    return docs.select("doc_id", F.expr(f"array({turns})").alias("turns"))
+
+
+@register("tokenizer_chat_multiturn", _multiturn_oracle_sql())
+def tokenizer_chat_multiturn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-turn chat SFT capstone: two-exchange user/assistant
+    dialogues — rebuilt deterministically as word-split quarters of
+    ``documents.text`` — encoded by ``ops.text.chat_encode_multiturn``
+    under ONE vocabulary learned on the rendered conversations, with
+    the loss mask INTERLEAVED (assistant content 1; user content and
+    every role marker 0 — the mask switches on and off mid-sequence,
+    which no single-boundary encoder can express; HF multi-turn
+    ``assistant_only_loss`` semantics). The oracle replays training
+    plus the single segment-keyed encode chain and hash-checks every
+    id and mask position. Plan: ONE corpus-sized encode pass
+    regardless of turn count (segments keyed by a composite id), one
+    segment-count join, one per-doc regroup — the multi-turn form
+    scales BETTER per byte than the per-column single-turn gates."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_encode_multiturn,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    conv = _multiturn_conv_frame(docs)
+    full = conv.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(turns, t -> "
+            "concat_ws(' ', t.role, ':', t.text)), ' ')"
+        ).alias("text"),
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    trained = bpe_train(
+        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, trained, vseg=vseg)
+    out = chat_encode_multiturn(
+        conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("loss_mask", ",").alias("loss_mask"),
+        "n_tokens",
+        "n_loss_tokens",
+    )

@@ -3358,3 +3358,227 @@ def test_chat_template_sft_sql_replay_prevalidation(spark):
         for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_cols_encode_sql_matches_recorded_two_col_form():
+    """The generalized N-column encode-SQL generator emits BYTE-
+    IDENTICAL text to the recorded r16 two-column form — the recorded
+    SFT oracles stay untouched while the DPO oracle shares the exact
+    recipe (no drift possible)."""
+    from mriya_spark.queries import _cols_encode_sql, _sft_masks_encode_sql
+
+    for n, tre in ((12, "[^a-z0-9]+"), (3, "[^a-z0-9]+")):
+        assert _cols_encode_sql(
+            n, tre, (("p", "prompt"), ("c", "completion"))
+        ) == _sft_masks_encode_sql(n, tre)
+
+
+def test_dpo_pairs_sql_replay_prevalidation(spark):
+    """Pre-validates the DPO gate recipe on an in-memory corpus:
+    (prompt, chosen, rejected) -> dpo_encode_pairs under one shared
+    vocabulary, vs the DuckDB twin replaying train + THREE encode
+    chains + both masks. Both sequences must share the same
+    prompt-length zero run; empty candidates survive all-masked."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        dpo_encode_pairs,
+    )
+    from mriya_spark.queries import _bpe_oracle_sql, _cols_encode_sql
+
+    rows = [
+        (0, "what is low", "low is a word", "lowest aa a9"),
+        (1, "say newer", "newer aa", "be low now"),
+        (2, "aaa", "", "aa"),  # empty chosen -> all-masked chosen row
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prompt string, chosen string, rejected string"
+    )
+    full = df.select(
+        "doc_id",
+        F.concat_ws(" ", "prompt", "chosen", "rejected").alias("text"),
+    )
+    n_merges = 3
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=n_merges, word_freq=wf)
+    vseg = bpe_segment_vocab(full, merges, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, merges, vseg=vseg)
+    out = dpo_encode_pairs(
+        df, merges, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    got = {}
+    for r in out.collect():
+        assert len(r.chosen_ids) == len(r.chosen_mask)
+        assert len(r.rejected_ids) == len(r.rejected_mask)
+        # both masks share the same prompt-length zero run
+        assert r.chosen_mask[: r.n_prompt_tokens] == [0] * r.n_prompt_tokens
+        assert (
+            r.rejected_mask[: r.n_prompt_tokens] == [0] * r.n_prompt_tokens
+        )
+        assert sum(r.chosen_mask) == r.n_chosen_tokens
+        assert sum(r.rejected_mask) == r.n_rejected_tokens
+        got[r.doc_id] = (
+            ",".join(map(str, r.chosen_ids)),
+            ",".join(map(str, r.chosen_mask)),
+            ",".join(map(str, r.rejected_ids)),
+            ",".join(map(str, r.rejected_mask)),
+            r.n_prompt_tokens,
+            r.n_chosen_tokens,
+            r.n_rejected_tokens,
+        )
+    assert got[2][5] == 0  # empty chosen -> zero completion tokens
+
+    con = duckdb.connect()
+    con.register(
+        "pref_t",
+        pd.DataFrame(
+            rows, columns=["doc_id", "prompt", "chosen", "rejected"]
+        ),
+    )
+    prelude = """pairs_t AS MATERIALIZED (
+      SELECT doc_id, prompt, chosen, rejected FROM pref_t),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id,
+             concat_ws(' ', prompt, chosen, rejected) AS text
+      FROM pairs_t),
+    """
+    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_train", prelude)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    chains = _cols_encode_sql(
+        n_merges, "[^a-z0-9]+",
+        (("p", "prompt"), ("ch", "chosen"), ("rj", "rejected")),
+    )
+    sql = body + chains + """
+    SELECT p.doc_id,
+           array_to_string(flatten([p.ids, ch.ids]), ',') AS chosen_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(ch.ids)), x -> 1)]), ',')
+             AS chosen_mask,
+           array_to_string(flatten([p.ids, rj.ids]), ',') AS rejected_ids,
+           array_to_string(flatten([
+             list_transform(range(len(p.ids)), x -> 0),
+             list_transform(range(len(rj.ids)), x -> 1)]), ',')
+             AS rejected_mask,
+           CAST(len(p.ids) AS BIGINT) AS n_prompt_tokens,
+           CAST(len(ch.ids) AS BIGINT) AS n_chosen_tokens,
+           CAST(len(rj.ids) AS BIGINT) AS n_rejected_tokens
+    FROM dtok_p p JOIN dtok_ch ch USING (doc_id)
+         JOIN dtok_rj rj USING (doc_id)
+    """
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5], r[6], r[7])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+
+
+def test_chat_multiturn_sql_replay_prevalidation(spark):
+    """Pre-validates the multi-turn chat gate recipe on an in-memory
+    conversation set (uneven turn counts, empty and NULL turn texts):
+    chat_encode_multiturn vs the DuckDB twin replaying train + the
+    segment-keyed encode chain + the interleaved mask. The mask must
+    switch on and off mid-sequence (assistant content only)."""
+    import duckdb
+    import pandas as pd
+
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_encode_multiturn,
+    )
+    from mriya_spark.queries import (
+        _MULTITURN_FINAL_SQL,
+        _bpe_oracle_sql,
+        _segs_encode_sql,
+    )
+
+    convs = [
+        (0, [("user", "what is low"), ("assistant", "low is a word"),
+             ("user", "say newer"), ("assistant", "newer aa")]),
+        (1, [("user", "aaa"), ("assistant", "lowest aa a9")]),
+        (2, [("user", ""), ("assistant", None), ("user", "be low")]),
+    ]
+    df = spark.createDataFrame(
+        convs,
+        "doc_id long, turns array<struct<role string, text string>>",
+    )
+    full = df.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(turns, t -> concat_ws(' ', t.role, "
+            "':', coalesce(t.text, ''))), ' ')"
+        ).alias("text"),
+    )
+    n_merges = 3
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=n_merges, word_freq=wf)
+    vseg = bpe_segment_vocab(full, merges, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, merges, vseg=vseg)
+    out = chat_encode_multiturn(
+        df, merges, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    got = {}
+    interleaved = False
+    for r in out.collect():
+        assert len(r.token_ids) == len(r.loss_mask) == r.n_tokens
+        assert sum(r.loss_mask) == r.n_loss_tokens
+        m = "".join(map(str, r.loss_mask))
+        if "10" in m and "01" in m[m.index("10"):]:
+            interleaved = True
+        got[r.doc_id] = (
+            ",".join(map(str, r.token_ids)),
+            ",".join(map(str, r.loss_mask)),
+            r.n_tokens,
+            r.n_loss_tokens,
+        )
+    assert interleaved  # doc 0: mask turns off after turn 1, on at 3
+
+    turn_rows = [
+        (d, i, role, txt)
+        for d, turns in convs
+        for i, (role, txt) in enumerate(turns)
+    ]
+    con = duckdb.connect()
+    con.register(
+        "turns_raw",
+        pd.DataFrame(turn_rows, columns=["doc_id", "tpos", "role", "txt"]),
+    )
+    prelude = """turns_t AS MATERIALIZED (
+      SELECT doc_id, tpos, COALESCE(role, '') AS role,
+             COALESCE(txt, '') AS txt
+      FROM turns_raw),
+    segs_t AS MATERIALIZED (
+      SELECT doc_id, tpos, 0 AS part, role AS txt,
+             CAST(0 AS BIGINT) AS is_loss
+      FROM turns_t
+      UNION ALL
+      SELECT doc_id, tpos, 1 AS part, txt,
+             CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+                  AS BIGINT)
+      FROM turns_t),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id,
+             string_agg(concat_ws(' ', role, ':', txt), ' '
+                        ORDER BY tpos) AS text
+      FROM turns_t GROUP BY doc_id),
+    """
+    train = _bpe_oracle_sql(n_merges, "[^a-z0-9]+", "docs_train", prelude)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    sql = body + _segs_encode_sql(n_merges, "[^a-z0-9]+") + _MULTITURN_FINAL_SQL
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
