@@ -104,6 +104,16 @@ HEADLINE = [
     # tokenizer_pack_bestfit plus the wider final aggregate — the
     # delta between the two rows is the measured cost of the metadata)
     "tokenizer_pack_positions",
+    # r16 session-2 additions: the chat-template SFT gate (the masks
+    # pipeline plus the rendered-template projection — their delta is
+    # the template's cost), the DPO preference-pair encode (THREE
+    # encode passes + two id-side joins), and the packed multi-turn
+    # capstone (ONE segment-keyed encode pass for any turn count ->
+    # FFD -> dual payloads — the single-pass encoder's wall vs the
+    # per-column form above)
+    "tokenizer_sft_chat",
+    "tokenizer_dpo_pairs",
+    "tokenizer_pack_chat",
 ]
 
 
@@ -287,6 +297,13 @@ def main() -> None:
                     "encode), and tokenizer_pack_positions (varlen attention "
                     "metadata) — r16 totals are NOT comparable to r15; "
                     "compare per-query or on the 39-query common set. "
+                    "r16 session 2 adds tokenizer_sft_chat (chat-template "
+                    "SFT gate), tokenizer_dpo_pairs (preference-pair "
+                    "encode), and tokenizer_pack_chat (packed multi-turn "
+                    "capstone) — compare on the 44-query common set; the "
+                    "session-2 host measured a uniform 1.47x slowdown vs "
+                    "the session-1 record (benchlogs/"
+                    "bench_tip_r16_session2.json). "
                     "Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "

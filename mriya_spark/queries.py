@@ -10939,3 +10939,119 @@ def tokenizer_chat_multiturn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_loss_tokens",
     )
+
+
+def _chat_pack_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    cap: int = _SFT_CAP,
+    shards: int = _SFT_SHARDS,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """The packed multi-turn chat capstone oracle: the multi-turn
+    fixture + training replay + segment-keyed encode chain, the per-doc
+    (ids, interleaved mask) regroup, then the shared per-shard FFD
+    fill-vector fold (``_ffd_step_sql``) and per-window grouping of
+    BOTH payloads in doc-id order — the ``_sft_masked_pack_oracle_sql``
+    shape over the multi-turn encoder."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "docs_train", _multiturn_prelude_sql(token_re)
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return (
+        "WITH RECURSIVE "
+        + body[len("WITH "):]
+        + _segs_encode_sql(n_merges, token_re)
+        + f""",
+    enc AS MATERIALIZED (
+      SELECT doc_id,
+             flatten(list(ids ORDER BY tpos, part)) AS token_ids,
+             flatten(list(list_transform(range(len(ids)), x -> is_loss)
+                          ORDER BY tpos, part)) AS loss_mask,
+             CAST(SUM(len(ids)) AS BIGINT) AS n_tokens
+      FROM dtok_s GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, n_tokens,
+             CAST(doc_id % {shards} AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY doc_id % {shards}
+                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+      FROM enc),
+    {_ffd_step_sql(cap)}
+    SELECT st.shard, st.win,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(st.n_tokens) AS BIGINT) AS fill,
+           CAST(greatest(0, {cap} - sum(st.n_tokens)) AS BIGINT) AS pad,
+           COALESCE(array_to_string(
+             flatten(list(e.token_ids ORDER BY st.doc_id)), ','), '')
+             AS token_ids,
+           COALESCE(array_to_string(
+             flatten(list(e.loss_mask ORDER BY st.doc_id)), ','), '')
+             AS loss_mask
+    FROM step st JOIN enc e USING (doc_id)
+    GROUP BY st.shard, st.win
+    """
+    )
+
+
+@register("tokenizer_pack_chat", _chat_pack_oracle_sql())
+def tokenizer_pack_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PACKED MULTI-TURN CHAT CAPSTONE: multi-turn dialogues
+    encoded with interleaved assistant-only masks
+    (``chat_encode_multiturn``) -> non-straddling FFD packing with
+    both arrays riding the same rows
+    (``pack_windows_bestfit(carry_cols=('token_ids', 'loss_mask'))``)
+    -> per-window dual payloads (``pack_windows_table``) — the packed
+    training shard a multi-turn SFT loader mmaps, with a mask that
+    switches on and off WITHIN each packed document. The oracle
+    replays training, the segment-keyed encode, the per-doc regroup,
+    the FFD fold, and both per-window payloads — every id and every
+    interleaved mask position is value-checked through the pack.
+    Plan: the multi-turn encode (ONE corpus-sized pass) + one shard
+    shuffle + one Arrow-batched grouped-map (segment-tree FFD) + one
+    (shard, win) aggregate — ``tokenizer_pack_masked``'s exchange
+    shape over the cheaper single-pass encoder."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_encode_multiturn,
+        pack_windows_bestfit,
+        pack_windows_table,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    conv = _multiturn_conv_frame(docs)
+    full = conv.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(turns, t -> "
+            "concat_ws(' ', t.role, ':', t.text)), ' ')"
+        ).alias("text"),
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    trained = bpe_train(
+        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, trained, vseg=vseg)
+    enc = chat_encode_multiturn(
+        conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    packed = pack_windows_bestfit(
+        enc,
+        context_tokens=_SFT_CAP,
+        shards=_SFT_SHARDS,
+        count_col="n_tokens",
+        carry_cols=("token_ids", "loss_mask"),
+    )
+    return pack_windows_table(packed, extra_ids_cols=("loss_mask",)).select(
+        "shard",
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("loss_mask", ",").alias("loss_mask"),
+    )

@@ -970,3 +970,29 @@ def test_label_prop_iteration_keeps_skew_axis_unpinned(spark):
     # forbidden shape is a deliberate repartition pin on the cached
     # invariant, which prints as REPARTITION_BY_COL
     assert "REPARTITION_BY_COL" not in plan, plan
+
+
+def test_r16s2_queries_shuffle_ceilings(spark, queries):
+    """Pin the r16 session-2 additions' exchange budgets (raw
+    plan-string counts, persisted-subtree reprints included — same
+    convention as test_r15_queries_shuffle_ceilings). Measured at the
+    registration tip: sft_chat 8 (the masks pipeline + the template
+    projection, which adds NO exchange), dpo_pairs 12 (three encode
+    passes + two id-side joins), chat_multiturn 6 (ONE segment-keyed
+    encode pass + one attrs join + one per-doc regroup — the
+    single-pass form's whole point), pack_chat 10 (multiturn + shard
+    shuffle + FFD grouped-map + window aggregate). A regression that
+    re-derives the shared vseg, loses a broadcast, or adds a pass
+    breaks the ceiling here."""
+    sf = "/root/testdata/sf0.001"
+    ceilings = {
+        "tokenizer_sft_chat": 8,
+        "tokenizer_dpo_pairs": 12,
+        "tokenizer_chat_multiturn": 6,
+        "tokenizer_pack_chat": 10,
+    }
+    for name, cap in ceilings.items():
+        df = queries[name](spark, sf)
+        df.collect()  # finalize AQE
+        got = n_shuffles(executed_plan(df))
+        assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"
