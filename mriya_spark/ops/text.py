@@ -2656,7 +2656,13 @@ def chat_encode_multiturn(
     corpus-sized pass PER column); one segment-count-sized join brings
     (tpos, part, loss) back, and one per-doc regroup concatenates ids
     and masks in turn order — segments sort by (tpos, part) inside
-    their own group, no global order. Vocabulary coherence follows the
+    their own group, no global order. Scan-count honesty (the r15
+    multiblock lesson): the attrs side of that join re-reads the
+    conversations source a second time, but column pruning drops the
+    turn TEXT from it (only ids, positions, and roles flow), so the
+    second scan is metadata-weight, not corpus-weight — callers who
+    cannot afford even that can checkpoint ``df`` upstream.
+    Vocabulary coherence follows the
     r16 contract: pass ``word_freq``/``vseg`` covering the RENDERED
     text (markers included); when neither is given, one shared
     segmentation is built here over the segment texts (which include

@@ -11055,3 +11055,43 @@ def tokenizer_pack_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("token_ids", ",").alias("token_ids"),
         F.array_join("loss_mask", ",").alias("loss_mask"),
     )
+
+
+@register(
+    "stats_linreg",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_linreg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares regression (slope, intercept,
+    R², pair count) via the ANSI ``regr_*`` aggregates — the trend
+    primitive behind every metric dashboard, and the natural extension
+    of ``stats_corr``'s moment family. Single-pass partial-aggregated
+    moments, one tiny-output shuffle, no second scan (the moments
+    carry everything the closed-form OLS needs). Rounded (4dp, R² 6dp)
+    on both sides: engine moment-summation orders differ at ~1e-14
+    relative, ten orders inside the rounding quantum."""
+    li = _cat(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias(
+            "r2"
+        ),
+        F.expr("regr_count(l_extendedprice, l_quantity)")
+        .cast("long")
+        .alias("n"),
+    )
