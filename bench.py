@@ -114,6 +114,11 @@ HEADLINE = [
     "tokenizer_sft_chat",
     "tokenizer_dpo_pairs",
     "tokenizer_pack_chat",
+    # ... and the complete packed varlen SFT batch (ids + positions +
+    # segments + interleaved mask from ONE member list) — its delta vs
+    # tokenizer_pack_chat is the measured cost of the two metadata
+    # arrays (expected ~0: scan-local, no exchange)
+    "tokenizer_pack_chat_attention",
 ]
 
 

@@ -677,6 +677,7 @@ def pack_windows_attention(
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
     ids_col: str = "token_ids",
+    extra_ids_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``pack_windows_table`` plus the ATTENTION METADATA a packed
     varlen trainer actually consumes (HF ``packing=True`` with proper
@@ -693,10 +694,16 @@ def pack_windows_attention(
     training sequence. One grouped aggregate on (shard, win), no
     global sort; zero-token members contribute an empty slice to
     every payload but still consume a segment ordinal (both engines
-    rank them identically)."""
+    rank them identically). ``extra_ids_cols`` names further per-doc
+    arrays carried through the pack (e.g. ``('loss_mask',)`` for the
+    COMPLETE packed varlen SFT batch: ids + positions + segments +
+    mask); each rides the same collected member list and the same
+    fail-loud length guard, so every emitted payload is aligned with
+    every other by construction."""
     members = F.expr(
-        f"array_sort(collect_list(struct({id_col}, {count_col}, "
-        f"{ids_col})))"
+        "array_sort(collect_list(struct("
+        + ", ".join([id_col, count_col, ids_col, *extra_ids_cols])
+        + ")))"
     )
     win = packed.groupBy("shard", "win").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -739,6 +746,19 @@ def pack_windows_attention(
             "flatten(transform(__m, (x, i) -> "
             f"array_repeat(cast(i as bigint), cast(x.{count_col} as int))))"
         ).alias("segment_ids"),
+        *[
+            F.expr(
+                f"flatten(transform(__m, x -> if(x.{c} is null "
+                f"or size(x.{c}) != x.{count_col}, "
+                f"cast(raise_error(concat('pack_windows_attention: NULL "
+                f"or count-mismatched {c} for {id_col} ', "
+                f"cast(x.{id_col} as string), "
+                f"' — need non-NULL arrays with size({c}) == "
+                f"{count_col}')) as "
+                f"array<bigint>), x.{c})))"
+            ).alias(c)
+            for c in extra_ids_cols
+        ],
     )
 
 

@@ -11095,3 +11095,138 @@ def stats_linreg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n"),
     )
+
+
+def _chat_pack_attention_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    cap: int = _SFT_CAP,
+    shards: int = _SFT_SHARDS,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """The COMPLETE packed varlen SFT batch oracle: the multi-turn
+    chat-pack recipe (``_chat_pack_oracle_sql``) extended with the
+    attention-metadata replay (``_pack_positions_oracle_sql``'s ``w``
+    CTE form) — per window ids, per-doc-reset position_ids, segment
+    ordinals, AND the interleaved loss mask, all concatenating in
+    doc-id order."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "docs_train", _multiturn_prelude_sql(token_re)
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return (
+        "WITH RECURSIVE "
+        + body[len("WITH "):]
+        + _segs_encode_sql(n_merges, token_re)
+        + f""",
+    enc AS MATERIALIZED (
+      SELECT doc_id,
+             flatten(list(ids ORDER BY tpos, part)) AS token_ids,
+             flatten(list(list_transform(range(len(ids)), x -> is_loss)
+                          ORDER BY tpos, part)) AS loss_mask,
+             CAST(SUM(len(ids)) AS BIGINT) AS n_tokens
+      FROM dtok_s GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, n_tokens,
+             CAST(doc_id % {shards} AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY doc_id % {shards}
+                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+      FROM enc),
+    {_ffd_step_sql(cap)},
+    w AS (
+      SELECT st.shard, st.win, st.doc_id, st.n_tokens,
+             e.token_ids, e.loss_mask,
+             row_number() OVER (PARTITION BY st.shard, st.win
+                                ORDER BY st.doc_id) - 1 AS seg
+      FROM step st JOIN enc e USING (doc_id))
+    SELECT shard, win,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS fill,
+           CAST(greatest(0, {cap} - sum(n_tokens)) AS BIGINT) AS pad,
+           COALESCE(array_to_string(
+             flatten(list(token_ids ORDER BY doc_id)), ','), '')
+             AS token_ids,
+           COALESCE(array_to_string(
+             flatten(list(range(n_tokens) ORDER BY doc_id)), ','), '')
+             AS position_ids,
+           COALESCE(array_to_string(
+             flatten(list(list_transform(range(n_tokens), x -> seg)
+                          ORDER BY doc_id)), ','), '')
+             AS segment_ids,
+           COALESCE(array_to_string(
+             flatten(list(loss_mask ORDER BY doc_id)), ','), '')
+             AS loss_mask
+    FROM w GROUP BY shard, win
+    """
+    )
+
+
+@register(
+    "tokenizer_pack_chat_attention", _chat_pack_attention_oracle_sql()
+)
+def tokenizer_pack_chat_attention_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE COMPLETE PACKED VARLEN SFT BATCH: everything a multi-turn
+    SFT trainer with packed sequences consumes in ONE artifact — per
+    window the concatenated ids, the per-document-RESET position_ids,
+    the segment ordinals (block-diagonal attention-mask inputs), AND
+    the interleaved assistant-only loss mask, all four payloads from
+    ONE collected member list so they are position-aligned by
+    construction (``pack_windows_attention(extra_ids_cols=
+    ('loss_mask',))`` — the r16 extension; the mask rides the same
+    fail-loud length guard as the ids). This row = the union of
+    ``tokenizer_pack_positions``' metadata and ``tokenizer_pack_chat``'s
+    masked payload over the SAME windows; the oracle replays all four
+    payloads and hash-checks every position. Plan: identical to
+    ``tokenizer_pack_chat`` plus the two scan-local metadata arrays
+    (no extra exchange — the window aggregate already holds the
+    member list)."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_encode_multiturn,
+        pack_windows_attention,
+        pack_windows_bestfit,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    conv = _multiturn_conv_frame(docs)
+    full = conv.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(turns, t -> "
+            "concat_ws(' ', t.role, ':', t.text)), ' ')"
+        ).alias("text"),
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    trained = bpe_train(
+        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, trained, vseg=vseg)
+    enc = chat_encode_multiturn(
+        conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    packed = pack_windows_bestfit(
+        enc,
+        context_tokens=_SFT_CAP,
+        shards=_SFT_SHARDS,
+        count_col="n_tokens",
+        carry_cols=("token_ids", "loss_mask"),
+    )
+    out = pack_windows_attention(packed, extra_ids_cols=("loss_mask",))
+    return out.select(
+        "shard",
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("position_ids", ",").alias("position_ids"),
+        F.array_join("segment_ids", ",").alias("segment_ids"),
+        F.array_join("loss_mask", ",").alias("loss_mask"),
+    )

@@ -3582,3 +3582,76 @@ def test_chat_multiturn_sql_replay_prevalidation(spark):
         for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_pack_windows_attention_extra_payloads(spark):
+    """extra_ids_cols carries further aligned arrays (the loss mask)
+    through the attention view: all four payloads equal length, the
+    mask concatenates in the same doc-id order as the ids, and a
+    mismatched extra payload fails loud with the doc id (same guard
+    class as the ids)."""
+    from mriya_spark.ops.text import (
+        pack_windows_attention,
+        pack_windows_bestfit,
+    )
+
+    rows = [
+        (1, 3, [11, 12, 13], [0, 1, 1]),
+        (2, 0, [], []),
+        (3, 2, [31, 32], [1, 0]),
+        (4, 5, [41, 42, 43, 44, 45], [0, 0, 1, 1, 1]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, n long, token_ids array<bigint>, "
+        "loss_mask array<bigint>",
+    )
+    packed = pack_windows_bestfit(
+        df, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids", "loss_mask"),
+    )
+    out = pack_windows_attention(
+        packed, count_col="n", extra_ids_cols=("loss_mask",)
+    ).collect()
+    by_doc = {d: (ids, m) for d, _n, ids, m in rows}
+    seen = 0
+    for r in out:
+        assert (
+            len(r.token_ids) == len(r.position_ids)
+            == len(r.segment_ids) == len(r.loss_mask)
+        )
+        # mask elements must pair with their ids doc-for-doc: walk
+        # segments and compare against the source doc whose ids match
+        i = 0
+        while i < len(r.token_ids):
+            j = i
+            while (
+                j < len(r.token_ids)
+                and r.segment_ids[j] == r.segment_ids[i]
+            ):
+                j += 1
+            seg_ids = list(r.token_ids[i:j])
+            seg_mask = list(r.loss_mask[i:j])
+            match = [
+                d for d, (ids, m) in by_doc.items()
+                if ids == seg_ids and m == seg_mask
+            ]
+            assert match, f"no source doc for segment {seg_ids}/{seg_mask}"
+            seen += 1
+            i = j
+    assert seen == 3  # three non-empty docs
+
+    # mismatched extra payload (mask shorter than count) fails loud
+    bad = spark.createDataFrame(
+        [(1, 3, [7, 8, 9], [1, 0]), (2, 1, [5], [1])],
+        "doc_id long, n long, token_ids array<bigint>, "
+        "loss_mask array<bigint>",
+    )
+    pb = pack_windows_bestfit(
+        bad, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids", "loss_mask"),
+    )
+    with pytest.raises(Exception, match="count-mismatched loss_mask"):
+        pack_windows_attention(
+            pb, count_col="n", extra_ids_cols=("loss_mask",)
+        ).collect()

@@ -990,6 +990,9 @@ def test_r16s2_queries_shuffle_ceilings(spark, queries):
         "tokenizer_dpo_pairs": 12,
         "tokenizer_chat_multiturn": 6,
         "tokenizer_pack_chat": 10,
+        # the complete varlen batch: pack_chat's exchanges exactly —
+        # the two metadata arrays are scan-local off the member list
+        "tokenizer_pack_chat_attention": 10,
     }
     for name, cap in ceilings.items():
         df = queries[name](spark, sf)
