@@ -11230,3 +11230,83 @@ def tokenizer_pack_chat_attention_q(
         F.array_join("segment_ids", ",").alias("segment_ids"),
         F.array_join("loss_mask", ",").alias("loss_mask"),
     )
+
+
+@register("stream_encode_fixed_vocab", _bpe_fixed_vocab_oracle_sql())
+def stream_encode_fixed_vocab_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of ``tokenizer_encode_fixed_vocab`` — the
+    production tokenizer-ingest shape: train offline on the even-id
+    half, persist merges.txt + vocab.txt, then encode the EXTENDED
+    whole corpus (every doc gains its doc_id as a trailing word —
+    guaranteed-OOV digits) as a FILE STREAM in micro-batches
+    (``streaming.stream_encode_fixed_vocab``), appending id sequences
+    to the target. Encoding from a fixed artifact is per-document, so
+    batch boundaries cannot change any sequence and the streamed
+    target hashes against the SAME batch oracle — cross-batch
+    id-stability is exactly what the artifact contract promises, and
+    this row pins it under replay. Plan: per batch one vocab-sized
+    merge replay + one broadcast word->ids join + an append-only
+    write; the batch row's cost notes apply per micro-batch."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+    from mriya_spark.ops.text import (
+        bpe_load_merges,
+        bpe_load_vocab,
+        bpe_save_merges,
+        bpe_save_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    train_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    wf = bpe_word_freq(train_docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        train_docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    _sweep_stale("artifacts", "bpe_streamfixed_")
+    adir = _os.path.join(
+        _cache_subdir("artifacts"),
+        f"bpe_streamfixed_{_uuid.uuid4().hex[:8]}",
+    )
+    bpe_save_merges(spark, trained, f"{adir}/merges.txt")
+    bpe_save_vocab(
+        spark,
+        bpe_symbols(train_docs, trained, word_freq=wf),
+        f"{adir}/vocab.txt",
+    )
+    del trained  # the stream encodes from the artifact only
+    merges = bpe_load_merges(spark, f"{adir}/merges.txt")
+    vocab = bpe_load_vocab(spark, f"{adir}/vocab.txt")
+
+    path = S.stage_docs_files(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)
+        .load(path)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("text"), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+    )
+    _sweep_stale("stream_v2", "fixedenc_")
+    target = _os.path.join(
+        _cache_subdir("stream_v2"), f"fixedenc_{_uuid.uuid4().hex[:8]}"
+    )
+    S.stream_encode_fixed_vocab(stream, target, merges, vocab, oov_id=0)
+    ids = spark.read.parquet(target)
+    return ids.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.size(F.filter("token_ids", lambda x: x == F.lit(0)))
+        .cast("long")
+        .alias("n_unk"),
+        F.array_join("token_ids", ",").alias("token_ids"),
+    )

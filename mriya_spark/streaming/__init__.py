@@ -1279,3 +1279,47 @@ def quantile_ingest_batch(
         )
     finally:
         fs_delete(spark, tmp)
+
+
+def stream_encode_fixed_vocab(
+    docs: DataFrame,
+    target_path: str,
+    merges: list,
+    vocab: list,
+    *,
+    oov_id: int = 0,
+) -> str:
+    """Streaming tokenizer ingest from a FIXED artifact — the
+    production shape where training happened offline (merges.txt +
+    vocab.txt persisted) and arriving documents are encoded micro-
+    batch by micro-batch and APPENDED as training-ready id sequences.
+    Because ``bpe_token_ids(symbols=, oov_id=)`` is a PER-DOCUMENT
+    function of the artifact alone (ids from vocab line order, UNK for
+    anything training never saw), batch boundaries cannot change any
+    sequence: the streamed target equals the one-shot batch encode
+    row-for-row, which is what lets the gate hash it against the
+    batch oracle. Per-batch cost: one merge replay over the BATCH's
+    word vocabulary (vocab-sized, not corpus-sized) + the broadcast
+    word->ids join; the write is append-only parquet — nothing is
+    rewritten, so per-batch cost is O(batch), never O(target)."""
+    from mriya_spark.ops.text import bpe_token_ids
+
+    spark = docs.sparkSession
+    ckpt = f"{_STAGE_ROOT}/ckpt_fixedenc_{uuid.uuid4().hex[:12]}"
+
+    def encode_batch(batch: DataFrame, epoch_id: int) -> None:
+        ids = bpe_token_ids(batch, merges, symbols=vocab, oov_id=oov_id)
+        ids.select("doc_id", "n_bpe_tokens", "token_ids").write.mode(
+            "append"
+        ).parquet(target_path)
+
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            docs.writeStream.foreachBatch(encode_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return target_path

@@ -617,3 +617,70 @@ def test_quantile_ingest_rejects_duplicate_keys(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate event_id"):
         S.quantile_ingest_batch(bad, str(tmp_path / "qsk_dup"))
+
+
+def test_stream_encode_fixed_vocab_multibatch_equals_oneshot(spark, tmp_path):
+    """Encoding from a fixed artifact is per-document, so the
+    micro-batched stream target must equal the one-shot batch encode
+    row-for-row — and the stream must actually run MULTIPLE batches
+    for that claim to pin anything (each append leaves its own part
+    files, so the file count proves the batch count)."""
+    import os
+    import time
+
+    from mriya_spark.ops.text import (
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    texts = [
+        "low lower lowest",
+        "newer new a9 aa",
+        "be low say newer",
+        "aaa aa low",
+    ]
+    rows = [(i, t, "en", "w", len(t)) for i, t in enumerate(texts)]
+    full = spark.createDataFrame(rows, S.DOCS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=3, word_freq=wf)
+    vocab = bpe_symbols(full, merges, word_freq=wf)
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, r in enumerate(rows):
+        d = str(tmp_path / f"s{i}")
+        spark.createDataFrame([r], S.DOCS_SCHEMA).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.startswith("part-"):
+                p = flat + f"/b{i}.parquet"
+                os.rename(d + "/" + f, p)
+                os.utime(p, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(flat)
+        .select("doc_id", "text")
+    )
+    target = str(tmp_path / "target")
+    S.stream_encode_fixed_vocab(stream, target, merges, vocab, oov_id=0)
+
+    parts = [f for f in os.listdir(target) if f.startswith("part-")]
+    assert len(parts) >= 2, "stream collapsed into a single batch"
+
+    got = {
+        r.doc_id: (r.n_bpe_tokens, list(r.token_ids))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bpe_tokens, list(r.token_ids))
+        for r in bpe_token_ids(
+            full, merges, symbols=vocab, oov_id=0
+        ).collect()
+    }
+    assert got == want
