@@ -2761,3 +2761,63 @@ def chat_encode_multiturn(
             "(a, s) -> a + s.__loss * size(s.token_ids))"
         ).alias("n_loss_tokens"),
     )
+
+
+def chunk_strided(
+    enc: DataFrame,
+    *,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    count_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """GPT/BERT-style STRIDED window chunking over encoded documents —
+    the fixed-window-with-overlap alternative to FFD packing (sliding
+    eval contexts, BERT striding, long-doc pretraining chunks): per
+    doc, windows of ``window`` tokens starting every ``stride``
+    (overlap = window - stride), the last window short rather than
+    padded, docs shorter than one window yielding exactly one, and
+    zero-token docs yielding none (no content, no window). Window
+    count per doc is ``ceil(max(n - window, 0) / stride) + 1`` —
+    integer-exact on every engine.
+
+    Scale shape — the whole point: chunking is a PER-ROW array
+    transform (sequence -> transform -> explode), so the plan is
+    scan-local with ZERO exchanges at any corpus size; each window
+    re-slices the in-memory ids array, never re-reads the doc. The
+    deliberate trade vs ``pack_windows_bestfit``: strided chunks
+    duplicate overlap bytes (output = ~n/stride * window tokens) but
+    need no shuffle at all; FFD packs without duplication but pays a
+    shard exchange + a stateful fold."""
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError(
+            "need window > 0 and 0 < stride <= window "
+            f"(got window={window}, stride={stride})"
+        )
+    nw = (
+        f"(cast(ceil(greatest({count_col} - {window}, 0) / {stride}) "
+        f"as int) + 1)"
+    )
+    return (
+        enc.filter(F.col(count_col) > 0)
+        .select(
+            id_col,
+            count_col,
+            ids_col,
+            F.explode(F.expr(f"sequence(0, {nw} - 1)")).alias("win"),
+        )
+        .select(
+            id_col,
+            F.col("win").cast("long").alias("win"),
+            F.expr(
+                f"slice({ids_col}, win * {stride} + 1, {window})"
+            ).alias(ids_col),
+        )
+        .select(
+            id_col,
+            "win",
+            F.size(ids_col).cast("long").alias("n_win_tokens"),
+            ids_col,
+        )
+    )

@@ -11310,3 +11310,84 @@ def stream_encode_fixed_vocab_q(
         .alias("n_unk"),
         F.array_join("token_ids", ",").alias("token_ids"),
     )
+
+
+_CHUNK_W, _CHUNK_S = 32, 16
+
+
+def _chunk_strided_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    window: int = _CHUNK_W,
+    stride: int = _CHUNK_S,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """Strided-chunking oracle: training replay + the recorded
+    one-column encode chain (``_cols_encode_sql`` over the whole doc
+    text), then per-doc window explosion — count
+    ``ceil(max(n - W, 0) / S) + 1`` via integer ceil-div, each window
+    an inclusive list slice, the last one short."""
+    prelude = """pairs_t AS MATERIALIZED (
+      SELECT doc_id, text AS body FROM documents),
+    """
+    train = _bpe_oracle_sql(n_merges, token_re, "documents", prelude)
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    chains = _cols_encode_sql(n_merges, token_re, (("d", "body"),))
+    return body + chains + f""",
+    cbase AS (
+      SELECT doc_id, ids, len(ids) AS n
+      FROM dtok_d WHERE len(ids) > 0),
+    chunks AS (
+      SELECT doc_id, t.k AS win,
+             ids[t.k * {stride} + 1 :
+                 least(t.k * {stride} + {window}, n)] AS wids
+      FROM cbase,
+           unnest(range(0, (greatest(n - {window}, 0) + {stride} - 1)
+                           // {stride} + 1)) t(k))
+    SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(len(wids) AS BIGINT) AS n_win_tokens,
+           array_to_string(wids, ',') AS token_ids
+    FROM chunks
+    """
+
+
+@register("tokenizer_chunk_strided", _chunk_strided_oracle_sql())
+def tokenizer_chunk_strided_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIDED window chunking (``ops.text.chunk_strided``): encoded
+    documents sliced into fixed windows with 50% overlap (W=32, S=16
+    at gate size) — the GPT/BERT striding shape for sliding-window
+    eval and long-document pretraining chunks, the no-shuffle
+    complement to FFD packing (overlap bytes are the price of a plan
+    with ZERO exchanges after encode: windows are a per-row
+    sequence->transform->explode, embarrassingly parallel at any
+    corpus size). The oracle replays training, the whole-doc encode
+    chain, the integer window-count formula, and every slice — an
+    off-by-one in a window start, a padded last window, or a
+    zero-token doc yielding a window all flip the hash."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+        chunk_strided,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    enc = bpe_token_ids(
+        docs, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    out = chunk_strided(enc, window=_CHUNK_W, stride=_CHUNK_S)
+    return out.select(
+        "doc_id",
+        "win",
+        "n_win_tokens",
+        F.array_join("token_ids", ",").alias("token_ids"),
+    )

@@ -3655,3 +3655,42 @@ def test_pack_windows_attention_extra_payloads(spark):
         pack_windows_attention(
             pb, count_col="n", extra_ids_cols=("loss_mask",)
         ).collect()
+
+
+def test_chunk_strided_window_math(spark):
+    """Window-count and slice edges: docs shorter than one window get
+    exactly one; n == W one; n == W+1 two (last short); exact
+    stride multiples produce a FULL final window, not an extra empty
+    one; zero-token docs yield none; every position is covered and
+    consecutive windows overlap by W - S."""
+    from mriya_spark.ops.text import chunk_strided
+
+    W, S = 4, 2
+    rows = [
+        (1, list(range(1, 3))),    # n=2 < W  -> 1 short window
+        (2, list(range(1, 5))),    # n=4 == W -> 1 full window
+        (3, list(range(1, 6))),    # n=5      -> 2 windows, last short
+        (4, list(range(1, 7))),    # n=6 = W+S -> 2 full windows
+        (5, []),                   # empty    -> none
+        (6, list(range(1, 8))),    # n=7      -> 3 windows
+    ]
+    df = spark.createDataFrame(
+        [(d, ids, len(ids)) for d, ids in rows],
+        "doc_id long, token_ids array<bigint>, n_bpe_tokens long",
+    )
+    out = chunk_strided(df, window=W, stride=S)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, {})[r.win] = list(r.token_ids)
+        assert r.n_win_tokens == len(r.token_ids)
+    assert got[1] == {0: [1, 2]}
+    assert got[2] == {0: [1, 2, 3, 4]}
+    assert got[3] == {0: [1, 2, 3, 4], 1: [3, 4, 5]}
+    assert got[4] == {0: [1, 2, 3, 4], 1: [3, 4, 5, 6]}
+    assert 5 not in got
+    assert got[6] == {0: [1, 2, 3, 4], 1: [3, 4, 5, 6], 2: [5, 6, 7]}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_strided(df, window=2, stride=3)

@@ -993,6 +993,10 @@ def test_r16s2_queries_shuffle_ceilings(spark, queries):
         # the complete varlen batch: pack_chat's exchanges exactly —
         # the two metadata arrays are scan-local off the member list
         "tokenizer_pack_chat_attention": 10,
+        # strided chunking: the ENCODE's two exchanges and nothing
+        # else — the window explosion itself is scan-local (zero
+        # exchanges), which is its whole trade vs FFD packing
+        "tokenizer_chunk_strided": 2,
     }
     for name, cap in ceilings.items():
         df = queries[name](spark, sf)
