@@ -9570,16 +9570,17 @@ def _sft_pairs_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
     """
 
 
-def _sft_masks_encode_sql(n_merges: int, token_re: str) -> str:
-    """The shared mid-section of both r16 SFT oracles: training replay
-    body (caller supplies it) is extended with the corpus-lexicographic
-    symbol-id table, the word->ids map, and TWO encode chains (one per
-    pairs_t column) — the DuckDB twin of ``sft_encode_masks``'s two
-    ``bpe_token_ids`` passes under one shared segmentation. Mirrors
-    ``test_sft_encode_masks_sql_replay_prevalidation`` (one recipe,
-    validated there on an in-memory corpus before registration)."""
+def _cols_encode_sql(
+    n_merges: int, token_re: str, cols: tuple[tuple[str, str], ...]
+) -> str:
+    """``_sft_masks_encode_sql`` generalized to N ``pairs_t`` columns —
+    for ``(('p', 'prompt'), ('c', 'completion'))`` it emits BYTE-
+    IDENTICAL text (pinned by
+    ``test_cols_encode_sql_matches_recorded_two_col_form``), so the
+    recorded r16 SFT oracles stay untouched while the DPO oracle's
+    three chains share the exact same recipe."""
     enc_chains = []
-    for tag, col in (("p", "prompt"), ("c", "completion")):
+    for tag, col in cols:
         enc_chains.append(f""",
     dwp_{tag} AS (
       SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
@@ -9613,6 +9614,22 @@ def _sft_masks_encode_sql(n_merges: int, token_re: str) -> str:
                  unnest(range(1, len(f.s) + 1)) t(j)) w
       JOIN symid si USING (sym) GROUP BY w.word)
     {"".join(enc_chains)}"""
+
+
+def _sft_masks_encode_sql(n_merges: int, token_re: str) -> str:
+    """The shared mid-section of both r16 SFT oracles: training replay
+    body (caller supplies it) is extended with the corpus-lexicographic
+    symbol-id table, the word->ids map, and TWO encode chains (one per
+    pairs_t column) — the DuckDB twin of ``sft_encode_masks``'s two
+    ``bpe_token_ids`` passes under one shared segmentation. Mirrors
+    ``test_sft_encode_masks_sql_replay_prevalidation``. Since the r16
+    DPO work this DELEGATES to the generalized ``_cols_encode_sql`` —
+    byte-identical output, pinned by
+    ``test_cols_encode_sql_matches_recorded_two_col_form``, so the
+    recorded oracle text is unchanged and the template exists once."""
+    return _cols_encode_sql(
+        n_merges, token_re, (("p", "prompt"), ("c", "completion"))
+    )
 
 
 def _sft_masks_oracle_sql(
@@ -10582,52 +10599,6 @@ def tokenizer_sft_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cols_encode_sql(
-    n_merges: int, token_re: str, cols: tuple[tuple[str, str], ...]
-) -> str:
-    """``_sft_masks_encode_sql`` generalized to N ``pairs_t`` columns —
-    for ``(('p', 'prompt'), ('c', 'completion'))`` it emits BYTE-
-    IDENTICAL text (pinned by
-    ``test_cols_encode_sql_matches_recorded_two_col_form``), so the
-    recorded r16 SFT oracles stay untouched while the DPO oracle's
-    three chains share the exact same recipe."""
-    enc_chains = []
-    for tag, col in cols:
-        enc_chains.append(f""",
-    dwp_{tag} AS (
-      SELECT d.doc_id, t.j AS wpos, d.words[t.j] AS word
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(trim({col})),
-                                                  '{token_re}'),
-                               x -> x <> '') AS words
-            FROM pairs_t) d,
-           unnest(range(1, len(d.words) + 1)) t(j)),
-    dtok_{tag} AS (
-      SELECT d.doc_id,
-             COALESCE(t.ids, CAST([] AS BIGINT[])) AS ids
-      FROM pairs_t d LEFT JOIN (
-        SELECT dwp_{tag}.doc_id,
-               flatten(list(wid.word_ids ORDER BY dwp_{tag}.wpos)) AS ids
-        FROM dwp_{tag} JOIN wid USING (word) GROUP BY dwp_{tag}.doc_id) t
-      USING (doc_id))""")
-    return f""",
-    symid AS MATERIALIZED (
-      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
-               AS sym_id
-      FROM (SELECT DISTINCT
-              unnest(regexp_extract_all(seq, '<([^>]*)>', 1)) AS sym
-            FROM v{n_merges})),
-    wid AS MATERIALIZED (
-      SELECT w.word, list(si.sym_id ORDER BY w.spos) AS word_ids
-      FROM (SELECT f.word, t.j AS spos, f.s[t.j] AS sym
-            FROM (SELECT word,
-                         regexp_extract_all(seq, '<([^>]*)>', 1) AS s
-                  FROM v{n_merges}) f,
-                 unnest(range(1, len(f.s) + 1)) t(j)) w
-      JOIN symid si USING (sym) GROUP BY w.word)
-    {"".join(enc_chains)}"""
-
-
 def _dpo_pairs_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
     """The (doc_id, prompt, chosen, rejected) preference-pair fixture
     the DPO gate derives deterministically from ``documents.text``:
@@ -10889,21 +10860,15 @@ def _multiturn_conv_frame(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(f"array({turns})").alias("turns"))
 
 
-@register("tokenizer_chat_multiturn", _multiturn_oracle_sql())
-def tokenizer_chat_multiturn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTI-turn chat SFT capstone: two-exchange user/assistant
-    dialogues — rebuilt deterministically as word-split quarters of
-    ``documents.text`` — encoded by ``ops.text.chat_encode_multiturn``
-    under ONE vocabulary learned on the rendered conversations, with
-    the loss mask INTERLEAVED (assistant content 1; user content and
-    every role marker 0 — the mask switches on and off mid-sequence,
-    which no single-boundary encoder can express; HF multi-turn
-    ``assistant_only_loss`` semantics). The oracle replays training
-    plus the single segment-keyed encode chain and hash-checks every
-    id and mask position. Plan: ONE corpus-sized encode pass
-    regardless of turn count (segments keyed by a composite id), one
-    segment-count join, one per-doc regroup — the multi-turn form
-    scales BETTER per byte than the per-column single-turn gates."""
+def _chat_multiturn_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared front of all three multi-turn gates (r16
+    self-review: the fixture -> render -> train -> shared-vseg ->
+    encode recipe existed three times): build the 4-turn conversation
+    fixture, train the vocabulary on the RENDERED text (one word_freq
+    pass, one merge replay shared by vocab collect and encode), and
+    return ``chat_encode_multiturn``'s (doc_id, token_ids, loss_mask,
+    n_tokens, n_loss_tokens) frame — the single corpus-sized encode
+    pass every multi-turn gate consumes."""
     from mriya_spark.ops.text import (
         bpe_segment_vocab,
         bpe_symbols,
@@ -10929,9 +10894,27 @@ def tokenizer_chat_multiturn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     vocab = bpe_symbols(full, trained, vseg=vseg)
-    out = chat_encode_multiturn(
+    return chat_encode_multiturn(
         conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )
+
+
+@register("tokenizer_chat_multiturn", _multiturn_oracle_sql())
+def tokenizer_chat_multiturn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-turn chat SFT capstone: two-exchange user/assistant
+    dialogues — rebuilt deterministically as word-split quarters of
+    ``documents.text`` — encoded by ``ops.text.chat_encode_multiturn``
+    under ONE vocabulary learned on the rendered conversations, with
+    the loss mask INTERLEAVED (assistant content 1; user content and
+    every role marker 0 — the mask switches on and off mid-sequence,
+    which no single-boundary encoder can express; HF multi-turn
+    ``assistant_only_loss`` semantics). The oracle replays training
+    plus the single segment-keyed encode chain and hash-checks every
+    id and mask position. Plan: ONE corpus-sized encode pass
+    regardless of turn count (segments keyed by a composite id), one
+    segment-count join, one per-doc regroup — the multi-turn form
+    scales BETTER per byte than the per-column single-turn gates."""
+    out = _chat_multiturn_encoded(spark, sf_dir)
     return out.select(
         "doc_id",
         F.array_join("token_ids", ",").alias("token_ids"),
@@ -10941,18 +10924,17 @@ def tokenizer_chat_multiturn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chat_pack_oracle_sql(
-    n_merges: int = _BPE_MERGES,
-    cap: int = _SFT_CAP,
-    shards: int = _SFT_SHARDS,
-    token_re: str = "[^a-z0-9]+",
+def _chat_pack_body_sql(
+    n_merges: int, cap: int, shards: int, token_re: str
 ) -> str:
-    """The packed multi-turn chat capstone oracle: the multi-turn
-    fixture + training replay + segment-keyed encode chain, the per-doc
-    (ids, interleaved mask) regroup, then the shared per-shard FFD
-    fill-vector fold (``_ffd_step_sql``) and per-window grouping of
-    BOTH payloads in doc-id order — the ``_sft_masked_pack_oracle_sql``
-    shape over the multi-turn encoder."""
+    """Shared front of the two packed multi-turn oracles (r16
+    self-review: the enc/base/FFD block existed twice): training
+    replay + segment-keyed encode chain + the per-doc (ids,
+    interleaved mask) regroup + shard/rank base + the shared FFD
+    fill-vector fold — callers append their final SELECT inside the
+    same string concatenation, so the assembled text is byte-identical
+    to the pre-refactor builders (asserted at refactor time against
+    the validated oracles)."""
     train = _bpe_oracle_sql(
         n_merges, token_re, "docs_train", _multiturn_prelude_sql(token_re)
     )
@@ -10975,7 +10957,25 @@ def _chat_pack_oracle_sql(
              CAST(row_number() OVER (PARTITION BY doc_id % {shards}
                   ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
       FROM enc),
-    {_ffd_step_sql(cap)}
+    {_ffd_step_sql(cap)}"""
+    )
+
+
+def _chat_pack_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    cap: int = _SFT_CAP,
+    shards: int = _SFT_SHARDS,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """The packed multi-turn chat capstone oracle: the multi-turn
+    fixture + training replay + segment-keyed encode chain, the per-doc
+    (ids, interleaved mask) regroup, then the shared per-shard FFD
+    fill-vector fold (``_ffd_step_sql``) and per-window grouping of
+    BOTH payloads in doc-id order — the ``_sft_masked_pack_oracle_sql``
+    shape over the multi-turn encoder."""
+    return (
+        _chat_pack_body_sql(n_merges, cap, shards, token_re)
+        + f"""
     SELECT st.shard, st.win,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(st.n_tokens) AS BIGINT) AS fill,
@@ -11010,35 +11010,11 @@ def tokenizer_pack_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard, win) aggregate — ``tokenizer_pack_masked``'s exchange
     shape over the cheaper single-pass encoder."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
-        chat_encode_multiturn,
         pack_windows_bestfit,
         pack_windows_table,
     )
 
-    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
-    conv = _multiturn_conv_frame(docs)
-    full = conv.select(
-        "doc_id",
-        F.expr(
-            "array_join(transform(turns, t -> "
-            "concat_ws(' ', t.role, ':', t.text)), ' ')"
-        ).alias("text"),
-    )
-    wf = bpe_word_freq(full).localCheckpoint(eager=True)
-    trained = bpe_train(
-        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(full, trained, vseg=vseg)
-    enc = chat_encode_multiturn(
-        conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
-    )
+    enc = _chat_multiturn_encoded(spark, sf_dir)
     packed = pack_windows_bestfit(
         enc,
         context_tokens=_SFT_CAP,
@@ -11109,29 +11085,9 @@ def _chat_pack_attention_oracle_sql(
     CTE form) — per window ids, per-doc-reset position_ids, segment
     ordinals, AND the interleaved loss mask, all concatenating in
     doc-id order."""
-    train = _bpe_oracle_sql(
-        n_merges, token_re, "docs_train", _multiturn_prelude_sql(token_re)
-    )
-    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
     return (
-        "WITH RECURSIVE "
-        + body[len("WITH "):]
-        + _segs_encode_sql(n_merges, token_re)
+        _chat_pack_body_sql(n_merges, cap, shards, token_re)
         + f""",
-    enc AS MATERIALIZED (
-      SELECT doc_id,
-             flatten(list(ids ORDER BY tpos, part)) AS token_ids,
-             flatten(list(list_transform(range(len(ids)), x -> is_loss)
-                          ORDER BY tpos, part)) AS loss_mask,
-             CAST(SUM(len(ids)) AS BIGINT) AS n_tokens
-      FROM dtok_s GROUP BY doc_id),
-    base AS (
-      SELECT doc_id, n_tokens,
-             CAST(doc_id % {shards} AS INTEGER) AS shard,
-             CAST(row_number() OVER (PARTITION BY doc_id % {shards}
-                  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
-      FROM enc),
-    {_ffd_step_sql(cap)},
     w AS (
       SELECT st.shard, st.win, st.doc_id, st.n_tokens,
              e.token_ids, e.loss_mask,
@@ -11182,35 +11138,11 @@ def tokenizer_pack_chat_attention_q(
     (no extra exchange — the window aggregate already holds the
     member list)."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
-        chat_encode_multiturn,
         pack_windows_attention,
         pack_windows_bestfit,
     )
 
-    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
-    conv = _multiturn_conv_frame(docs)
-    full = conv.select(
-        "doc_id",
-        F.expr(
-            "array_join(transform(turns, t -> "
-            "concat_ws(' ', t.role, ':', t.text)), ' ')"
-        ).alias("text"),
-    )
-    wf = bpe_word_freq(full).localCheckpoint(eager=True)
-    trained = bpe_train(
-        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(full, trained, vseg=vseg)
-    enc = chat_encode_multiturn(
-        conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
-    )
+    enc = _chat_multiturn_encoded(spark, sf_dir)
     packed = pack_windows_bestfit(
         enc,
         context_tokens=_SFT_CAP,

@@ -1298,20 +1298,38 @@ def stream_encode_fixed_vocab(
     anything training never saw), batch boundaries cannot change any
     sequence: the streamed target equals the one-shot batch encode
     row-for-row, which is what lets the gate hash it against the
-    batch oracle. Per-batch cost: one merge replay over the BATCH's
-    word vocabulary (vocab-sized, not corpus-sized) + the broadcast
-    word->ids join; the write is append-only parquet — nothing is
-    rewritten, so per-batch cost is O(batch), never O(target)."""
+    batch oracle. REPLAY-IDEMPOTENT (the module's ingest contract):
+    foreachBatch is at-least-once, so each batch anti-joins the
+    target's existing doc_ids before appending — a replayed epoch
+    appends nothing and the target stays equal to the one-shot
+    encode (pinned by running the whole stream twice into one target
+    in tests/test_streaming.py). Per-batch cost: one merge replay
+    over the BATCH's word vocabulary (vocab-sized, not corpus-sized),
+    the broadcast word->ids join, and one column-pruned read of the
+    target's doc_id column; the write is append-only parquet —
+    nothing is rewritten, so per-batch cost is O(batch + target
+    keys), never O(target bytes)."""
     from mriya_spark.ops.text import bpe_token_ids
 
     spark = docs.sparkSession
     ckpt = f"{_STAGE_ROOT}/ckpt_fixedenc_{uuid.uuid4().hex[:12]}"
 
     def encode_batch(batch: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the parquet
+        # append and the checkpoint offset commit replays this epoch,
+        # and a blind second append would duplicate rows (r16
+        # self-review — the sibling ingests' replay-idempotence gap).
+        # The doc_id anti-join makes replay a no-op; per-batch cost is
+        # one column-pruned read of the target's doc_id column, the
+        # same O(target keys) class stream_corpus_ingest documents.
         ids = bpe_token_ids(batch, merges, symbols=vocab, oov_id=oov_id)
-        ids.select("doc_id", "n_bpe_tokens", "token_ids").write.mode(
-            "append"
-        ).parquet(target_path)
+        out = ids.select("doc_id", "n_bpe_tokens", "token_ids")
+        if os.path.exists(target_path):
+            seen = batch.sparkSession.read.parquet(target_path).select(
+                "doc_id"
+            )
+            out = out.join(seen, on="doc_id", how="left_anti")
+        out.write.mode("append").parquet(target_path)
 
     with _bounded_state_partitions(spark, 8):
         q = (

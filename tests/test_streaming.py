@@ -684,3 +684,62 @@ def test_stream_encode_fixed_vocab_multibatch_equals_oneshot(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_encode_fixed_vocab_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the WHOLE stream into
+    the same target (fresh checkpoint, same files) must append
+    nothing — the doc_id anti-join makes a replayed epoch a no-op, so
+    the target still equals the one-shot encode after the replay."""
+    import os
+    import time
+
+    from mriya_spark.ops.text import bpe_symbols, bpe_train, bpe_word_freq
+
+    rows = [
+        (i, t, "en", "w", len(t))
+        for i, t in enumerate(["low lower", "newer aa", "be low"])
+    ]
+    full = spark.createDataFrame(rows, S.DOCS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=3, word_freq=wf)
+    vocab = bpe_symbols(full, merges, word_freq=wf)
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, r in enumerate(rows):
+        d = str(tmp_path / f"s{i}")
+        spark.createDataFrame([r], S.DOCS_SCHEMA).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.startswith("part-"):
+                p = flat + f"/b{i}.parquet"
+                os.rename(d + "/" + f, p)
+                os.utime(p, (now + i * 10, now + i * 10))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(S.DOCS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(flat)
+            .select("doc_id", "text")
+        )
+        S.stream_encode_fixed_vocab(
+            stream, str(tmp_path / "target"), merges, vocab, oov_id=0
+        )
+
+    run_once()
+    first = sorted(
+        (r.doc_id, r.n_bpe_tokens, tuple(r.token_ids))
+        for r in spark.read.parquet(str(tmp_path / "target")).collect()
+    )
+    run_once()  # full replay: fresh checkpoint, same files, same target
+    second = sorted(
+        (r.doc_id, r.n_bpe_tokens, tuple(r.token_ids))
+        for r in spark.read.parquet(str(tmp_path / "target")).collect()
+    )
+    assert first == second
+    assert len(first) == len(rows)
