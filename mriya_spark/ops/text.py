@@ -2771,6 +2771,7 @@ def chunk_strided(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     count_col: str = "n_bpe_tokens",
+    extra_ids_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """GPT/BERT-style STRIDED window chunking over encoded documents —
     the fixed-window-with-overlap alternative to FFD packing (sliding
@@ -2789,7 +2790,12 @@ def chunk_strided(
     deliberate trade vs ``pack_windows_bestfit``: strided chunks
     duplicate overlap bytes (output = ~n/stride * window tokens) but
     need no shuffle at all; FFD packs without duplication but pays a
-    shard exchange + a stateful fold."""
+    shard exchange + a stateful fold. ``extra_ids_cols`` names further
+    per-doc arrays sliced with IDENTICAL window bounds (e.g.
+    ``('loss_mask',)`` for masked strided eval chunks) — each must be
+    position-aligned with ``ids_col``, which is asserted fail-loud per
+    doc (a mask shorter than its ids would silently desynchronize
+    every window after the mismatch)."""
     if window <= 0 or stride <= 0 or stride > window:
         raise ValueError(
             "need window > 0 and 0 < stride <= window "
@@ -2799,25 +2805,42 @@ def chunk_strided(
         f"(cast(ceil(greatest({count_col} - {window}, 0) / {stride}) "
         f"as int) + 1)"
     )
-    return (
-        enc.filter(F.col(count_col) > 0)
-        .select(
-            id_col,
-            count_col,
-            ids_col,
-            F.explode(F.expr(f"sequence(0, {nw} - 1)")).alias("win"),
-        )
-        .select(
-            id_col,
-            F.col("win").cast("long").alias("win"),
-            F.expr(
-                f"slice({ids_col}, win * {stride} + 1, {window})"
-            ).alias(ids_col),
-        )
-        .select(
-            id_col,
-            "win",
-            F.size(ids_col).cast("long").alias("n_win_tokens"),
-            ids_col,
-        )
+
+    def _guarded(c: str) -> F.Column:
+        # alignment guard (the pack_windows_attention class): an extra
+        # array whose length disagrees with the ids is silently
+        # desynchronized training data — fail loud with the doc id
+        return F.expr(
+            f"if({c} is null or size({c}) != size({ids_col}), "
+            f"cast(raise_error(concat('chunk_strided: NULL or "
+            f"length-mismatched {c} for {id_col} ', "
+            f"cast({id_col} as string), "
+            f"' — need size({c}) == size({ids_col})')) as "
+            f"array<bigint>), {c})"
+        ).alias(c)
+
+    base = enc.filter(F.col(count_col) > 0).select(
+        F.col(id_col),
+        F.col(count_col),
+        F.col(ids_col),
+        *[_guarded(c) for c in extra_ids_cols],
+        F.explode(F.expr(f"sequence(0, {nw} - 1)")).alias("win"),
+    )
+    sliced = base.select(
+        id_col,
+        F.col("win").cast("long").alias("win"),
+        F.expr(
+            f"slice({ids_col}, win * {stride} + 1, {window})"
+        ).alias(ids_col),
+        *[
+            F.expr(f"slice({c}, win * {stride} + 1, {window})").alias(c)
+            for c in extra_ids_cols
+        ],
+    )
+    return sliced.select(
+        id_col,
+        "win",
+        F.size(ids_col).cast("long").alias("n_win_tokens"),
+        ids_col,
+        *extra_ids_cols,
     )

@@ -11323,3 +11323,95 @@ def tokenizer_chunk_strided_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_win_tokens",
         F.array_join("token_ids", ",").alias("token_ids"),
     )
+
+
+def _chunk_masked_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    window: int = _CHUNK_W,
+    stride: int = _CHUNK_S,
+    token_re: str = "[^a-z0-9]+",
+) -> str:
+    """Masked strided-chunking oracle: the SFT masks chains (shared
+    recipe), the per-doc (ids, mask) concatenation, then the SAME
+    window formula and slice bounds applied to BOTH arrays — a window
+    whose mask came from different bounds than its ids flips the
+    hash."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "documents", _sft_pairs_prelude_sql(token_re)
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return body + _sft_masks_encode_sql(n_merges, token_re) + f""",
+    mbase AS (
+      SELECT p.doc_id,
+             flatten([p.ids, c.ids]) AS ids,
+             flatten([list_transform(range(len(p.ids)), x -> 0),
+                      list_transform(range(len(c.ids)), x -> 1)])
+               AS mask,
+             CAST(len(p.ids) + len(c.ids) AS BIGINT) AS n
+      FROM dtok_p p JOIN dtok_c c USING (doc_id)),
+    mchunks AS (
+      SELECT doc_id, t.k AS win,
+             ids[t.k * {stride} + 1 :
+                 least(t.k * {stride} + {window}, n)] AS wids,
+             mask[t.k * {stride} + 1 :
+                  least(t.k * {stride} + {window}, n)] AS wmask
+      FROM (SELECT * FROM mbase WHERE n > 0),
+           unnest(range(0, (greatest(n - {window}, 0) + {stride} - 1)
+                           // {stride} + 1)) t(k))
+    SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(len(wids) AS BIGINT) AS n_win_tokens,
+           array_to_string(wids, ',') AS token_ids,
+           array_to_string(wmask, ',') AS loss_mask
+    FROM mchunks
+    """
+
+
+@register("tokenizer_chunk_masked", _chunk_masked_oracle_sql())
+def tokenizer_chunk_masked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASKED strided chunking: SFT-encoded (token_ids, loss_mask)
+    pairs sliced into overlapping windows with IDENTICAL bounds on
+    both arrays (``chunk_strided(extra_ids_cols=('loss_mask',))``) —
+    the sliding-window eval shape for completion-only loss (score
+    long prompts+completions in fixed contexts without losing the
+    mask boundary). The extra array rides the fail-loud alignment
+    guard, and the oracle slices both lists with the same window
+    formula, so a mask slice offset from its ids anywhere flips the
+    hash. Plan: the SFT encode's exchanges and NOTHING else — the
+    dual-array window explosion is scan-local, same as the unmasked
+    chunk gate."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chunk_strided,
+        sft_encode_masks,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    pairs = _sft_pairs_frame(docs)
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(
+        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    enc = sft_encode_masks(
+        pairs, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    out = chunk_strided(
+        enc,
+        window=_CHUNK_W,
+        stride=_CHUNK_S,
+        count_col="n_tokens",
+        extra_ids_cols=("loss_mask",),
+    )
+    return out.select(
+        "doc_id",
+        "win",
+        "n_win_tokens",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("loss_mask", ",").alias("loss_mask"),
+    )

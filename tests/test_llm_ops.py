@@ -3694,3 +3694,36 @@ def test_chunk_strided_window_math(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_strided(df, window=2, stride=3)
+
+
+def test_chunk_strided_extra_payload_alignment(spark):
+    """Extra arrays slice with IDENTICAL window bounds as the ids
+    (masked strided chunks stay position-aligned window-for-window);
+    a length-mismatched extra fails loud with the doc id."""
+    from mriya_spark.ops.text import chunk_strided
+
+    df = spark.createDataFrame(
+        [(1, [11, 12, 13, 14, 15], [0, 0, 1, 1, 1], 5)],
+        "doc_id long, token_ids array<bigint>, loss_mask array<bigint>, "
+        "n_bpe_tokens long",
+    )
+    out = chunk_strided(
+        df, window=4, stride=2, extra_ids_cols=("loss_mask",)
+    ).collect()
+    got = {r.win: (list(r.token_ids), list(r.loss_mask)) for r in out}
+    assert got == {
+        0: ([11, 12, 13, 14], [0, 0, 1, 1]),
+        1: ([13, 14, 15], [1, 1, 1]),
+    }
+
+    bad = spark.createDataFrame(
+        [(7, [11, 12, 13], [0, 1], 3)],
+        "doc_id long, token_ids array<bigint>, loss_mask array<bigint>, "
+        "n_bpe_tokens long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="length-mismatched loss_mask"):
+        chunk_strided(
+            bad, window=4, stride=2, extra_ids_cols=("loss_mask",)
+        ).collect()
