@@ -11415,3 +11415,131 @@ def tokenizer_chunk_masked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("token_ids", ",").alias("token_ids"),
         F.array_join("loss_mask", ",").alias("loss_mask"),
     )
+
+
+def _multiturn_var_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
+    """VARIABLE-turn-count conversation fixture: each doc's turn count
+    is ``2 + 2 * (doc_id % 3)`` (2, 4, or 6 turns, always ending on an
+    assistant turn), words split into k equal parts at ``(i*n) // k``
+    — integer arithmetic over non-negative operands, identical on both
+    engines. Exercises what the fixed-quarters fixture cannot: per-doc
+    DYNAMIC turn arrays, so a regrouping keyed on anything but the
+    per-doc segment list breaks here."""
+    return f"""kdoc AS MATERIALIZED (
+      SELECT doc_id, words,
+             CAST(2 + 2 * (doc_id % 3) AS INTEGER) AS k
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '{token_re}'),
+                               x -> x <> '') AS words
+            FROM documents)),
+    turns_t AS MATERIALIZED (
+      SELECT doc_id, t.i AS tpos,
+             CASE WHEN t.i % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             array_to_string(
+               words[(t.i * len(words)) // k + 1 :
+                     ((t.i + 1) * len(words)) // k], ' ') AS txt
+      FROM kdoc, unnest(range(0, k)) t(i)),
+    segs_t AS MATERIALIZED (
+      SELECT doc_id, tpos, 0 AS part, role AS txt,
+             CAST(0 AS BIGINT) AS is_loss
+      FROM turns_t
+      UNION ALL
+      SELECT doc_id, tpos, 1 AS part, txt,
+             CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+                  AS BIGINT)
+      FROM turns_t),
+    docs_train AS MATERIALIZED (
+      SELECT doc_id,
+             string_agg(concat_ws(' ', role, ':', txt), ' '
+                        ORDER BY tpos) AS text
+      FROM turns_t GROUP BY doc_id),
+    """
+
+
+def _multiturn_var_oracle_sql(
+    n_merges: int = _BPE_MERGES, token_re: str = "[^a-z0-9]+"
+) -> str:
+    """Variable-turn-count oracle: the mixed fixture + training replay
+    on the rendered dialogues + the same segment-keyed encode chain
+    and interleaved-mask regroup as the fixed-count gate."""
+    train = _bpe_oracle_sql(
+        n_merges, token_re, "docs_train",
+        _multiturn_var_prelude_sql(token_re),
+    )
+    body = train[: train.rindex("SELECT CAST(1 AS BIGINT) AS rank")]
+    return body + _segs_encode_sql(n_merges, token_re) + _MULTITURN_FINAL_SQL
+
+
+def _multiturn_var_conv_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_multiturn_var_prelude_sql``'s ``turns_t``,
+    nested: per-doc DYNAMIC turn arrays built by ``transform`` over a
+    runtime-length ``sequence`` (no fixed struct list in the plan —
+    the k=64 fixture-codegen lesson from the turn-count probe applies
+    only to literal struct expansion, not to this form)."""
+    w = (
+        "filter(split(lower(trim(coalesce(text, ''))), '[^a-z0-9]+'), "
+        "x -> x != '')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast(2 + 2 * pmod(doc_id, 3) as int)"
+            f" - 1), i -> named_struct("
+            f"'role', if(i % 2 = 0, 'user', 'assistant'), "
+            f"'text', array_join(slice({w}, "
+            f"(i * size({w})) div (2 + 2 * pmod(doc_id, 3)) + 1, "
+            f"((i + 1) * size({w})) div (2 + 2 * pmod(doc_id, 3)) - "
+            f"(i * size({w})) div (2 + 2 * pmod(doc_id, 3))), ' ')))"
+        ).alias("turns"),
+    )
+
+
+@register("tokenizer_chat_varturns", _multiturn_var_oracle_sql())
+def tokenizer_chat_varturns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-turn-count multi-turn encoding: dialogues of 2, 4, or 6
+    turns in ONE corpus (``doc_id % 3`` picks the length), encoded by
+    the same ``chat_encode_multiturn`` — the regime the fixed-quarters
+    gate cannot pin: per-doc dynamic turn arrays, segment lists of
+    varying length inside one per-doc regroup, and an interleaved mask
+    whose on/off cadence differs row to row. Same plan as the fixed
+    gate (the op is turn-count-agnostic by construction — the
+    turn-count probe measured encode flat to 16 turns); the fixture
+    builds turns via ``transform(sequence(...))`` so the projection is
+    one expression regardless of k."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+        chat_encode_multiturn,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    conv = _multiturn_var_conv_frame(docs)
+    full = conv.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(turns, t -> "
+            "concat_ws(' ', t.role, ':', t.text)), ' ')"
+        ).alias("text"),
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    trained = bpe_train(
+        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(full, trained, vseg=vseg)
+    out = chat_encode_multiturn(
+        conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("token_ids"),
+        F.array_join("loss_mask", ",").alias("loss_mask"),
+        "n_tokens",
+        "n_loss_tokens",
+    )
