@@ -2819,7 +2819,25 @@ def chunk_strided(
             f"array<bigint>), {c})"
         ).alias(c)
 
-    base = enc.filter(F.col(count_col) > 0).select(
+    # the ids array itself gets the same class of guard: the window
+    # COUNT comes from count_col but every slice comes from ids_col,
+    # so a stale count (ids transformed/truncated after counting)
+    # would silently drop tail tokens or emit phantom empty windows —
+    # fail loud instead (r16 self-review, second pass). The check
+    # lives INSIDE the count>0 filter predicate (filters always
+    # evaluate; a projected-then-dropped check column would be pruned
+    # away by Catalyst), so a 0-count row carrying non-empty ids
+    # raises rather than silently vanishing.
+    guarded_filter = F.expr(
+        f"if(size(coalesce({ids_col}, array())) != {count_col} "
+        f"or {count_col} is null, "
+        f"cast(raise_error(concat('chunk_strided: NULL or "
+        f"count-mismatched {ids_col} for {id_col} ', "
+        f"cast({id_col} as string), "
+        f"' — need size({ids_col}) == {count_col}')) as boolean), "
+        f"{count_col} > 0)"
+    )
+    base = enc.filter(guarded_filter).select(
         F.col(id_col),
         F.col(count_col),
         F.col(ids_col),

@@ -10457,6 +10457,31 @@ def tokenizer_pack_eos_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _train_vocab(df: DataFrame):
+    """The standard gate-size train-then-share recipe every r16
+    session-2 tokenizer gate uses (r16 self-review, second pass —
+    previously six synchronized copies): one corpus word_freq pass,
+    batched exact training, ONE eagerly-checkpointed merge replay
+    shared by the vocab collect and every downstream encode. Returns
+    ``(word_freq, merges, vseg, symbols)``."""
+    from mriya_spark.ops.text import (
+        bpe_segment_vocab,
+        bpe_symbols,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    wf = bpe_word_freq(df).localCheckpoint(eager=True)
+    trained = bpe_train(
+        df, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
+    )
+    vseg = bpe_segment_vocab(df, trained, word_freq=wf).localCheckpoint(
+        eager=True
+    )
+    vocab = bpe_symbols(df, trained, vseg=vseg)
+    return wf, trained, vseg, vocab
+
+
 def _chat_conv_prelude_sql(token_re: str = "[^a-z0-9]+") -> str:
     """The (doc_id, system, user, assistant) conversation fixture the
     chat-SFT gate derives deterministically from ``documents.text``:
@@ -10524,11 +10549,14 @@ def _sft_chat_oracle_sql(
     """
 
 
-def _chat_conv_frame(docs: DataFrame) -> DataFrame:
-    """Spark twin of ``_chat_conv_prelude_sql``'s ``conv_t``: word-
-    split thirds rebuilt as (system, user, assistant). Scan-local
-    (one projection, no shuffle); slice lengths are non-negative by
-    construction (``b >= a`` and ``n >= b`` for every n)."""
+def _thirds_frame(
+    docs: DataFrame, names: tuple[str, str, str]
+) -> DataFrame:
+    """Word-split-thirds fixture projection shared by the chat and DPO
+    gates (r16 self-review, second pass: it existed twice differing
+    only in aliases): boundaries at ``n // 3`` and ``(2n) // 3``,
+    rejoined with ' ' — the Spark twin of both thirds preludes.
+    Scan-local; slice lengths non-negative by construction."""
     w = (
         "filter(split(lower(trim(coalesce(text, ''))), '[^a-z0-9]+'), "
         "x -> x != '')"
@@ -10537,14 +10565,20 @@ def _chat_conv_frame(docs: DataFrame) -> DataFrame:
     b = f"((2 * size({w})) div 3)"
     return docs.select(
         "doc_id",
-        F.expr(f"array_join(slice({w}, 1, {a}), ' ')").alias("system"),
+        F.expr(f"array_join(slice({w}, 1, {a}), ' ')").alias(names[0]),
         F.expr(
             f"array_join(slice({w}, {a} + 1, {b} - {a}), ' ')"
-        ).alias("user"),
+        ).alias(names[1]),
         F.expr(
             f"array_join(slice({w}, {b} + 1, size({w}) - {b}), ' ')"
-        ).alias("assistant"),
+        ).alias(names[2]),
     )
+
+
+def _chat_conv_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_chat_conv_prelude_sql``'s ``conv_t``:
+    ``_thirds_frame`` as (system, user, assistant)."""
+    return _thirds_frame(docs, ("system", "user", "assistant"))
 
 
 @register("tokenizer_sft_chat", _sft_chat_oracle_sql())
@@ -10566,10 +10600,6 @@ def tokenizer_sft_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodes, one doc-keyed join) — the template adds a single
     scan-local projection."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
         chat_render,
         sft_encode_masks,
     )
@@ -10579,14 +10609,7 @@ def tokenizer_sft_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = pairs.select(
         "doc_id", F.concat_ws(" ", "prompt", "completion").alias("text")
     )
-    wf = bpe_word_freq(full).localCheckpoint(eager=True)
-    trained = bpe_train(
-        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(full, trained, vseg=vseg)
+    wf, trained, vseg, vocab = _train_vocab(full)
     out = sft_encode_masks(
         pairs, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )
@@ -10665,24 +10688,9 @@ def _dpo_pairs_oracle_sql(
 
 
 def _dpo_pairs_frame(docs: DataFrame) -> DataFrame:
-    """Spark twin of ``_dpo_pairs_prelude_sql``'s ``pairs_t``: word-
-    split thirds rebuilt as (prompt, chosen, rejected). Scan-local."""
-    w = (
-        "filter(split(lower(trim(coalesce(text, ''))), '[^a-z0-9]+'), "
-        "x -> x != '')"
-    )
-    a = f"(size({w}) div 3)"
-    b = f"((2 * size({w})) div 3)"
-    return docs.select(
-        "doc_id",
-        F.expr(f"array_join(slice({w}, 1, {a}), ' ')").alias("prompt"),
-        F.expr(
-            f"array_join(slice({w}, {a} + 1, {b} - {a}), ' ')"
-        ).alias("chosen"),
-        F.expr(
-            f"array_join(slice({w}, {b} + 1, size({w}) - {b}), ' ')"
-        ).alias("rejected"),
-    )
+    """Spark twin of ``_dpo_pairs_prelude_sql``'s ``pairs_t``:
+    ``_thirds_frame`` as (prompt, chosen, rejected)."""
+    return _thirds_frame(docs, ("prompt", "chosen", "rejected"))
 
 
 @register("tokenizer_dpo_pairs", _dpo_pairs_oracle_sql())
@@ -10701,23 +10709,12 @@ def tokenizer_dpo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_freq, one shared merge replay, three posexplode->broadcast-
     join encodes, two doc-keyed joins, scan-local masks."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
         dpo_encode_pairs,
     )
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
     pairs = _dpo_pairs_frame(docs)
-    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
-    trained = bpe_train(
-        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    wf, trained, vseg, vocab = _train_vocab(docs)
     out = dpo_encode_pairs(
         pairs, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )
@@ -10870,10 +10867,6 @@ def _chat_multiturn_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens, n_loss_tokens) frame — the single corpus-sized encode
     pass every multi-turn gate consumes."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
         chat_encode_multiturn,
     )
 
@@ -10886,14 +10879,7 @@ def _chat_multiturn_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws(' ', t.role, ':', t.text)), ' ')"
         ).alias("text"),
     )
-    wf = bpe_word_freq(full).localCheckpoint(eager=True)
-    trained = bpe_train(
-        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(full, trained, vseg=vseg)
+    wf, trained, vseg, vocab = _train_vocab(full)
     return chat_encode_multiturn(
         conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )
@@ -11296,23 +11282,12 @@ def tokenizer_chunk_strided_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-by-one in a window start, a padded last window, or a
     zero-token doc yielding a window all flip the hash."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
         bpe_token_ids,
-        bpe_train,
-        bpe_word_freq,
         chunk_strided,
     )
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
-    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
-    trained = bpe_train(
-        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    wf, trained, vseg, vocab = _train_vocab(docs)
     enc = bpe_token_ids(
         docs, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )
@@ -11380,24 +11355,13 @@ def tokenizer_chunk_masked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual-array window explosion is scan-local, same as the unmasked
     chunk gate."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
         chunk_strided,
         sft_encode_masks,
     )
 
     docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
     pairs = _sft_pairs_frame(docs)
-    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
-    trained = bpe_train(
-        docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(docs, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(docs, trained, vseg=vseg)
+    wf, trained, vseg, vocab = _train_vocab(docs)
     enc = sft_encode_masks(
         pairs, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )
@@ -11509,10 +11473,6 @@ def tokenizer_chat_varturns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds turns via ``transform(sequence(...))`` so the projection is
     one expression regardless of k."""
     from mriya_spark.ops.text import (
-        bpe_segment_vocab,
-        bpe_symbols,
-        bpe_train,
-        bpe_word_freq,
         chat_encode_multiturn,
     )
 
@@ -11525,14 +11485,7 @@ def tokenizer_chat_varturns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws(' ', t.role, ':', t.text)), ' ')"
         ).alias("text"),
     )
-    wf = bpe_word_freq(full).localCheckpoint(eager=True)
-    trained = bpe_train(
-        full, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf
-    )
-    vseg = bpe_segment_vocab(full, trained, word_freq=wf).localCheckpoint(
-        eager=True
-    )
-    vocab = bpe_symbols(full, trained, vseg=vseg)
+    wf, trained, vseg, vocab = _train_vocab(full)
     out = chat_encode_multiturn(
         conv, trained, symbols=vocab, word_freq=wf, vseg=vseg
     )

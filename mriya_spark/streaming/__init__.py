@@ -28,6 +28,7 @@ import shutil
 import uuid
 from contextlib import contextmanager
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1324,10 +1325,18 @@ def stream_encode_fixed_vocab(
         # same O(target keys) class stream_corpus_ingest documents.
         ids = bpe_token_ids(batch, merges, symbols=vocab, oov_id=oov_id)
         out = ids.select("doc_id", "n_bpe_tokens", "token_ids")
-        if os.path.exists(target_path):
+        try:
+            # try/except rather than os.path.exists: the target can
+            # live on any Hadoop filesystem (hdfs://, s3a://, ...),
+            # where a driver-local stat is always False and the
+            # replay guard would silently disarm (r16 self-review,
+            # second pass)
             seen = batch.sparkSession.read.parquet(target_path).select(
                 "doc_id"
             )
+        except AnalysisException:  # first batch: target not yet created
+            seen = None
+        if seen is not None:
             out = out.join(seen, on="doc_id", how="left_anti")
         out.write.mode("append").parquet(target_path)
 

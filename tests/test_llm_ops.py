@@ -3727,3 +3727,28 @@ def test_chunk_strided_extra_payload_alignment(spark):
         chunk_strided(
             bad, window=4, stride=2, extra_ids_cols=("loss_mask",)
         ).collect()
+
+
+def test_chunk_strided_stale_count_fails_loud(spark):
+    """The window count comes from count_col while slices come from
+    the ids array — a disagreeing pair is the silent-desync class, so
+    it raises with the doc id instead of dropping tail tokens or
+    emitting phantom windows; a 0-count row carrying non-empty ids
+    raises too (it must not silently vanish through the count filter)."""
+    import pytest as _pytest
+
+    from mriya_spark.ops.text import chunk_strided
+
+    stale = spark.createDataFrame(
+        [(1, [11, 12, 13, 14, 15], 3)],  # count says 3, ids carry 5
+        "doc_id long, token_ids array<bigint>, n_bpe_tokens long",
+    )
+    with _pytest.raises(Exception, match="count-mismatched token_ids"):
+        chunk_strided(stale, window=4, stride=2).collect()
+
+    zero = spark.createDataFrame(
+        [(2, [9], 0)],  # count 0 but ids non-empty
+        "doc_id long, token_ids array<bigint>, n_bpe_tokens long",
+    )
+    with _pytest.raises(Exception, match="count-mismatched token_ids"):
+        chunk_strided(zero, window=4, stride=2).collect()
