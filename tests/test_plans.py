@@ -997,6 +997,12 @@ def test_r16s2_queries_shuffle_ceilings(spark, queries):
         # else — the window explosion itself is scan-local (zero
         # exchanges), which is its whole trade vs FFD packing
         "tokenizer_chunk_strided": 2,
+        # masked chunking: the SFT masks encode's exchanges exactly
+        # (the dual-array window explosion adds zero); mixed turn
+        # counts: the fixed-count multiturn ceiling exactly (the op
+        # is turn-count-agnostic, which this pin makes enforceable)
+        "tokenizer_chunk_masked": 8,
+        "tokenizer_chat_varturns": 6,
     }
     for name, cap in ceilings.items():
         df = queries[name](spark, sf)
