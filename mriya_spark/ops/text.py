@@ -754,8 +754,13 @@ def pack_windows_attention(
                 f"or count-mismatched {c} for {id_col} ', "
                 f"cast(x.{id_col} as string), "
                 f"' — need non-NULL arrays with size({c}) == "
+                # the raise_error branch must carry the extra column's
+                # OWN type, not a hard-coded array<bigint>: otherwise an
+                # array<int>/array<double> extra fails analysis with a
+                # confusing if-branch type mismatch instead of the
+                # intended runtime message (r16 ADVICE)
                 f"{count_col}')) as "
-                f"array<bigint>), x.{c})))"
+                f"{packed.schema[c].dataType.simpleString()}), x.{c})))"
             ).alias(c)
             for c in extra_ids_cols
         ],
@@ -2763,6 +2768,19 @@ def chat_encode_multiturn(
     )
 
 
+def _strided_window_count_expr(count_col: str, window: int, stride: int) -> str:
+    """Window count for strided chunking, ``ceil(max(n - w, 0) / s) + 1``,
+    in PURE INTEGER arithmetic — the DuckDB oracle's form exactly, at
+    any magnitude (r16 ADVICE: the previous double-division ceil() was
+    only integer-exact while the operands stayed inside double
+    precision; ``div`` is Spark's integral division, so this matches
+    the oracle bit-for-bit with no precision ceiling)."""
+    return (
+        f"((greatest({count_col} - {window}, 0) + {stride} - 1) "
+        f"div {stride} + 1)"
+    )
+
+
 def chunk_strided(
     enc: DataFrame,
     *,
@@ -2801,22 +2819,22 @@ def chunk_strided(
             "need window > 0 and 0 < stride <= window "
             f"(got window={window}, stride={stride})"
         )
-    nw = (
-        f"(cast(ceil(greatest({count_col} - {window}, 0) / {stride}) "
-        f"as int) + 1)"
-    )
+    nw = _strided_window_count_expr(count_col, window, stride)
 
     def _guarded(c: str) -> F.Column:
         # alignment guard (the pack_windows_attention class): an extra
         # array whose length disagrees with the ids is silently
-        # desynchronized training data — fail loud with the doc id
+        # desynchronized training data — fail loud with the doc id.
+        # The error branch carries the extra column's OWN type (r16
+        # ADVICE — a hard-coded array<bigint> made non-bigint extras
+        # fail analysis with a confusing if-branch type mismatch)
         return F.expr(
             f"if({c} is null or size({c}) != size({ids_col}), "
             f"cast(raise_error(concat('chunk_strided: NULL or "
             f"length-mismatched {c} for {id_col} ', "
             f"cast({id_col} as string), "
             f"' — need size({c}) == size({ids_col})')) as "
-            f"array<bigint>), {c})"
+            f"{enc.schema[c].dataType.simpleString()}), {c})"
         ).alias(c)
 
     # the ids array itself gets the same class of guard: the window

@@ -11496,3 +11496,140 @@ def tokenizer_chat_varturns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_loss_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# r17 additions: packed-shard delivery + epoch-keyed reshuffle
+# (r16 judge directives 3 and 4)
+# ---------------------------------------------------------------------------
+
+def _packed_shards_oracle_sql(num_shards: int = 8, seed: int = 42) -> str:
+    """``_sft_pack_oracle_sql`` (the capstone's full BPE + FFD replay)
+    extended with the md5 keyed-draw recurrence over the WINDOW key
+    (``pack_shard * 100000 + win``) — the oracle for the pack ->
+    manifest'd shard write -> verified read-back roundtrip. One
+    source: the pack replay text is reused verbatim, so the delivery
+    gate and the capstone can never drift apart."""
+    pack = _sft_pack_oracle_sql()
+    cut = pack.rindex("SELECT shard, win,")
+    head = pack[:cut].rstrip()
+    assert head.endswith(")"), "pack oracle layout changed"
+    final = pack[cut:].strip()
+    return (
+        head
+        + f""",
+    packq AS MATERIALIZED (
+      {final}),
+    keyed AS (
+      SELECT CAST(shard AS BIGINT) AS pack_shard, win, n_docs, fill,
+             pad, token_ids,
+             CAST(shard AS BIGINT) * 100000 + win AS wkey
+      FROM packq),
+    hashed AS (
+      SELECT *, md5('{seed}_' || CAST(wkey AS VARCHAR)) AS h FROM keyed)
+    SELECT pack_shard, win, n_docs, fill, pad, token_ids,
+           CAST(('0x' || substr(h, 1, 15))::BIGINT % {num_shards}
+                AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY ('0x' || substr(h, 1, 15))::BIGINT
+                               % {num_shards}
+                  ORDER BY substr(h, 17, 16), wkey) - 1
+                AS BIGINT) AS pos
+    FROM hashed
+    """
+    )
+
+
+@register("sink_packed_shards", _packed_shards_oracle_sql())
+def sink_packed_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKED-SHARD DELIVERY (r16 judge directive 3): the varlen pack
+    capstone's window table does not stop at a DataFrame — it ships
+    through ``sinks.write_training_shards`` (deterministic reshard +
+    one file per ``shard=`` dir + ``_manifest.json`` with per-shard
+    counts computed from the WRITTEN data) and comes back through the
+    manifest VERIFIER (``read_training_shards`` raises on a missing,
+    torn, or tampered shard). This is the trust boundary the reference
+    enforces on load (`data_connector.py:272-310` re-queries and
+    verifies what it wrote); a training loader mmaps these shards, so
+    the gate hashes the VERIFIED READ-BACK — not the pre-write frame —
+    against the pack replay + md5 keyed-draw oracle. The pack pipeline
+    is the capstone's own (`tokenizer_pack_bestfit_q`), so window
+    payloads are byte-identical to the recorded capstone; the window
+    key for the reshard draw is ``pack_shard * 100000 + win`` (win is
+    bounded far below 100000 by n_docs/cap arithmetic)."""
+    import uuid as _uuid
+
+    from mriya_spark import sinks
+
+    table = tokenizer_pack_bestfit_q(spark, sf_dir)
+    keyed = table.select(
+        F.col("shard").cast("long").alias("pack_shard"),
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        "token_ids",
+    ).withColumn("wkey", F.col("pack_shard") * 100000 + F.col("win"))
+    path = f"{_STAGE_DIR}/packed_shards_{_uuid.uuid4().hex[:8]}"
+    _sweep_stale("stage", "packed_shards_")
+    sinks.write_training_shards(keyed, path, key_col="wkey", num_shards=8, seed=42)
+    back = sinks.read_training_shards(spark, path)
+    return back.select(
+        "pack_shard",
+        "win",
+        "n_docs",
+        "fill",
+        "pad",
+        "token_ids",
+        F.col("shard").cast("long").alias("shard"),
+        "pos",
+    )
+
+
+@register(
+    "shard_shuffle_epoch",
+    """
+    WITH ep AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+    keyed AS (
+      SELECT ep.epoch, d.doc_id,
+             md5('42_' || CAST(ep.epoch AS VARCHAR) || '_'
+                 || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d CROSS JOIN ep),
+    tagged AS (
+      SELECT epoch, doc_id,
+             ('0x' || substr(h, 1, 15))::BIGINT % 16 AS shard,
+             substr(h, 17, 16) AS ord
+      FROM keyed)
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+                ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+    FROM tagged
+    """,
+)
+def shard_shuffle_epoch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-KEYED reshuffle (r16 judge directive 4): epoch N's
+    (shard, pos) assignment is a pure function of (seed, epoch,
+    doc_id) — ``shard_shuffle(epoch=N)`` keys the md5 draw by all
+    three — so a multi-epoch training run gets a globally re-shuffled
+    order per epoch (mutually decorrelated, cross-shard movement
+    included), each epoch individually replayable without generating
+    its predecessors: the data-order contract a resumable trainer
+    checkpoints against. The gate materializes epochs 0 AND 1 in one
+    frame; both hash against the oracle's per-epoch md5 recurrence, so
+    the hash proves each epoch's full assignment AND (via the epoch
+    column) that the two differ wherever the draws differ. Plan: one
+    union of two scan-local projections, ONE hash exchange per epoch
+    for the row_number window — the same single-shuffle shape as
+    ``shard_shuffle``, scaled by the number of epochs actually
+    materialized (a trainer materializes one at a time)."""
+    from mriya_spark.ops.layout import shard_shuffle
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id")
+    epochs = [
+        shard_shuffle(docs, key_col="doc_id", num_shards=16, seed=42, epoch=e)
+        .withColumn("epoch", F.lit(e).cast("long"))
+        for e in (0, 1)
+    ]
+    out = epochs[0].unionByName(epochs[1])
+    return out.select("epoch", "doc_id", "shard", "pos")

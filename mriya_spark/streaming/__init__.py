@@ -1334,7 +1334,19 @@ def stream_encode_fixed_vocab(
             seen = batch.sparkSession.read.parquet(target_path).select(
                 "doc_id"
             )
-        except AnalysisException:  # first batch: target not yet created
+        except AnalysisException as exc:
+            # ONLY path-not-found means "first batch, target not yet
+            # created". Any other analysis error on an EXISTING target
+            # (corrupt footer, schema mismatch) must fail loud — a
+            # blanket except would silently disarm the anti-join dedup
+            # and a replayed epoch would append duplicates (r16 ADVICE)
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond != "PATH_NOT_FOUND":
+                raise
             seen = None
         if seen is not None:
             out = out.join(seen, on="doc_id", how="left_anti")

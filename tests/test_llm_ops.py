@@ -3752,3 +3752,93 @@ def test_chunk_strided_stale_count_fails_loud(spark):
     )
     with _pytest.raises(Exception, match="count-mismatched token_ids"):
         chunk_strided(zero, window=4, stride=2).collect()
+
+
+def test_chunk_strided_window_count_integer_exact(spark):
+    """The window-count formula is pure integer arithmetic (r16
+    ADVICE): at magnitudes past double precision (2^53) a double
+    ceil-div drifts off the exact ceil, while the integer form matches
+    Python's exact //-based ceil bit-for-bit. Pinned directly on the
+    expression (the op itself can't reach such counts — its guard
+    requires a real ids array of that size)."""
+    from mriya_spark.ops.text import _strided_window_count_expr
+
+    w, s = 1024, 384
+    for n in (0, 1, w, w + 1, 2**53 + 1, 2**53 + 371, 2**60 + 12345):
+        expr = _strided_window_count_expr(str(n), w, s)
+        got = spark.sql(f"select {expr} as nw").collect()[0].nw
+        want = (max(n - w, 0) + s - 1) // s + 1
+        assert got == want, f"n={n}: got {got}, want {want}"
+
+
+def test_chunk_strided_non_bigint_extra_payload(spark):
+    """An extra payload of a NON-bigint element type (array<int> here)
+    must pass analysis and slice correctly — the guard's error branch
+    carries the extra column's own type (r16 ADVICE: a hard-coded
+    array<bigint> cast failed analysis with a type-mismatch before the
+    intended runtime message could ever fire). A mismatched extra
+    still raises the intended message."""
+    import pytest as _pytest
+
+    from mriya_spark.ops.text import chunk_strided
+
+    df = spark.createDataFrame(
+        [(1, [10, 11, 12, 13, 14], [1, 0, 1, 0, 1], 5)],
+        "doc_id long, token_ids array<bigint>, m array<int>, "
+        "n_bpe_tokens long",
+    )
+    out = chunk_strided(
+        df, window=4, stride=2, extra_ids_cols=("m",)
+    ).orderBy("win").collect()
+    assert [list(r.m) for r in out] == [[1, 0, 1, 0], [1, 0, 1]]
+    assert [list(r.token_ids) for r in out] == [
+        [10, 11, 12, 13], [12, 13, 14]
+    ]
+
+    bad = spark.createDataFrame(
+        [(1, [10, 11, 12], [1, 0], 3)],
+        "doc_id long, token_ids array<bigint>, m array<int>, "
+        "n_bpe_tokens long",
+    )
+    with _pytest.raises(Exception, match="length-mismatched m"):
+        chunk_strided(bad, window=4, stride=2, extra_ids_cols=("m",)).collect()
+
+
+def test_pack_windows_attention_non_bigint_extra_payload(spark):
+    """Same r16-ADVICE pin for the packer's attention view: an
+    array<int> extra payload passes analysis and rides the collected
+    member list; a count-mismatched one raises the intended message,
+    not an if-branch type mismatch."""
+    import pytest as _pytest
+
+    from mriya_spark.ops.text import (
+        pack_windows_attention,
+        pack_windows_bestfit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3, [11, 12, 13], [0, 1, 1]), (2, 2, [21, 22], [1, 0])],
+        "doc_id long, n long, token_ids array<bigint>, m array<int>",
+    )
+    packed = pack_windows_bestfit(
+        df, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids", "m"),
+    )
+    out = pack_windows_attention(
+        packed, count_col="n", extra_ids_cols=("m",)
+    ).collect()
+    for r in out:
+        assert len(r.m) == len(r.token_ids) == len(r.position_ids)
+
+    bad = spark.createDataFrame(
+        [(1, 3, [11, 12, 13], [0, 1])],
+        "doc_id long, n long, token_ids array<bigint>, m array<int>",
+    )
+    pb = pack_windows_bestfit(
+        bad, context_tokens=6, shards=1, count_col="n",
+        carry_cols=("token_ids", "m"),
+    )
+    with _pytest.raises(Exception, match="count-mismatched m"):
+        pack_windows_attention(
+            pb, count_col="n", extra_ids_cols=("m",)
+        ).collect()

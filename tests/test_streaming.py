@@ -743,3 +743,46 @@ def test_stream_encode_fixed_vocab_replay_idempotent(spark, tmp_path):
     )
     assert first == second
     assert len(first) == len(rows)
+
+
+def test_stream_encode_fixed_vocab_nonpath_error_fails_loud(spark, tmp_path):
+    """The replay guard's except clause is narrowed to PATH_NOT_FOUND
+    (r16 ADVICE): an AnalysisException on an EXISTING target — here an
+    empty directory, which raises UNABLE_TO_INFER_SCHEMA — must
+    propagate and kill the stream, NOT silently disarm the anti-join
+    dedup and append duplicates over a target it couldn't inspect."""
+    import os
+
+    import pytest
+
+    from mriya_spark.ops.text import bpe_symbols, bpe_train, bpe_word_freq
+
+    rows = [(0, "low lower", "en", "w", 9)]
+    full = spark.createDataFrame(rows, S.DOCS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=2, word_freq=wf)
+    vocab = bpe_symbols(full, merges, word_freq=wf)
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    spark.createDataFrame(rows, S.DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "src"))
+    for f in os.listdir(str(tmp_path / "src")):
+        if f.startswith("part-"):
+            os.rename(str(tmp_path / "src") + "/" + f, flat + "/b0.parquet")
+
+    target = str(tmp_path / "target")
+    os.makedirs(target)  # exists but is not readable parquet
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .load(flat)
+        .select("doc_id", "text")
+    )
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
+        S.stream_encode_fixed_vocab(stream, target, merges, vocab, oov_id=0)
+    # and nothing was appended behind the failure
+    assert not [f for f in os.listdir(target) if f.startswith("part-")]
