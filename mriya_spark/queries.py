@@ -11633,3 +11633,87 @@ def shard_shuffle_epoch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = epochs[0].unionByName(epochs[1])
     return out.select("epoch", "doc_id", "shard", "pos")
+
+
+@register(
+    "stream_decode_fixed_vocab",
+    """
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)),
+                                            '[^a-z0-9]+'),
+                         x -> x <> '') AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           array_to_string(words, '') AS decoded
+    FROM dw
+    """,
+)
+def stream_decode_fixed_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decode twin (r16 judge directive 8) — closes the
+    encode/decode symmetry ``stream_encode_fixed_vocab`` opened: train
+    on the corpus, persist vocab.txt, encode batch-side under the
+    LOADED artifact (id authority = vocab line order, no OOV by
+    construction — the artifact was trained on this corpus), then
+    DECODE the id sequences as a FILE STREAM in micro-batches
+    (``streaming.stream_decode_fixed_vocab``), appending text to the
+    target. Decoding from a fixed artifact is per-document, so batch
+    boundaries cannot change any decoded string and the streamed
+    target hashes against ``tokenizer_approx_roundtrip``'s raw-text
+    oracle (decode(encode(doc)) == pretokenized words joined with '');
+    an unknown id still FAILS LOUD mid-stream (``bpe_decode``'s
+    raise_error guard rides into every micro-batch plan). Plan: per
+    batch one scan-local map-literal decode (vocab under the inline
+    knee) + the replay-idempotence anti-join + an append-only write."""
+    import uuid as _uuid
+
+    from mriya_spark import streaming as S
+    from mriya_spark.ops.text import (
+        _pretokenize_expr,
+        bpe_load_vocab,
+        bpe_save_vocab,
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    docs = _cat(spark, sf_dir).table("documents").select("doc_id", "text")
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    trained = bpe_train(docs, n_merges=_BPE_MERGES, max_batch=6, word_freq=wf)
+    _sweep_stale("artifacts", "bpe_streamdec_")
+    adir = _os.path.join(
+        _cache_subdir("artifacts"), f"bpe_streamdec_{_uuid.uuid4().hex[:8]}"
+    )
+    bpe_save_vocab(
+        spark, bpe_symbols(docs, trained, word_freq=wf), f"{adir}/vocab.txt"
+    )
+    vocab = bpe_load_vocab(spark, f"{adir}/vocab.txt")
+    ids = bpe_token_ids(docs, trained, word_freq=wf, symbols=vocab).select(
+        "doc_id", "token_ids"
+    )
+
+    _sweep_stale("stream_v2", "fixeddec_")
+    src = _os.path.join(
+        _cache_subdir("stream_v2"), f"fixeddec_src_{_uuid.uuid4().hex[:8]}"
+    )
+    S.stage_frame_files(spark, ids, src, n_files=8)
+    stream = (
+        spark.readStream.schema("doc_id long, token_ids array<bigint>")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+    )
+    target = _os.path.join(
+        _cache_subdir("stream_v2"), f"fixeddec_{_uuid.uuid4().hex[:8]}"
+    )
+    S.stream_decode_fixed_vocab(stream, target, vocab)
+    dec = spark.read.parquet(target)
+    n_words = docs.select(
+        "doc_id",
+        F.size(_pretokenize_expr("text", "[^a-z0-9]+"))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return n_words.join(dec, "doc_id").select("doc_id", "n_words", "decoded")

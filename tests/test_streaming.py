@@ -786,3 +786,123 @@ def test_stream_encode_fixed_vocab_nonpath_error_fails_loud(spark, tmp_path):
         S.stream_encode_fixed_vocab(stream, target, merges, vocab, oov_id=0)
     # and nothing was appended behind the failure
     assert not [f for f in os.listdir(target) if f.startswith("part-")]
+
+
+def _tiny_trained_artifact(spark):
+    from mriya_spark.ops.text import (
+        bpe_symbols,
+        bpe_token_ids,
+        bpe_train,
+        bpe_word_freq,
+    )
+
+    texts = ["low lower lowest", "newer new a9 aa", "be low say newer", ""]
+    rows = [(i, t, "en", "w", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, S.DOCS_SCHEMA).select("doc_id", "text")
+    wf = bpe_word_freq(docs).localCheckpoint(eager=True)
+    merges = bpe_train(docs, n_merges=3, word_freq=wf)
+    vocab = bpe_symbols(docs, merges, word_freq=wf)
+    ids = bpe_token_ids(docs, merges, symbols=vocab).select(
+        "doc_id", "token_ids"
+    )
+    return docs, merges, vocab, ids
+
+
+def test_stream_decode_fixed_vocab_multibatch_equals_oneshot(spark, tmp_path):
+    """Decode from a fixed vocab is per-document, so the micro-batched
+    stream target must equal the one-shot batch decode row-for-row —
+    with the stream proven to run MULTIPLE batches (part-file count),
+    and the decoded text proven equal to the roundtrip invariant
+    (pretokenized words joined with '')."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.text import _pretokenize_expr, bpe_decode
+
+    docs, merges, vocab, ids = _tiny_trained_artifact(spark)
+    src = str(tmp_path / "src")
+    S.stage_frame_files(spark, ids, src, n_files=4)
+    stream = (
+        spark.readStream.schema("doc_id long, token_ids array<bigint>")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    target = str(tmp_path / "target")
+    S.stream_decode_fixed_vocab(stream, target, vocab)
+
+    parts = [f for f in os.listdir(target) if f.startswith("part-")]
+    assert len(parts) >= 2, "stream collapsed into a single batch"
+
+    got = {
+        r.doc_id: r.decoded for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.doc_id: r.decoded for r in bpe_decode(ids, vocab).collect()
+    }
+    assert got == want
+    invariant = {
+        r.doc_id: r.w
+        for r in docs.select(
+            "doc_id",
+            F.array_join(
+                _pretokenize_expr("text", "[^a-z0-9]+"), ""
+            ).alias("w"),
+        ).collect()
+    }
+    assert got == invariant
+
+
+def test_stream_decode_fixed_vocab_replay_idempotent(spark, tmp_path):
+    """Replaying the whole decode stream into the same target (fresh
+    checkpoint, same files) appends nothing — the doc_id anti-join
+    makes a replayed epoch a no-op."""
+    docs, merges, vocab, ids = _tiny_trained_artifact(spark)
+    src = str(tmp_path / "src")
+    S.stage_frame_files(spark, ids, src, n_files=4)
+    target = str(tmp_path / "target")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, token_ids array<bigint>")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        S.stream_decode_fixed_vocab(stream, target, vocab)
+
+    run_once()
+    first = sorted(
+        (r.doc_id, r.decoded)
+        for r in spark.read.parquet(target).collect()
+    )
+    run_once()
+    second = sorted(
+        (r.doc_id, r.decoded)
+        for r in spark.read.parquet(target).collect()
+    )
+    assert first == second
+    assert len(first) == 4
+
+
+def test_stream_decode_unknown_id_fails_loud(spark, tmp_path):
+    """A vocab/merges artifact mismatch (id outside 1..len(vocab))
+    kills the stream with bpe_decode's raise_error message instead of
+    silently truncating decoded text mid-corpus."""
+    import pytest
+
+    docs, merges, vocab, ids = _tiny_trained_artifact(spark)
+    bad = ids.selectExpr(
+        "doc_id",
+        f"transform(token_ids, x -> x + {len(vocab)}) AS token_ids",
+    )
+    src = str(tmp_path / "src")
+    S.stage_frame_files(spark, bad, src, n_files=2)
+    stream = (
+        spark.readStream.schema("doc_id long, token_ids array<bigint>")
+        .format("parquet")
+        .load(src)
+    )
+    with pytest.raises(Exception, match="unknown token id"):
+        S.stream_decode_fixed_vocab(stream, str(tmp_path / "t"), vocab)
