@@ -119,6 +119,21 @@ HEADLINE = [
     # tokenizer_pack_chat is the measured cost of the two metadata
     # arrays (expected ~0: scan-local, no exchange)
     "tokenizer_pack_chat_attention",
+    # ... and the remaining r16 session-2 headline rows (r16 judge
+    # directive 7: every session-2 registration gets an official trend
+    # line): the zero-exchange strided chunker + its masked twin (their
+    # delta is the extra payload's slice cost), and the streaming
+    # tokenizer ingest (per-micro-batch fixed cost is the trend under
+    # watch — ~0.75 s/batch measured r16)
+    "tokenizer_chunk_strided",
+    "tokenizer_chunk_masked",
+    "stream_encode_fixed_vocab",
+    # r17 additions: the manifest-verified packed-shard delivery (its
+    # delta vs tokenizer_pack_bestfit is the measured write+verify+
+    # read-back cost) and the streaming decode twin (generation-side
+    # drain cadence)
+    "sink_packed_shards",
+    "stream_decode_fixed_vocab",
 ]
 
 
