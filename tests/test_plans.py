@@ -1009,3 +1009,41 @@ def test_r16s2_queries_shuffle_ceilings(spark, queries):
         df.collect()  # finalize AQE
         got = n_shuffles(executed_plan(df))
         assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"
+
+
+def test_r17_queries_shuffle_ceilings(spark, queries):
+    """Pin the r17 additions' exchange budgets (AQE-final plans, same
+    convention as the r15/r16 ceilings). Measured at the registration
+    tip: sink_packed_shards 0 — the gate's returned frame is the
+    VERIFIED READ-BACK of the delivered shards, and delivery reads
+    must stay exchange-free (a training loader's epoch scan);
+    shard_shuffle_epoch 4 — two epochs x the single-epoch op's 2
+    (hash exchange for the per-shard window + the AQE reprint), i.e.
+    the epoch keying adds NO exchange over the legacy draw (asserted
+    directly below); stream_decode_fixed_vocab 0 — the n_words join
+    broadcasts at fixture scale, and losing that broadcast would
+    surface here."""
+    sf = "/root/testdata/sf0.001"
+    ceilings = {
+        "sink_packed_shards": 0,
+        "shard_shuffle_epoch": 4,
+        "stream_decode_fixed_vocab": 0,
+    }
+    for name, cap in ceilings.items():
+        df = queries[name](spark, sf)
+        df.collect()  # finalize AQE
+        got = n_shuffles(executed_plan(df))
+        assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"
+
+    # the epoch keying itself must add no exchange over the legacy
+    # (seed, key) draw — both forms are ONE hash exchange per epoch
+    from mriya_spark.ops.layout import shard_shuffle
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    def n(ep):
+        df = shard_shuffle(
+            docs, key_col="doc_id", num_shards=16, seed=42, epoch=ep
+        )
+        df.collect()
+        return n_shuffles(executed_plan(df))
+    assert n(1) == n(None), "epoch keying changed the exchange count"

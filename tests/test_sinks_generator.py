@@ -293,3 +293,42 @@ def test_packed_shards_delivery_roundtrip(spark, tmp_path):
     assert after == before
     # the delivery adds its own (shard, pos) bookkeeping
     assert {"shard", "pos"} <= set(back.columns)
+
+
+def test_oversample_composes_with_epoch_shuffle(spark):
+    """The multi-epoch training-mix composition (r16 judge directive 4's
+    composition note): oversample_epochs replicates by fractional
+    weight (copy index appended), then shard_shuffle(epoch=N) keyed on
+    the (key, copy) composite gives every epoch a deterministic,
+    globally re-shuffled order over the REPLICATED corpus — each copy
+    of a doc lands independently, and both epochs replay exactly."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.layout import shard_shuffle
+    from mriya_spark.ops.quality import oversample_epochs
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "1.0 + (id % 3) * 0.75 AS w"
+    )
+    rep = oversample_epochs(df, weight_col="w", key_col="doc_id").withColumn(
+        "ck", F.concat_ws("#", F.col("doc_id"), F.col("copy"))
+    )
+    n_rep = rep.count()
+    assert n_rep > 300  # weights > 1 actually replicated
+
+    def snap(epoch):
+        out = shard_shuffle(
+            rep, key_col="ck", num_shards=8, seed=5, epoch=epoch
+        )
+        return {r.ck: (r.shard, r.pos) for r in out.collect()}
+
+    e0, e0b, e1 = snap(0), snap(0), snap(1)
+    assert e0 == e0b and len(e0) == n_rep
+    moved = sum(1 for k in e0 if e0[k][0] != e1[k][0])
+    assert moved > n_rep // 2
+    # copies of the SAME doc land independently, not as a block
+    by_doc = {}
+    for k, (s, _p) in e0.items():
+        d = k.split("#")[0]
+        by_doc.setdefault(d, set()).add(s)
+    assert any(len(s) > 1 for s in by_doc.values())
