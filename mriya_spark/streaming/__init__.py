@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mriya_spark.fsutil import fs_exists
+
 #: explicit schema for the STAGED events files (streaming requires
 #: one). Staging (`stage_events_files`) normalizes ts to TIMESTAMP_NTZ
 #: via catalog.normalize_events_ts, whatever the fixture encoding, so
@@ -689,7 +691,11 @@ def stream_corpus_ingest(
             .filter(F.col("doc_id") == F.col("__keep"))
             .drop("__keep")
         )
-        if os.path.exists(target_path):
+        # scheme-aware: the target can live on hdfs://s3a://, where a
+        # driver-local stat is always False and the cross-batch dedup
+        # would silently disarm (r17 — the stream_encode_fixed_vocab
+        # fix generalized to the sibling ingests)
+        if fs_exists(spark, target_path):
             seen = spark.read.parquet(target_path).select("fingerprint")
             in_batch = in_batch.join(seen, on="fingerprint", how="left_anti")
         in_batch.write.mode("append").parquet(target_path)
@@ -928,7 +934,11 @@ def _neardup_batch_body(
         dropped = in_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         keep = _pin(sh.join(dropped, on="doc_id", how="left_anti"))
         banded_new = _pin(band_fn(keep))
-        if os.path.exists(index_path) and os.path.exists(target_path):
+        # scheme-aware target/index stats (r17, the r16 encode-fix
+        # generalized): os.path.exists on an hdfs://s3a:// root is
+        # always False — every batch would "discover" empty state and
+        # re-append duplicates
+        if fs_exists(spark, index_path) and fs_exists(spark, target_path):
             # both guards matter: a crash between the band write and
             # the doc write on the FIRST batch leaves the index without
             # a doc store — the orphan band rows reference docs that
@@ -988,7 +998,7 @@ def _neardup_batch_body(
             keep2 = keep.join(dup_vs_target, on="doc_id", how="left_anti")
         else:
             keep2 = keep
-        if os.path.exists(target_path):
+        if fs_exists(spark, target_path):
             # exact-id survivors of a half-committed earlier attempt
             # (docs landed, crash before their bands): never re-append
             existing = spark.read.parquet(target_path).select("doc_id")
