@@ -259,11 +259,19 @@ def write_training_shards(
     the contract a training consumer checks before it starts an
     epoch. Returns the manifest dict.
 
-    The manifest counts come from ONE tiny aggregate (``num_shards``
-    rows collected — a bounded control point), computed from the
-    WRITTEN data, not the input, so a lost task or truncated write
-    surfaces as a count mismatch at read time
-    (``read_training_shards``)."""
+    The manifest counts AND per-shard content checksums come from ONE
+    tiny aggregate (``num_shards`` rows collected — a bounded control
+    point), computed from the WRITTEN data, not the input, so a lost
+    task or truncated write surfaces as a count mismatch and a
+    bit-flipped or substituted row surfaces as a checksum mismatch at
+    read time (``read_training_shards``). The checksum is the
+    order-insensitive XOR of each row's 60-bit md5 over the
+    key column (r17 — counts alone can't see content tampering that
+    preserves cardinality): commutative, so it needs no sort, and
+    keyed on ``key_col`` because the key IS the delivery identity
+    (payload columns are parquet-checksummed per page by the format
+    itself; the manifest guards against whole-row substitution and
+    lost/duplicated keys)."""
     import json
 
     from mriya_spark.ops.layout import shard_shuffle
@@ -279,17 +287,19 @@ def write_training_shards(
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in written.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    stats = _shard_stats(written, key_col)
     manifest = {
-        "format": 1,
+        "format": 2,
         "num_shards": num_shards,
         "seed": seed,
         "key_col": key_col,
-        "shard_rows": {str(s): counts.get(s, 0) for s in range(num_shards)},
-        "total_rows": sum(counts.values()),
+        "shard_rows": {
+            str(s): stats.get(s, (0, 0))[0] for s in range(num_shards)
+        },
+        "shard_key_xor": {
+            str(s): stats[s][1] for s in stats
+        },
+        "total_rows": sum(v[0] for v in stats.values()),
     }
     # scheme-aware sidecar (r10 review): the shards go through Spark's
     # writer, so on an hdfs://s3a:// dataset root a local open() would
@@ -303,11 +313,34 @@ def write_training_shards(
     return manifest
 
 
+def _shard_stats(df: DataFrame, key_col: str) -> dict:
+    """Per-shard (row count, XOR of 60-bit key md5s) in ONE aggregate.
+    XOR is commutative/associative, so the checksum is order-
+    insensitive, needs no sort, and partial-aggregates map-side like
+    any combinable agg (``bit_xor`` is a built-in aggregate in Spark
+    and DuckDB alike); the 60-bit md5 keeps the value engine-portable
+    signed-64-safe."""
+    from mriya_spark.portable import md5_long60
+
+    rows = (
+        df.withColumn("__k60", md5_long60(0, F.col(key_col)))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__k60)").alias("x"),
+        )
+        .collect()
+    )
+    return {int(r["shard"]): (int(r["n"]), int(r["x"])) for r in rows}
+
+
 def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read a sharded training export back, VERIFYING the manifest:
-    per-shard counts must match what the writer recorded — a torn
-    write, lost shard directory, or tampered manifest raises instead
-    of silently feeding a training run short data."""
+    per-shard counts AND key checksums must match what the writer
+    recorded — a torn write, lost shard directory, substituted or
+    duplicated row, or tampered manifest raises instead of silently
+    feeding a training run wrong data. Format-1 manifests (pre-r17,
+    counts only) verify counts alone."""
     import json
 
     from mriya_spark.fsutil import fs_read_text
@@ -316,10 +349,9 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
         fs_read_text(spark, path.rstrip("/") + "/_manifest.json")
     )
     df = spark.read.parquet(path)
-    got = {
-        str(r["shard"]): int(r["n"])
-        for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    key_col = manifest.get("key_col", "doc_id")
+    stats = _shard_stats(df, key_col)
+    got = {str(s): v[0] for s, v in stats.items()}
     want = {k: int(v) for k, v in manifest["shard_rows"].items() if int(v) > 0}
     if got != want:
         missing = set(want) - set(got)
@@ -329,4 +361,15 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
             f"training shard manifest mismatch: missing shards {sorted(missing)}, "
             f"unexpected {sorted(extra)}, wrong counts {sorted(bad)}"
         )
+    want_xor = manifest.get("shard_key_xor")
+    if want_xor is not None:  # format >= 2
+        got_xor = {str(s): v[1] for s, v in stats.items()}
+        want_xor = {k: int(v) for k, v in want_xor.items() if k in got_xor}
+        bad = sorted(k for k in got_xor if got_xor[k] != want_xor.get(k))
+        if bad:
+            raise ValueError(
+                "training shard manifest mismatch: key-checksum failure "
+                f"in shards {bad} (content substituted or keys "
+                "duplicated/replaced with counts preserved)"
+            )
     return df

@@ -332,3 +332,58 @@ def test_oversample_composes_with_epoch_shuffle(spark):
         d = k.split("#")[0]
         by_doc.setdefault(d, set()).add(s)
     assert any(len(s) > 1 for s in by_doc.values())
+
+
+def test_training_shards_key_checksum_catches_substitution(spark, tmp_path):
+    """Count-preserving content tampering — a shard file whose rows are
+    REPLACED by different keys with the same cardinality — passes the
+    count check but must trip the manifest's per-shard key checksum
+    (r17: counts alone can't see substitution)."""
+    import os
+
+    import pytest
+
+    from mriya_spark import sinks
+
+    df = spark.range(0, 200).selectExpr("id AS doc_id", "id % 5 AS grp")
+    path = str(tmp_path / "shards")
+    manifest = sinks.write_training_shards(df, path, num_shards=4, seed=9)
+    assert manifest["format"] == 2 and "shard_key_xor" in manifest
+    sinks.read_training_shards(spark, path).count()  # clean read passes
+
+    # substitute one shard's rows: same count, different doc_ids
+    victim = next(d for d in os.listdir(path) if d.startswith("shard="))
+    vdir = os.path.join(path, victim)
+    n = spark.read.parquet(vdir).count()
+    fake = spark.range(1_000_000, 1_000_000 + n).selectExpr(
+        "id AS doc_id", "id % 5 AS grp",
+        "cast(0 as bigint) AS pos",
+    )
+    # match the written schema (shard is the partition dir, not a file col)
+    cols = spark.read.parquet(vdir).columns
+    fake = fake.select(*cols)
+    import shutil
+
+    shutil.rmtree(vdir)
+    fake.coalesce(1).write.parquet(vdir)
+    with pytest.raises(ValueError, match="key-checksum failure"):
+        sinks.read_training_shards(spark, path)
+
+
+def test_training_shards_format1_manifest_still_reads(spark, tmp_path):
+    """A pre-r17 format-1 manifest (counts only) verifies counts alone
+    — old exports stay readable."""
+    import json
+
+    from mriya_spark import sinks
+    from mriya_spark.fsutil import fs_read_text, fs_write_text
+
+    df = spark.range(0, 100).selectExpr("id AS doc_id")
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=4, seed=9)
+    mp = path + "/_manifest.json"
+    doc = json.loads(fs_read_text(spark, mp))
+    doc.pop("shard_key_xor")
+    doc["format"] = 1
+    fs_write_text(spark, mp, json.dumps(doc))
+    assert sinks.read_training_shards(spark, path).count() == 100
