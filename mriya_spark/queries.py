@@ -11548,15 +11548,22 @@ def sink_packed_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     one file per ``shard=`` dir + ``_manifest.json`` with per-shard
     counts computed from the WRITTEN data) and comes back through the
     manifest VERIFIER (``read_training_shards`` raises on a missing,
-    torn, or tampered shard). This is the trust boundary the reference
-    enforces on load (`data_connector.py:272-310` re-queries and
-    verifies what it wrote); a training loader mmaps these shards, so
-    the gate hashes the VERIFIED READ-BACK — not the pre-write frame —
-    against the pack replay + md5 keyed-draw oracle. The pack pipeline
-    is the capstone's own (`tokenizer_pack_bestfit_q`), so window
-    payloads are byte-identical to the recorded capstone; the window
-    key for the reshard draw is ``pack_shard * 100000 + win`` (win is
-    bounded far below 100000 by n_docs/cap arithmetic)."""
+    torn, or tampered shard). The write-then-verified-read-back
+    pattern is this engine's own trust boundary; the reference's
+    nearest behavior is merely POLLING a bulk write until the job
+    completes and fetching per-row results
+    (`data_connector.py:272-310` — no content verification there, the
+    insert-side result fetch is even commented out), so the manifest
+    verifier strengthens, not mirrors, that contract. A training
+    loader mmaps these shards, so the gate hashes the VERIFIED
+    READ-BACK — not the pre-write frame — against the pack replay +
+    md5 keyed-draw oracle. The pack pipeline is the capstone's own
+    (`tokenizer_pack_bestfit_q`), so window payloads are
+    byte-identical to the recorded capstone; the window key for the
+    reshard draw is ``pack_shard * 100000 + win``, with a fail-loud
+    guard on ``win`` (a >= 100000 ordinal would collide wkeys across
+    pack shards and scramble the reshard draw — raise, don't rely on
+    the arithmetic bound holding forever; r17 ADVICE)."""
     import uuid as _uuid
 
     from mriya_spark import sinks
@@ -11569,7 +11576,15 @@ def sink_packed_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fill",
         "pad",
         "token_ids",
-    ).withColumn("wkey", F.col("pack_shard") * 100000 + F.col("win"))
+    ).withColumn(
+        "wkey",
+        F.expr(
+            "if(win >= 100000, cast(raise_error(concat("
+            "'sink_packed_shards: window ordinal ', cast(win as string), "
+            "' >= 100000 — wkey would collide across pack shards')) "
+            "as bigint), pack_shard * 100000L + win)"
+        ),
+    )
     path = f"{_STAGE_DIR}/packed_shards_{_uuid.uuid4().hex[:8]}"
     _sweep_stale("stage", "packed_shards_")
     sinks.write_training_shards(keyed, path, key_col="wkey", num_shards=8, seed=42)

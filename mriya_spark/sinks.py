@@ -262,16 +262,19 @@ def write_training_shards(
     The manifest counts AND per-shard content checksums come from ONE
     tiny aggregate (``num_shards`` rows collected — a bounded control
     point), computed from the WRITTEN data, not the input, so a lost
-    task or truncated write surfaces as a count mismatch and a
-    bit-flipped or substituted row surfaces as a checksum mismatch at
-    read time (``read_training_shards``). The checksum is the
-    order-insensitive XOR of each row's 60-bit md5 over the
-    key column (r17 — counts alone can't see content tampering that
-    preserves cardinality): commutative, so it needs no sort, and
-    keyed on ``key_col`` because the key IS the delivery identity
-    (payload columns are parquet-checksummed per page by the format
-    itself; the manifest guards against whole-row substitution and
-    lost/duplicated keys)."""
+    task or truncated write surfaces as a count mismatch and a changed
+    row surfaces as a checksum mismatch at read time
+    (``read_training_shards``). Format 3 (r18 — the r17 key-only XOR
+    could not see a payload change under a preserved key, and an
+    even-multiplicity key swap like {B,B}->{C,C} cancels out of any
+    XOR): each row hashes via ``xxhash64`` over EVERY data column in
+    pinned sorted-name order (recorded in the manifest), and the shard
+    checksum is the pair (bit_xor of row hashes, exact decimal SUM of
+    row hashes). XOR catches any odd-multiplicity change; the sum
+    catches the even-multiplicity swaps XOR cancels ({B,B}->{C,C}
+    moves the sum by 2*(h(C)-h(B))). Both aggregates are commutative
+    (order-insensitive, no sort) and partial-aggregate map-side; the
+    sum runs in decimal so it is overflow-free at any shard size."""
     import json
 
     from mriya_spark.ops.layout import shard_shuffle
@@ -287,18 +290,21 @@ def write_training_shards(
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
-    stats = _shard_stats(written, key_col)
+    cols = sorted(c for c in written.columns if c != "shard")
+    stats = _shard_row_stats(written, cols)
     manifest = {
-        "format": 2,
+        "format": 3,
         "num_shards": num_shards,
         "seed": seed,
         "key_col": key_col,
+        "columns": cols,
         "shard_rows": {
-            str(s): stats.get(s, (0, 0))[0] for s in range(num_shards)
+            str(s): stats.get(s, (0, 0, 0))[0] for s in range(num_shards)
         },
-        "shard_key_xor": {
-            str(s): stats[s][1] for s in stats
-        },
+        "shard_row_xor": {str(s): stats[s][1] for s in stats},
+        # exact decimal sums serialize as strings: they can exceed the
+        # float64-exact integer range JSON readers assume
+        "shard_row_sum": {str(s): str(stats[s][2]) for s in stats},
         "total_rows": sum(v[0] for v in stats.values()),
     }
     # scheme-aware sidecar (r10 review): the shards go through Spark's
@@ -314,12 +320,16 @@ def write_training_shards(
 
 
 def _shard_stats(df: DataFrame, key_col: str) -> dict:
-    """Per-shard (row count, XOR of 60-bit key md5s) in ONE aggregate.
+    """LEGACY (manifest format 2) per-shard (row count, XOR of 60-bit
+    key md5s) in ONE aggregate — kept so pre-r18 exports still verify.
     XOR is commutative/associative, so the checksum is order-
     insensitive, needs no sort, and partial-aggregates map-side like
     any combinable agg (``bit_xor`` is a built-in aggregate in Spark
     and DuckDB alike); the 60-bit md5 keeps the value engine-portable
-    signed-64-safe."""
+    signed-64-safe. Detection limits (r17 ADVICE, why format 3
+    replaced it for new writes): the key-only hash misses payload
+    changes under a preserved key, and even-multiplicity key swaps
+    cancel out of the XOR."""
     from mriya_spark.portable import md5_long60
 
     rows = (
@@ -334,13 +344,53 @@ def _shard_stats(df: DataFrame, key_col: str) -> dict:
     return {int(r["shard"]): (int(r["n"]), int(r["x"])) for r in rows}
 
 
-def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
+def _shard_row_stats(df: DataFrame, cols: list) -> dict:
+    """Per-shard (row count, bit_xor of row hashes, exact SUM of row
+    hashes) in ONE aggregate; the row hash is ``xxhash64`` over the
+    given columns (the manifest pins their order, so writer and
+    verifier hash identical inputs). All three aggregates are
+    commutative — order-insensitive, no sort — and combine map-side;
+    the sum accumulates in decimal so any shard size is exact."""
+    rows = (
+        df.withColumn("__rh", F.xxhash64(*[F.col(c) for c in cols]))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__rh)").alias("x"),
+            F.sum(F.col("__rh").cast("decimal(20,0)")).alias("s"),
+        )
+        .collect()
+    )
+    return {
+        int(r["shard"]): (int(r["n"]), int(r["x"]), int(r["s"]))
+        for r in rows
+    }
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, *, start: tuple | None = None
+) -> DataFrame:
     """Read a sharded training export back, VERIFYING the manifest:
-    per-shard counts AND key checksums must match what the writer
-    recorded — a torn write, lost shard directory, substituted or
-    duplicated row, or tampered manifest raises instead of silently
-    feeding a training run wrong data. Format-1 manifests (pre-r17,
-    counts only) verify counts alone."""
+    per-shard counts AND content checksums must match what the writer
+    recorded — a torn write, lost shard directory, changed/substituted
+    row, or tampered manifest raises instead of silently feeding a
+    training run wrong data. Format 3 verifies row-content (xor + sum
+    of full-row xxhash64); format 2 (pre-r18) verifies the key-set
+    checksum only; format 1 (pre-r17) counts alone.
+
+    ``start=(shard, pos)`` is the RESUME contract (the reference's
+    analogue is cursor-chunked extraction, `data_connector.py:62-66` —
+    queryMore resumes a bulk read mid-stream): a trainer checkpointed
+    mid-epoch at (shard s, position p) gets shard s from pos p plus
+    every later shard, in one call. Shards BELOW s are pruned at the
+    parquet partition level (never scanned — at 100 TB a late-epoch
+    resume reads only the tail); shards >= s are checksum-verified in
+    FULL (a partial shard can't match its recorded checksum, so the
+    verifier hashes the whole touched shard and the pos filter applies
+    after) — integrity costs one scan of exactly the shards the resume
+    touches. A ``pos`` past the end of shard s fails loud rather than
+    silently resuming at the wrong place; ``pos == rows(s)`` means
+    "shard s finished, continue at s+1" and is legal."""
     import json
 
     from mriya_spark.fsutil import fs_read_text
@@ -349,27 +399,79 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
         fs_read_text(spark, path.rstrip("/") + "/_manifest.json")
     )
     df = spark.read.parquet(path)
-    key_col = manifest.get("key_col", "doc_id")
-    stats = _shard_stats(df, key_col)
+    want_rows = {
+        k: int(v) for k, v in manifest["shard_rows"].items() if int(v) > 0
+    }
+    if start is not None:
+        s0, p0 = int(start[0]), int(start[1])
+        if s0 < 0 or s0 >= int(manifest["num_shards"]) or p0 < 0:
+            raise ValueError(
+                f"resume start ({s0}, {p0}) outside the export: "
+                f"num_shards={manifest['num_shards']}"
+            )
+        if p0 > want_rows.get(str(s0), 0):
+            raise ValueError(
+                f"resume pos {p0} past the end of shard {s0} "
+                f"({want_rows.get(str(s0), 0)} rows in the manifest)"
+            )
+        # partition-pruned: shard is the directory key, so shards < s0
+        # never reach the scan
+        df = df.filter(F.col("shard") >= s0)
+        want_rows = {k: v for k, v in want_rows.items() if int(k) >= s0}
+
+    fmt = int(manifest.get("format", 1))
+    if fmt >= 3:
+        cols = manifest["columns"]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"training shard manifest mismatch: manifest hashes "
+                f"columns {missing} absent from the read-back schema"
+            )
+        stats = _shard_row_stats(df, cols)
+    else:
+        stats = _shard_stats(df, manifest.get("key_col", "doc_id"))
     got = {str(s): v[0] for s, v in stats.items()}
-    want = {k: int(v) for k, v in manifest["shard_rows"].items() if int(v) > 0}
-    if got != want:
-        missing = set(want) - set(got)
-        extra = set(got) - set(want)
-        bad = {k for k in set(got) & set(want) if got[k] != want[k]}
+    if got != want_rows:
+        missing = set(want_rows) - set(got)
+        extra = set(got) - set(want_rows)
+        bad = {
+            k for k in set(got) & set(want_rows) if got[k] != want_rows[k]
+        }
         raise ValueError(
             f"training shard manifest mismatch: missing shards {sorted(missing)}, "
             f"unexpected {sorted(extra)}, wrong counts {sorted(bad)}"
         )
-    want_xor = manifest.get("shard_key_xor")
-    if want_xor is not None:  # format >= 2
-        got_xor = {str(s): v[1] for s, v in stats.items()}
-        want_xor = {k: int(v) for k, v in want_xor.items() if k in got_xor}
-        bad = sorted(k for k in got_xor if got_xor[k] != want_xor.get(k))
+    if fmt >= 3:
+        want_xor = manifest["shard_row_xor"]
+        want_sum = manifest["shard_row_sum"]
+        bad = sorted(
+            s
+            for s, v in stats.items()
+            if v[1] != int(want_xor.get(str(s), 0))
+            or v[2] != int(want_sum.get(str(s), 0))
+        )
         if bad:
             raise ValueError(
-                "training shard manifest mismatch: key-checksum failure "
-                f"in shards {bad} (content substituted or keys "
-                "duplicated/replaced with counts preserved)"
+                "training shard manifest mismatch: row-content checksum "
+                f"failure in shards {bad} (row payloads changed, or rows "
+                "substituted/duplicated with counts preserved)"
             )
+    elif fmt == 2:
+        want_xor = manifest.get("shard_key_xor", {})
+        bad = sorted(
+            s for s, v in stats.items() if v[1] != int(want_xor.get(str(s), 0))
+        )
+        if bad:
+            raise ValueError(
+                "training shard manifest mismatch: key-set checksum "
+                f"failure in shards {bad} (keys replaced or duplicated "
+                "with counts preserved; format-2 manifests do not cover "
+                "payload changes under a preserved key)"
+            )
+    if start is not None:
+        df = df.filter(
+            (F.col("shard") > F.lit(s0))
+            | ((F.col("shard") == F.lit(s0)) & (F.col("pos") >= F.lit(p0)))
+        )
     return df

@@ -632,7 +632,14 @@ def stage_docs_files(
     """Split ``documents`` into ``n_files`` id-ordered parquet files
     with monotone mtimes, so a file stream replays the corpus in
     doc_id order — which makes first-arrival-wins dedup deterministic
-    (first arrival == smallest doc_id)."""
+    (first arrival == smallest doc_id). LOCAL-FS ONLY test-fixture
+    staging (``os.utime`` has no object-store equivalent) — see
+    ``stage_frame_files``."""
+    if "://" in sf_dir:
+        raise ValueError(
+            "stage_docs_files stages local-FS fixtures only; got "
+            f"{sf_dir!r}"
+        )
     tag = sf_dir.rstrip("/").replace("/", "_")
     out = f"{_STAGE_ROOT}/docs_{tag}_{n_files}"
     marker = f"{out}/_STAGED"
@@ -1387,7 +1394,20 @@ def stage_frame_files(
     under ``out``, so a file stream replays it in ``order_col`` order
     with deterministic batch composition. No reuse marker — callers
     stage query-specific frames under uuid paths and age-sweep them
-    like every staged artifact."""
+    like every staged artifact.
+
+    LOCAL-FS ONLY (like ``stage_docs_files``): the mtime staggering
+    that makes replay order deterministic needs ``os.listdir``/
+    ``os.utime``, which have no hdfs://s3a:// equivalent (object
+    stores don't let you set mtimes). This is a TEST-FIXTURE staging
+    helper, not a production sink — production file streams order by
+    real arrival time. A scheme-prefixed ``out`` fails loud here
+    instead of staging onto a bogus local path (r17 ADVICE)."""
+    if "://" in out:
+        raise ValueError(
+            "stage_frame_files stages local-FS fixtures only (mtime "
+            f"staggering has no remote equivalent); got {out!r}"
+        )
     df.repartitionByRange(n_files, order_col).write.mode(
         "overwrite"
     ).parquet(out)

@@ -337,8 +337,8 @@ def test_oversample_composes_with_epoch_shuffle(spark):
 def test_training_shards_key_checksum_catches_substitution(spark, tmp_path):
     """Count-preserving content tampering — a shard file whose rows are
     REPLACED by different keys with the same cardinality — passes the
-    count check but must trip the manifest's per-shard key checksum
-    (r17: counts alone can't see substitution)."""
+    count check but must trip the manifest's per-shard row-content
+    checksum (r17: counts alone can't see substitution)."""
     import os
 
     import pytest
@@ -348,7 +348,7 @@ def test_training_shards_key_checksum_catches_substitution(spark, tmp_path):
     df = spark.range(0, 200).selectExpr("id AS doc_id", "id % 5 AS grp")
     path = str(tmp_path / "shards")
     manifest = sinks.write_training_shards(df, path, num_shards=4, seed=9)
-    assert manifest["format"] == 2 and "shard_key_xor" in manifest
+    assert manifest["format"] == 3 and "shard_row_xor" in manifest
     sinks.read_training_shards(spark, path).count()  # clean read passes
 
     # substitute one shard's rows: same count, different doc_ids
@@ -366,7 +366,120 @@ def test_training_shards_key_checksum_catches_substitution(spark, tmp_path):
 
     shutil.rmtree(vdir)
     fake.coalesce(1).write.parquet(vdir)
-    with pytest.raises(ValueError, match="key-checksum failure"):
+    with pytest.raises(ValueError, match="row-content checksum"):
+        sinks.read_training_shards(spark, path)
+
+
+def test_training_shards_checksum_covers_payload_and_even_swaps(
+    spark, tmp_path
+):
+    """The two r17-ADVICE blind spots of the key-only XOR, both closed
+    by the format-3 row-content (xor, sum) pair: (1) a payload change
+    under a PRESERVED key; (2) an even-multiplicity key swap
+    ({B,B} -> {C,C}), which cancels out of any XOR but moves the sum."""
+    import os
+    import shutil
+
+    import pytest
+
+    from mriya_spark import sinks
+
+    df = spark.range(0, 120).selectExpr("id AS doc_id", "id * 10 AS payload")
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=3, seed=4)
+
+    # (1) same keys, same pos, payload column rewritten
+    victim = next(d for d in os.listdir(path) if d.startswith("shard="))
+    vdir = os.path.join(path, victim)
+    orig = spark.read.parquet(vdir).collect()
+    tampered = spark.createDataFrame(
+        [(r["doc_id"], r["payload"] + 1, r["pos"]) for r in orig],
+        "doc_id long, payload long, pos long",
+    ).select(*spark.read.parquet(vdir).columns)
+    shutil.rmtree(vdir)
+    tampered.coalesce(1).write.parquet(vdir)
+    with pytest.raises(ValueError, match="row-content checksum"):
+        sinks.read_training_shards(spark, path)
+
+    # (2) even-multiplicity swap: two copies of row B -> two copies of
+    # row C. XOR of row hashes is unchanged (h^h = 0 either way); only
+    # the sum can see it.
+    sinks.write_training_shards(df, path, num_shards=3, seed=4)
+    victim = next(d for d in os.listdir(path) if d.startswith("shard="))
+    vdir = os.path.join(path, victim)
+    rows = spark.read.parquet(vdir).collect()
+    b = rows[0]
+    swapped = [(b["doc_id"], b["payload"], b["pos"])] * 2 + [
+        (r["doc_id"], r["payload"], r["pos"]) for r in rows[2:]
+    ]
+    fake = spark.createDataFrame(
+        swapped, "doc_id long, payload long, pos long"
+    ).select(*spark.read.parquet(vdir).columns)
+    shutil.rmtree(vdir)
+    fake.coalesce(1).write.parquet(vdir)
+    with pytest.raises(ValueError, match="row-content checksum"):
+        sinks.read_training_shards(spark, path)
+
+
+def test_training_shards_resume_read(spark, tmp_path):
+    """start=(shard, pos): the resumed read equals the full read's
+    suffix, pos == rows(shard) rolls to the next shard, a pos past the
+    end fails loud, and tampering BELOW the start shard does not block
+    the resume (those shards are pruned, never verified — the
+    documented contract: integrity covers exactly what the resume
+    touches)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from mriya_spark import sinks
+
+    df = spark.range(0, 300).selectExpr("id AS doc_id", "id * 3 AS v")
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=4, seed=7)
+    full = sinks.read_training_shards(spark, path)
+    s0, p0 = 2, 5
+    want = sorted(
+        (r["shard"], r["pos"], r["doc_id"])
+        for r in full.collect()
+        if r["shard"] > s0 or (r["shard"] == s0 and r["pos"] >= p0)
+    )
+    got = sorted(
+        (r["shard"], r["pos"], r["doc_id"])
+        for r in sinks.read_training_shards(
+            spark, path, start=(s0, p0)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # pos == rows(shard): legal, resumes at the next shard
+    n2 = full.filter("shard = 2").count()
+    roll = sinks.read_training_shards(spark, path, start=(2, n2))
+    assert roll.filter("shard = 2").count() == 0
+    assert roll.count() == full.filter("shard > 2").count()
+
+    # pos past the end / shard outside the export: loud
+    with pytest.raises(ValueError, match="past the end"):
+        sinks.read_training_shards(spark, path, start=(2, n2 + 1))
+    with pytest.raises(ValueError, match="outside the export"):
+        sinks.read_training_shards(spark, path, start=(99, 0))
+
+    # tamper shard 0 (below start): resume from shard 2 still verifies
+    # and returns — shards below the start never reach the verifier
+    vdir = os.path.join(path, "shard=0")
+    rows = spark.read.parquet(vdir).limit(1).collect()
+    fake = spark.createDataFrame(
+        [(rows[0]["doc_id"], rows[0]["v"] + 1, rows[0]["pos"])],
+        "doc_id long, v long, pos long",
+    ).select(*spark.read.parquet(vdir).columns)
+    shutil.rmtree(vdir)
+    fake.coalesce(1).write.parquet(vdir)
+    assert sinks.read_training_shards(
+        spark, path, start=(s0, p0)
+    ).count() == len(want)
+    # ... while a FULL read of the tampered export still refuses
+    with pytest.raises(ValueError):
         sinks.read_training_shards(spark, path)
 
 
@@ -383,7 +496,61 @@ def test_training_shards_format1_manifest_still_reads(spark, tmp_path):
     sinks.write_training_shards(df, path, num_shards=4, seed=9)
     mp = path + "/_manifest.json"
     doc = json.loads(fs_read_text(spark, mp))
-    doc.pop("shard_key_xor")
+    for k in ("shard_row_xor", "shard_row_sum", "columns"):
+        doc.pop(k)
     doc["format"] = 1
     fs_write_text(spark, mp, json.dumps(doc))
     assert sinks.read_training_shards(spark, path).count() == 100
+
+
+def test_training_shards_format2_manifest_still_reads(spark, tmp_path):
+    """A pre-r18 format-2 manifest (key-set XOR) still verifies via the
+    legacy key checksum: a key substitution refuses, and its documented
+    blind spot — a payload change under a preserved key — passes
+    format 2 but is caught by a fresh format-3 write (the pair that
+    motivated the upgrade)."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from mriya_spark import sinks
+    from mriya_spark.fsutil import fs_read_text, fs_write_text
+
+    df = spark.range(0, 150).selectExpr("id AS doc_id", "id + 7 AS v")
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=3, seed=5)
+    # downgrade the manifest to format 2 (key-set XOR, as r17 wrote it)
+    stats = sinks._shard_stats(spark.read.parquet(path), "doc_id")
+    mp = path + "/_manifest.json"
+    doc = json.loads(fs_read_text(spark, mp))
+    for k in ("shard_row_xor", "shard_row_sum", "columns"):
+        doc.pop(k)
+    doc["format"] = 2
+    doc["shard_key_xor"] = {str(s): v[1] for s, v in stats.items()}
+    fs_write_text(spark, mp, json.dumps(doc))
+    assert sinks.read_training_shards(spark, path).count() == 150
+
+    # payload change under preserved keys: format 2 is blind to it
+    victim = next(d for d in os.listdir(path) if d.startswith("shard="))
+    vdir = os.path.join(path, victim)
+    orig = spark.read.parquet(vdir).collect()
+    fake = spark.createDataFrame(
+        [(r["doc_id"], r["v"] + 1, r["pos"]) for r in orig],
+        "doc_id long, v long, pos long",
+    ).select(*spark.read.parquet(vdir).columns)
+    shutil.rmtree(vdir)
+    fake.coalesce(1).write.parquet(vdir)
+    assert sinks.read_training_shards(spark, path).count() == 150
+
+    # key substitution: format 2 does catch that, with the tempered
+    # key-set message (r17 ADVICE: don't claim broad content coverage)
+    rows = [(r["doc_id"] + 10_000, r["v"], r["pos"]) for r in orig]
+    fake = spark.createDataFrame(
+        rows, "doc_id long, v long, pos long"
+    ).select(*spark.read.parquet(vdir).columns)
+    shutil.rmtree(vdir)
+    fake.coalesce(1).write.parquet(vdir)
+    with pytest.raises(ValueError, match="key-set checksum"):
+        sinks.read_training_shards(spark, path)
