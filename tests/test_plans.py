@@ -1047,3 +1047,27 @@ def test_r17_queries_shuffle_ceilings(spark, queries):
         df.collect()
         return n_shuffles(executed_plan(df))
     assert n(1) == n(None), "epoch keying changed the exchange count"
+
+
+def test_r18_queries_shuffle_ceilings(spark, queries):
+    """Pin the r18 additions' exchange budgets (AQE-final plans, same
+    convention as the r15-r17 ceilings). Measured at the registration
+    tip: sink_shards_resume 0 — the resumed read is a partition-pruned
+    scan + suffix filter over the verified shards, and resume must stay
+    exchange-free (it IS the training loader's restart path);
+    sink_packed_shards_attention 0 — the verified read-back of the
+    four-payload delivery, same contract as sink_packed_shards;
+    sample_epoch_plan 4 — two materialized epochs x shard_shuffle's
+    single hash exchange (+AQE reprint), i.e. composing the
+    oversampling copy explode adds NO exchange (it is scan-local)."""
+    sf = "/root/testdata/sf0.001"
+    ceilings = {
+        "sink_shards_resume": 0,
+        "sink_packed_shards_attention": 0,
+        "sample_epoch_plan": 4,
+    }
+    for name, cap in ceilings.items():
+        df = queries[name](spark, sf)
+        df.collect()  # finalize AQE
+        got = n_shuffles(executed_plan(df))
+        assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"

@@ -554,3 +554,58 @@ def test_training_shards_format2_manifest_still_reads(spark, tmp_path):
     fake.coalesce(1).write.parquet(vdir)
     with pytest.raises(ValueError, match="key-set checksum"):
         sinks.read_training_shards(spark, path)
+
+
+def test_sample_epoch_plan_copy_decorrelation(spark):
+    """The composed multi-epoch plan's load-bearing property: the
+    DUPLICATE copies of an upsampled document land in different
+    (shard, pos) slots — within one epoch AND across epochs — because
+    placement is keyed on (doc_id, copy_ordinal), not doc_id. A
+    doc_id-keyed draw would pile all copies of a doc into the same
+    shard at consecutive-ish positions, exactly what epoch shuffling
+    exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.layout import shard_shuffle
+    from mriya_spark.ops.quality import oversample_epochs
+
+    docs = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "cast(2.5 as double) AS weight"
+    )
+    copies = oversample_epochs(
+        docs, weight_col="weight", key_col="doc_id"
+    ).withColumn(
+        "ck",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("copy").cast("string")
+        ),
+    )
+    e0 = shard_shuffle(copies, key_col="ck", num_shards=16, seed=42, epoch=0)
+    rows = e0.select("doc_id", "copy", "shard", "pos").collect()
+    # every doc got >= 2 copies (weight 2.5 -> 2 or 3)
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append((r["shard"], r["pos"]))
+    assert all(len(v) >= 2 for v in by_doc.values())
+    # within-epoch: copies of one doc spread across shards for a
+    # substantial fraction of docs (doc-keyed placement would give 0)
+    spread = sum(
+        1 for v in by_doc.values() if len({s for s, _ in v}) > 1
+    )
+    assert spread > len(by_doc) * 0.5
+
+    # across epochs: the same copy's slot moves for nearly all copies
+    e1 = shard_shuffle(copies, key_col="ck", num_shards=16, seed=42, epoch=1)
+    s0 = {
+        (r["doc_id"], r["copy"]): (r["shard"], r["pos"])
+        for r in rows
+    }
+    s1 = {
+        (r["doc_id"], r["copy"]): (r["shard"], r["pos"])
+        for r in e1.select("doc_id", "copy", "shard", "pos").collect()
+    }
+    assert s0.keys() == s1.keys()
+    moved = sum(1 for k in s0 if s0[k] != s1[k])
+    assert moved > len(s0) * 0.9
