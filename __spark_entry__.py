@@ -217,6 +217,7 @@ def _gate_sort_key(
     reg_index: dict[str, int],
     stored_digests: dict[str, dict],
     live_digests: dict[str, str] | None = None,
+    current_round: int = 0,
 ) -> tuple[int, int, int]:
     rec = history.get(name)
     if rec is None:
@@ -249,7 +250,15 @@ def _gate_sort_key(
         # official row can only ever be a weak rows-only check and
         # every such query has a hash-green portable twin carrying the
         # real evidence — rotate these only after every oracled row is
-        # fresher, so capped slots go to hash-checkable rows
+        # fresher, so capped slots go to hash-checkable rows.
+        # ... but never STARVE them (r17 judge directive 6): with a
+        # growing registry, "after every oracled row" can mean never.
+        # Once the newest record is >= 8 rounds old the no-oracle
+        # harness path itself has gone 8 rounds unexercised — its own
+        # staleness risk — so the row re-enters the normal green pool
+        # at its true age and refreshes in the next gate batch.
+        if current_round - rnd >= 8:
+            return (2, rnd, reg_index[name])
         return (3, rnd, reg_index[name])
     return (tier, rnd, reg_index[name])
 
@@ -265,10 +274,14 @@ def _gate_order() -> list[str]:
         n: _query_digest(fn, oracles.get(n)) for n, fn in registry.items()
     }
     reg_index = {n: i for i, n in enumerate(registry)}
+    # current round = newest official record + 1 (the round whose gate
+    # this ordering will feed); drives only the rows-only
+    # anti-starvation re-entry above
+    current = max((r for _, r, _ in history.values()), default=0) + 1
     return sorted(
         registry,
         key=lambda n: _gate_sort_key(
-            n, history, oracles, reg_index, stored, live
+            n, history, oracles, reg_index, stored, live, current
         ),
     )
 

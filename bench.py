@@ -134,6 +134,15 @@ HEADLINE = [
     # drain cadence)
     "sink_packed_shards",
     "stream_decode_fixed_vocab",
+    # r18 additions: the four-payload attention batch through the
+    # verified shard sink (its delta vs tokenizer_pack_chat_attention
+    # is the delivery cost of the wider row), the resumable verified
+    # read (partition-pruned tail scan — the trainer restart path),
+    # and the composed multi-epoch sampling plan (oversample explode +
+    # two epoch placements)
+    "sink_packed_shards_attention",
+    "sink_shards_resume",
+    "sample_epoch_plan",
 ]
 
 

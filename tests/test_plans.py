@@ -252,9 +252,10 @@ def test_gate_order_is_staleness_first():
         n: entry_mod._query_digest(fn, oracles.get(n))
         for n, fn in lib_queries().items()
     }
+    current = max((r for _, r, _ in history.values()), default=0) + 1
     keys = [
         entry_mod._gate_sort_key(
-            n, history, oracles, reg_index, stored, live
+            n, history, oracles, reg_index, stored, live, current
         )[:2]
         for n in names
     ]
@@ -316,6 +317,15 @@ def test_gate_history_tiers_from_synthetic_files(tmp_path):
     # deprioritized BELOW fresh greens — slots go to hash-checkable rows
     assert entry_mod._gate_sort_key(
         "rows_only", hist, {}, reg_index, {}, {}
+    )[0] == 3
+    # ... unless its record is >= 8 rounds stale (r17 judge directive
+    # 6, anti-starvation): then it re-enters the normal green pool so
+    # the no-oracle harness path re-executes at least every 8 rounds
+    assert entry_mod._gate_sort_key(
+        "rows_only", hist, {}, reg_index, {}, {}, current_round=10
+    )[0] == 2
+    assert entry_mod._gate_sort_key(
+        "rows_only", hist, {}, reg_index, {}, {}, current_round=9
     )[0] == 3
     # an oracled green (digest unchanged) stays tier 2
     assert entry_mod._gate_sort_key(
