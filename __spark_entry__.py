@@ -200,6 +200,13 @@ def _query_digest(fn: Callable, oracle: str | None) -> str:
     for n in sorted(names):
         if n not in g:
             continue  # builtins, attribute names, imported-late names
+        if n.startswith("__") and n.endswith("__"):
+            # module dunders (__name__, __file__, ...) identify WHERE
+            # the function lives, not WHAT it computes — folding them
+            # in would make every mechanical module move a spurious
+            # re-record (found by the r18 split's safety net: the UDTF
+            # gate reads __name__ for its registration string)
+            continue
         v = g[n]
         if callable(v) or isinstance(v, (types.ModuleType, type)):
             continue  # shared code/classes: out of scope by design
