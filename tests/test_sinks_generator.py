@@ -609,3 +609,32 @@ def test_sample_epoch_plan_copy_decorrelation(spark):
     assert s0.keys() == s1.keys()
     moved = sum(1 for k in s0 if s0[k] != s1[k])
     assert moved > len(s0) * 0.9
+
+
+def test_resume_read_prunes_shard_partitions(spark, tmp_path):
+    """The resume read's 100 TB posture: ``start=(s, p)`` must reach the
+    parquet scan as a PARTITION filter on the ``shard=`` directory key —
+    a late-epoch resume reads only the tail directories, never the full
+    export. Asserted on the executed plan: the shard bound sits in
+    PartitionFilters (directory-level pruning, files of shards < s are
+    never opened) while DataFilters carries only the row-level pos
+    bound."""
+    from mriya_spark import sinks
+
+    df = spark.range(0, 400).selectExpr("id AS doc_id", "id * 2 AS v")
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=8, seed=3)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        resumed = sinks.read_training_shards(spark, path, start=(6, 0))
+        resumed.collect()
+        plan = resumed._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    scan = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    part = scan.split("PartitionFilters:")[1]
+    assert "shard" in part and ">= 6" in part, f"no shard bound in {part!r}"

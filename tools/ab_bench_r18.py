@@ -1,0 +1,106 @@
+"""Same-host interleaved A/B bench: r17 tip vs r18 tip (r17 judge
+directive 5 — the bench_d7_r17_samehost protocol as the official r18
+record).
+
+Method: alternate full bench.py sessions over the COMMON query subset
+in tip,cur,cur,tip order (two legs per tree, adjacent cur/cur and
+tip/tip legs bracket host drift), one session at a time on an otherwise
+idle host; per query take the min of each tree's two legs and report
+cur/tip ratios. The r18-only queries ride in the cur sessions for
+timing but get no ratio (no tip counterpart).
+
+Usage: python tools/ab_bench_r18.py <tip_worktree> <out_json>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+# the nine d7 rows + the two r17 headline rows = the judge's common set,
+# with agg_groupby + tokenizer_pack_bestfit as the in-session controls
+COMMON = [
+    "agg_groupby",
+    "tokenizer_pack_bestfit",
+    "tokenizer_sft_chat",
+    "tokenizer_dpo_pairs",
+    "tokenizer_pack_chat",
+    "tokenizer_pack_chat_attention",
+    "stream_encode_fixed_vocab",
+    "tokenizer_chunk_strided",
+    "tokenizer_chunk_masked",
+    "sink_packed_shards",
+    "stream_decode_fixed_vocab",
+]
+R18_ONLY = [
+    "sink_packed_shards_attention",
+    "sink_shards_resume",
+    "sample_epoch_plan",
+]
+
+
+def run_leg(tree: str, names: list[str]) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(names)
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=tree,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["queries"]
+
+
+def main() -> None:
+    tip_tree, out_path = sys.argv[1], sys.argv[2]
+    cur_tree = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    legs = []
+    for label, tree, names in (
+        ("tip", tip_tree, COMMON),
+        ("cur", cur_tree, COMMON + R18_ONLY),
+        ("cur", cur_tree, COMMON + R18_ONLY),
+        ("tip", tip_tree, COMMON),
+    ):
+        print(f"leg {label} ...", flush=True)
+        legs.append((label, run_leg(tree, names)))
+
+    tip_legs = [q for l, q in legs if l == "tip"]
+    cur_legs = [q for l, q in legs if l == "cur"]
+    rows = {}
+    for n in COMMON:
+        t = min(x[n] for x in tip_legs)
+        c = min(x[n] for x in cur_legs)
+        rows[n] = {
+            "tip_min": t,
+            "cur_min": c,
+            "ratio": round(c / t, 2),
+            "tip_legs": [x[n] for x in tip_legs],
+            "cur_legs": [x[n] for x in cur_legs],
+        }
+    for n in R18_ONLY:
+        rows[n] = {
+            "cur_min": min(x[n] for x in cur_legs),
+            "cur_legs": [x[n] for x in cur_legs],
+            "note": "r18-only, no tip counterpart",
+        }
+    payload = {
+        "what": (
+            "r18 directive-5 same-host A/B: 9 d7 rows + 2 r17 headline "
+            "rows, r17 tip vs r18 tip interleaved (order tip,cur,cur,"
+            "tip; 1 cold + warm runs per leg via bench.py, min of two "
+            "legs per tree); 3 r18-only rows timed in the cur legs"
+        ),
+        "rows": rows,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({n: rows[n].get("ratio") for n in COMMON}, indent=0))
+
+
+if __name__ == "__main__":
+    main()
