@@ -906,3 +906,19 @@ def test_stream_decode_unknown_id_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="unknown token id"):
         S.stream_decode_fixed_vocab(stream, str(tmp_path / "t"), vocab)
+
+
+def test_stage_helpers_refuse_remote_paths(spark):
+    """The mtime-staggered fixture stagers are LOCAL-FS only (os.utime
+    has no object-store equivalent): a scheme-prefixed path must fail
+    loud instead of silently staging onto a bogus local path (r17
+    ADVICE)."""
+    import pytest
+
+    from mriya_spark import streaming as S
+
+    df = spark.range(3).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError, match="local-FS"):
+        S.stage_frame_files(spark, df, "s3a://bucket/stage")
+    with pytest.raises(ValueError, match="local-FS"):
+        S.stage_docs_files(spark, "hdfs://nn/testdata/sf0.001")
