@@ -332,7 +332,18 @@ def main() -> None:
                     "capstone) — compare on the 44-query common set; the "
                     "session-2 host measured a uniform 1.47x slowdown vs "
                     "the session-1 record (benchlogs/"
-                    "bench_tip_r16_session2.json). "
+                    "bench_tip_r16_session2.json). r17 adds "
+                    "sink_packed_shards and stream_decode_fixed_vocab; r18 "
+                    "adds sink_packed_shards_attention (the four-payload "
+                    "varlen batch through the manifest-verified sink), "
+                    "sink_shards_resume (partition-pruned verified resume "
+                    "read), and sample_epoch_plan (oversample x epoch "
+                    "placement) — r18 totals are NOT comparable to r17; "
+                    "compare per-query, on the 53-query common set, or via "
+                    "the interleaved same-host A/B (benchlogs/"
+                    "bench_d5_r18_samehost.json: 11 common rows 0.73-1.12, "
+                    "median 0.95, the one >1.1 row inside its own "
+                    "within-tree leg spread). "
                     "Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "

@@ -37,13 +37,17 @@ def main() -> None:
 
     results = {}
     num_shards = 16
-    for n_rows in (200_000, 800_000, 3_200_000):
+    for n_rows in (1_600_000, 6_400_000, 25_600_000):
         base = f"/tmp/probe_delivery_{n_rows}"
         shutil.rmtree(base, ignore_errors=True)
-        # payload shaped like a packed shard row: key + a ~200-char blob
+        # incompressible ~96-byte payload (md5 hex defeats parquet
+        # dictionary/RLE encoding, so the verified read actually pays
+        # per-byte scan cost — a repeated-token blob compresses to
+        # nothing and the probe would time only job overhead)
         df = spark.range(0, n_rows).selectExpr(
             "id AS doc_id",
-            "repeat(concat('tok_', cast(id % 997 as string), ','), 20) AS payload",
+            "concat(md5(cast(id as string)), md5(cast(id + 7 as string)), "
+            "md5(cast(id + 13 as string))) AS payload",
         )
         df.count()  # materialize the range plan cost outside the timing
 
@@ -53,16 +57,19 @@ def main() -> None:
         )
         t_write = time.time() - t0
 
-        t0 = time.time()
-        full = sinks.read_training_shards(spark, base)
-        n_full = full.count()
-        t_full = time.time() - t0
+        def timed_read(start=None):
+            best = None
+            for _ in range(2):  # min-of-2: absorb one scheduling hiccup
+                t0 = time.time()
+                out = sinks.read_training_shards(spark, base, start=start)
+                n = out.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best, n
 
+        t_full, n_full = timed_read()
         s0 = num_shards * 3 // 4
-        t0 = time.time()
-        resumed = sinks.read_training_shards(spark, base, start=(s0, 0))
-        n_res = resumed.count()
-        t_res = time.time() - t0
+        t_res, n_res = timed_read(start=(s0, 0))
 
         results[str(n_rows)] = {
             "write_s": round(t_write, 2),
@@ -81,7 +88,13 @@ def main() -> None:
             "weak-scaling of the manifest-verified shard delivery: write "
             "(reshard + partitioned write + format-3 checksum agg), full "
             "verified read, and resumed read from the 3/4 shard boundary "
-            f"({num_shards} shards; resume should cost ~the tail fraction)"
+            f"({num_shards} shards, incompressible ~96B payload, "
+            "min-of-2 reads). Expectation: resume_cost_fraction trends "
+            "toward tail_fraction (0.25) as volume grows past per-job "
+            "fixed overhead; at small volumes fixed overhead dominates "
+            "both reads and the fraction sits near 1.0 — the pruning "
+            "itself is structural (plan-asserted in "
+            "test_resume_read_prunes_shard_partitions)"
         ),
         "results": results,
     }
