@@ -638,3 +638,53 @@ def test_resume_read_prunes_shard_partitions(spark, tmp_path):
     )
     part = scan.split("PartitionFilters:")[1]
     assert "shard" in part and ">= 6" in part, f"no shard bound in {part!r}"
+
+
+def test_epoch_shards_deliver_and_resume(spark, tmp_path):
+    """End-to-end composition of the r18 delivery contract: epoch-1's
+    oversampled copy set (weights -> copies -> (doc_id, copy) keys)
+    written through the manifest-verified shard sink and RESUMED
+    mid-epoch — the exact restart path of a multi-epoch trainer. The
+    resumed read must equal the full read's suffix and stay verified."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark import sinks
+    from mriya_spark.ops.quality import oversample_epochs
+
+    docs = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "cast(1.7 as double) AS weight"
+    )
+    copies = oversample_epochs(
+        docs, weight_col="weight", key_col="doc_id"
+    ).withColumn(
+        "ck",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("copy").cast("string")
+        ),
+    )
+    path = str(tmp_path / "epoch1_shards")
+    # the sink's own shard_shuffle orders the epoch; ck is the copy-
+    # unique identity so duplicate copies land decorrelated
+    sinks.write_training_shards(copies, path, key_col="ck", num_shards=8, seed=1)
+    full = sinks.read_training_shards(spark, path)
+    n3 = full.filter("shard = 3").count()
+    p0 = n3 // 2
+    resumed = sinks.read_training_shards(spark, path, start=(3, p0))
+    want = sorted(
+        (r["shard"], r["pos"], r["ck"])
+        for r in full.collect()
+        if r["shard"] > 3 or (r["shard"] == 3 and r["pos"] >= p0)
+    )
+    got = sorted(
+        (r["shard"], r["pos"], r["ck"]) for r in resumed.collect()
+    )
+    assert got == want and len(got) > 0
+    # copy identity survives delivery: some doc's two copies sit in
+    # different shards of the export
+    two = (
+        full.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("ns"), F.count("*").alias("nc"))
+        .filter("nc >= 2 AND ns > 1")
+        .count()
+    )
+    assert two > 0
