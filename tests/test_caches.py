@@ -20,6 +20,14 @@ import pytest
 from mriya_spark import cachedir
 from mriya_spark import queries as Q
 
+# patch the IVF cache where the helper actually LOOKS it up: its own
+# defining module (queries.py re-exports the name, but rebinding the
+# re-export would not touch the function's globals — the r18 qchunks
+# split made that distinction real)
+import sys as _sys
+
+IVF_MOD = _sys.modules[Q._ivf_index_for.__module__]
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
@@ -59,7 +67,7 @@ def ivf_sandbox(tmp_path, monkeypatch):
     """Fresh cache root + cleared in-memory IVF cache + a call counter
     on the index builder."""
     monkeypatch.setenv(cachedir._ENV_VAR, str(tmp_path / "cache"))
-    monkeypatch.setattr(Q, "_IVF_INDEX_CACHE", {})
+    monkeypatch.setattr(IVF_MOD, "_IVF_INDEX_CACHE", {})
     import mriya_spark.ops.vector as V
 
     real = V.ivf_write_index
@@ -86,7 +94,7 @@ def test_ivf_index_built_under_cache_root_and_reused(spark, ivf_sandbox):
     assert (path2, cents2) == (path1, cents1) and ivf_sandbox["n"] == 1
 
     # cross-process reuse: cleared in-memory cache, valid disk index
-    Q._IVF_INDEX_CACHE.clear()
+    IVF_MOD._IVF_INDEX_CACHE.clear()
     path3, cents3 = Q._ivf_index_for(spark, SF_SMOKE)
     assert path3 == path1 and cents3 == cents1 and ivf_sandbox["n"] == 1
 
@@ -121,12 +129,12 @@ def test_ivf_tampered_or_torn_index_retrains(spark, ivf_sandbox, tamper):
                 for f in files:
                     os.remove(os.path.join(root, f))
 
-    Q._IVF_INDEX_CACHE.clear()
+    IVF_MOD._IVF_INDEX_CACHE.clear()
     path2, cents2 = Q._ivf_index_for(spark, SF_SMOKE)
     assert ivf_sandbox["n"] == 2, f"{tamper}: tampered index was trusted"
     assert path2 == path and cents2 == cents  # deterministic retrain
     # and the rebuilt index verifies again without a third build
-    Q._IVF_INDEX_CACHE.clear()
+    IVF_MOD._IVF_INDEX_CACHE.clear()
     Q._ivf_index_for(spark, SF_SMOKE)
     assert ivf_sandbox["n"] == 2
 
