@@ -860,3 +860,46 @@ def test_merge_rank_equals_replace_chain(words, n_merges):
         for left, right, _c in merges:
             chain = chain.replace(f"<{left}><{right}>", f"<{left}{right}>")
         assert _merge_rank_segment(w, ranks) == chain, (w, merges)
+
+
+@given(
+    st.integers(min_value=30, max_value=400),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=11),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@_SETTINGS
+def test_resume_read_is_full_read_suffix(
+    spark, tmp_path_factory, n_rows, num_shards, s_raw, frac
+):
+    """PROPERTY (r18 resume contract): for ANY export shape and ANY
+    in-bounds resume point (shard s, pos p), the verified resumed read
+    returns exactly the full read's suffix — including the boundary
+    cases p == 0 (whole-shard resume) and p == rows(s) (roll to the
+    next shard). The md5 placement makes the expected suffix a pure
+    function of the inputs, so the model is the full read itself."""
+    import shutil
+
+    from mriya_spark import sinks
+
+    s0 = s_raw % num_shards
+    base = str(tmp_path_factory.mktemp("resume_prop") / "shards")
+    df = spark.range(0, n_rows).selectExpr("id AS doc_id", "id * 7 AS v")
+    sinks.write_training_shards(
+        df, base, key_col="doc_id", num_shards=num_shards, seed=5
+    )
+    full = sorted(
+        (r["shard"], r["pos"], r["doc_id"])
+        for r in sinks.read_training_shards(spark, base).collect()
+    )
+    n_s0 = sum(1 for s, _, _ in full if s == s0)
+    p0 = int(frac * n_s0)  # 0 .. n_s0 inclusive (frac=1.0 -> rollover)
+    got = sorted(
+        (r["shard"], r["pos"], r["doc_id"])
+        for r in sinks.read_training_shards(
+            spark, base, start=(s0, p0)
+        ).collect()
+    )
+    want = [t for t in full if t[0] > s0 or (t[0] == s0 and t[1] >= p0)]
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
