@@ -351,7 +351,27 @@ def main() -> None:
                     "forensics (r11 judge directive 7)."
                 ),
     }
-    print(json.dumps(payload))
+    # stdout gets a COMPACT line: the driver records only a truncated
+    # stdout tail, and by r17 the accumulated notes had grown the line
+    # past the capture window — BENCH_r17.json's "parsed: null" means
+    # the official record lost even the headline total (r17 verdict
+    # nit 2). Medians + total fit any plausible tail; the raw runs,
+    # cold timings, and full method notes stay in BENCH_LOCAL_r{N}.json
+    # and benchlogs/ (the builder-side discipline, now pointed to).
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "notes": (
+            "warm medians; raw runs + cold timings + method notes in "
+            "BENCH_LOCAL_r{N}.json and benchlogs/ (r17 verdict nit 2: "
+            "the full-notes stdout line outgrew the driver's tail "
+            "capture)"
+        ),
+    }
+    print(json.dumps(compact))
     # Persist the FULL payload next to the driver's truncated record
     # (r11 judge directive 7: round-over-round forensics could recover
     # only 5 of ~32 queries' runs from BENCH_r11.json's stdout tail).
