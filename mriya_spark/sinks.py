@@ -274,7 +274,8 @@ def write_training_shards(
     catches the even-multiplicity swaps XOR cancels ({B,B}->{C,C}
     moves the sum by 2*(h(C)-h(B))). Both aggregates are commutative
     (order-insensitive, no sort) and partial-aggregate map-side; the
-    sum runs in decimal so it is overflow-free at any shard size."""
+    sum runs in decimal(38,0) — exact up to ~1e18 same-sign 64-bit
+    hashes per shard, far past any real shard."""
     import json
 
     from mriya_spark.ops.layout import shard_shuffle
@@ -357,7 +358,10 @@ def _shard_row_stats(df: DataFrame, cols: list) -> dict:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(__rh)").alias("x"),
-            F.sum(F.col("__rh").cast("decimal(20,0)")).alias("s"),
+            # decimal(28,0) operand -> Spark sums in decimal(38,0):
+            # headroom for ~1e18 same-sign 64-bit hashes per shard
+            # (decimal(20,0) would cap at ~1e11 adversarial rows)
+            F.sum(F.col("__rh").cast("decimal(28,0)")).alias("s"),
         )
         .collect()
     )

@@ -632,14 +632,12 @@ def stage_docs_files(
     """Split ``documents`` into ``n_files`` id-ordered parquet files
     with monotone mtimes, so a file stream replays the corpus in
     doc_id order — which makes first-arrival-wins dedup deterministic
-    (first arrival == smallest doc_id). LOCAL-FS ONLY test-fixture
-    staging (``os.utime`` has no object-store equivalent) — see
-    ``stage_frame_files``."""
-    if "://" in sf_dir:
-        raise ValueError(
-            "stage_docs_files stages local-FS fixtures only; got "
-            f"{sf_dir!r}"
-        )
+    (first arrival == smallest doc_id). The SOURCE ``sf_dir`` may live
+    anywhere Spark can read; the staged OUTPUT always lands under the
+    local ``_STAGE_ROOT`` (user cache dir), which is what the
+    ``os.listdir``/``os.utime`` mtime staggering requires — see
+    ``stage_frame_files`` for the caller-supplied-output variant that
+    must guard its path."""
     tag = sf_dir.rstrip("/").replace("/", "_")
     out = f"{_STAGE_ROOT}/docs_{tag}_{n_files}"
     marker = f"{out}/_STAGED"

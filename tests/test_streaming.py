@@ -909,10 +909,14 @@ def test_stream_decode_unknown_id_fails_loud(spark, tmp_path):
 
 
 def test_stage_helpers_refuse_remote_paths(spark):
-    """The mtime-staggered fixture stagers are LOCAL-FS only (os.utime
-    has no object-store equivalent): a scheme-prefixed path must fail
-    loud instead of silently staging onto a bogus local path (r17
-    ADVICE)."""
+    """stage_frame_files' mtime staggering is LOCAL-FS only (os.utime
+    has no object-store equivalent): a scheme-prefixed OUTPUT path must
+    fail loud instead of silently staging onto a bogus local path (r17
+    ADVICE). stage_docs_files takes no output path — its staging always
+    lands under the local _STAGE_ROOT, and a remote SOURCE corpus is
+    legitimate (Spark reads it), so it must NOT guard sf_dir."""
+    import inspect
+
     import pytest
 
     from mriya_spark import streaming as S
@@ -920,5 +924,8 @@ def test_stage_helpers_refuse_remote_paths(spark):
     df = spark.range(3).selectExpr("id AS doc_id")
     with pytest.raises(ValueError, match="local-FS"):
         S.stage_frame_files(spark, df, "s3a://bucket/stage")
-    with pytest.raises(ValueError, match="local-FS"):
-        S.stage_docs_files(spark, "hdfs://nn/testdata/sf0.001")
+    # the docs stager guards nothing on the source side: a remote
+    # sf_dir reaches spark.read.parquet (first failure there would be
+    # the missing remote FS connector, not a ValueError from us)
+    src = inspect.getsource(S.stage_docs_files)
+    assert "raise ValueError" not in src

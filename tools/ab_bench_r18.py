@@ -52,8 +52,13 @@ def run_leg(tree: str, names: list[str]) -> dict:
         text=True,
         timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["queries"]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py failed in {tree} (rc={out.returncode}); "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])["queries"]
 
 
 def main() -> None:
