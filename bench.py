@@ -399,12 +399,23 @@ def main() -> None:
         # must survive SOMEWHERE — fall back to /tmp and say so on
         # stderr instead of silently dropping the forensics record
         fallback = os.path.join("/tmp", os.path.basename(out))
-        with open(fallback, "w") as fh:
-            json.dump(payload, fh, indent=1)
-        print(
-            f"bench: {out} not writable; full payload at {fallback}",
-            file=sys.stderr,
-        )
+        try:
+            with open(fallback, "w") as fh:
+                json.dump(payload, fh, indent=1)
+        except OSError:
+            # both destinations unwritable: the compact stdout line
+            # (the official record) already printed, so losing the
+            # forensics payload must not fail the whole bench run
+            print(
+                f"bench: neither {out} nor {fallback} writable; "
+                "full payload dropped (compact stdout line stands)",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"bench: {out} not writable; full payload at {fallback}",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

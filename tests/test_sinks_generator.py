@@ -348,7 +348,7 @@ def test_training_shards_key_checksum_catches_substitution(spark, tmp_path):
     df = spark.range(0, 200).selectExpr("id AS doc_id", "id % 5 AS grp")
     path = str(tmp_path / "shards")
     manifest = sinks.write_training_shards(df, path, num_shards=4, seed=9)
-    assert manifest["format"] == 3 and "shard_row_xor" in manifest
+    assert manifest["format"] == 4 and "shard_row_xor" in manifest
     sinks.read_training_shards(spark, path).count()  # clean read passes
 
     # substitute one shard's rows: same count, different doc_ids
@@ -418,6 +418,108 @@ def test_training_shards_checksum_covers_payload_and_even_swaps(
     shutil.rmtree(vdir)
     fake.coalesce(1).write.parquet(vdir)
     with pytest.raises(ValueError, match="row-content checksum"):
+        sinks.read_training_shards(spark, path)
+
+
+def test_training_shards_format4_null_transposition(spark, tmp_path):
+    """The r18-ADVICE blind spot, closed by format 4: a value MIGRATING
+    between columns under NULL backfill — (a=5, b=NULL) -> (a=NULL,
+    b=5) — left format 3's raw xxhash64 unchanged (Spark's hash fold
+    skips NULL inputs), but the interleaved isnull flags make the two
+    layouts fold different sequences, so the fresh format-4 write
+    refuses the read. A manifest DOWNGRADED to format 3 (its recorded
+    xor/sum recomputed under the flagless rule, as a real pre-r19
+    export carries) verifies the same tamper blind — proving both that
+    old exports still read and exactly why the format was bumped."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from mriya_spark import sinks
+    from mriya_spark.sinks import _shard_row_stats
+
+    df = spark.range(0, 90).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN id * 7 END AS a",
+        "CASE WHEN id % 2 = 1 THEN id * 7 END AS b",
+    )
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=3, seed=11)
+    sinks.read_training_shards(spark, path).count()  # clean read passes
+
+    # the downgraded-manifest twin: recompute the checksums under the
+    # format-3 (flagless) rule and stamp the manifest format 3
+    mp = path + "/_manifest.json"
+    with open(mp) as fh:
+        doc = json.load(fh)
+    written = spark.read.parquet(path)
+    flagless = _shard_row_stats(written, doc["columns"], null_flags=False)
+    doc3 = dict(
+        doc,
+        format=3,
+        shard_row_xor={str(s): v[1] for s, v in flagless.items()},
+        shard_row_sum={str(s): str(v[2]) for s, v in flagless.items()},
+    )
+
+    # null-transposition tamper: swap each row's (a, b) pair — every
+    # value moves to the other column, NULL backfill preserved
+    victim = next(d for d in os.listdir(path) if d.startswith("shard="))
+    vdir = os.path.join(path, victim)
+    orig = spark.read.parquet(vdir)
+    cols = orig.columns
+    swapped = orig.selectExpr(
+        *["b AS a" if c == "a" else "a AS b" if c == "b" else c for c in cols]
+    ).select(*cols)
+    rows = swapped.collect()
+    shutil.rmtree(vdir)
+    spark.createDataFrame(rows, orig.schema).coalesce(1).write.parquet(vdir)
+
+    # format 4 catches it
+    with pytest.raises(ValueError, match="row-content checksum"):
+        sinks.read_training_shards(spark, path)
+
+    # format 3 is blind to it (documented limitation, not a bug class
+    # new writes carry). Rewrite through the FS API — a raw local
+    # write would desync the Hadoop .crc sidecar and fail the read
+    # for the wrong reason.
+    from mriya_spark.fsutil import fs_write_text
+
+    fs_write_text(spark, mp, json.dumps(doc3))
+    assert sinks.read_training_shards(spark, path).count() == 90
+
+
+def test_training_shards_manifest_missing_keys_fail_uniformly(
+    spark, tmp_path
+):
+    """A truncated/tampered manifest missing its format-3+ keys (or the
+    core keys) fails with the descriptive ValueError every other
+    integrity path produces, never a bare KeyError (r18 ADVICE)."""
+    import json
+
+    import pytest
+
+    from mriya_spark import sinks
+
+    df = spark.range(0, 40).selectExpr("id AS doc_id", "id * 2 AS v")
+    path = str(tmp_path / "shards")
+    sinks.write_training_shards(df, path, num_shards=2, seed=3)
+    mp = path + "/_manifest.json"
+    with open(mp) as fh:
+        doc = json.load(fh)
+
+    from mriya_spark.fsutil import fs_write_text
+
+    for key in ("columns", "shard_row_xor", "shard_row_sum"):
+        broken = {k: v for k, v in doc.items() if k != key}
+        fs_write_text(spark, mp, json.dumps(broken))
+        with pytest.raises(ValueError, match="missing required keys"):
+            sinks.read_training_shards(spark, path)
+
+    broken = {k: v for k, v in doc.items() if k != "shard_rows"}
+    fs_write_text(spark, mp, json.dumps(broken))
+    with pytest.raises(ValueError, match="missing its core keys"):
         sinks.read_training_shards(spark, path)
 
 
@@ -688,3 +790,96 @@ def test_epoch_shards_deliver_and_resume(spark, tmp_path):
         .count()
     )
     assert two > 0
+
+
+def test_append_training_shards_batching_invariant(spark, tmp_path):
+    """The final manifest after ANY batching of the same rows is
+    byte-identical — one shot vs three micro-batches — because the
+    format-4 checksums are commutative monoids over rows and the
+    (shard, ord) placement is a pure per-row function of (seed, epoch,
+    key). The reader recovers the batch writer's exact dense pos from
+    the stored order key, so the streamed export and the batch export
+    agree row-for-row on (doc_id, shard, pos)."""
+    df = spark.range(0, 120).selectExpr("id AS doc_id", "id % 7 AS grp")
+    p1 = str(tmp_path / "oneshot")
+    m1 = sinks.append_training_shards(df, p1, num_shards=4, seed=5)
+    p2 = str(tmp_path / "batched")
+    m2 = None
+    for lo, hi in ((0, 50), (50, 90), (90, 120)):
+        m2 = sinks.append_training_shards(
+            df.filter(f"doc_id >= {lo} AND doc_id < {hi}"),
+            p2,
+            num_shards=4,
+            seed=5,
+        )
+    assert m1 == m2
+
+    # both exports pass the verifying read, and the pos the reader
+    # materializes from ord equals what write_training_shards stores
+    pref = str(tmp_path / "batchwriter")
+    sinks.write_training_shards(df, pref, num_shards=4, seed=5)
+    want = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in spark.read.parquet(pref).collect()
+    )
+    for p in (p1, p2):
+        got = sorted(
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in sinks.read_training_shards(
+                spark, p, start=(0, 0)
+            ).collect()
+        )
+        assert got == want
+
+    # an empty batch merges zeros and leaves the manifest unchanged
+    m3 = sinks.append_training_shards(
+        df.filter("doc_id < 0"), p2, num_shards=4, seed=5
+    )
+    assert m3 == m2
+
+
+def test_append_training_shards_param_mismatch_refused(spark, tmp_path):
+    """Appending under different placement/checksum parameters than the
+    export's manifest records would corrupt the export — refused loud."""
+    import pytest
+
+    df = spark.range(0, 30).selectExpr("id AS doc_id")
+    path = str(tmp_path / "shards")
+    sinks.append_training_shards(df, path, num_shards=4, seed=5)
+    with pytest.raises(ValueError, match="disagree with"):
+        sinks.append_training_shards(df, path, num_shards=8, seed=5)
+    with pytest.raises(ValueError, match="disagree with"):
+        sinks.append_training_shards(df, path, num_shards=4, seed=6)
+    with pytest.raises(ValueError, match="disagree with"):
+        sinks.append_training_shards(
+            df, path, num_shards=4, seed=5, epoch=2
+        )
+
+
+def test_rebuild_training_manifest_recovers_torn_merge(spark, tmp_path):
+    """A crash between a batch's data append and its manifest merge
+    leaves the export readable but unaccounted: the verifying reader
+    refuses it loudly, and rebuild_training_manifest recomputes the
+    checksums from what IS on disk so the export verifies again."""
+    import pytest
+
+    df = spark.range(0, 80).selectExpr("id AS doc_id", "id * 3 AS v")
+    path = str(tmp_path / "shards")
+    sinks.append_training_shards(
+        df.filter("doc_id < 60"), path, num_shards=4, seed=5
+    )
+    # simulate the torn merge: data of the second batch lands, the
+    # manifest merge never runs
+    from mriya_spark.ops.layout import shard_assign
+
+    extra = shard_assign(
+        df.filter("doc_id >= 60"), num_shards=4, seed=5, ord_col="ord"
+    )
+    extra.write.mode("append").partitionBy("shard").parquet(path)
+    with pytest.raises(ValueError):
+        sinks.read_training_shards(spark, path).count()
+
+    rebuilt = sinks.rebuild_training_manifest(spark, path)
+    assert rebuilt["total_rows"] == 80
+    got = sinks.read_training_shards(spark, path, start=(0, 0))
+    assert got.count() == 80
