@@ -143,6 +143,17 @@ HEADLINE = [
     "sink_packed_shards_attention",
     "sink_shards_resume",
     "sample_epoch_plan",
+    # r19 additions: the composed mid-epoch resume of a MATERIALIZED
+    # epoch plan (oversample explode + epoch-keyed delivery + the
+    # partition-pruned verified tail read), cell-bounded semantic
+    # dedup (scan-local cell assignment + within-cell semi-join —
+    # never all-pairs), and the streaming shard delivery (per-batch
+    # anti-join + scan-local placement + manifest checksum merge;
+    # its delta vs sink_shards_resume's write is the micro-batch
+    # overhead under watch)
+    "sink_epoch_resume",
+    "dedup_semantic_ivf",
+    "stream_shard_delivery",
 ]
 
 
