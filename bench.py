@@ -354,7 +354,14 @@ def main() -> None:
                     "the interleaved same-host A/B (benchlogs/"
                     "bench_d5_r18_samehost.json: 11 common rows 0.73-1.12, "
                     "median 0.95, the one >1.1 row inside its own "
-                    "within-tree leg spread). "
+                    "within-tree leg spread). r19 adds sink_epoch_resume "
+                    "(mid-epoch resume of a materialized epoch plan), "
+                    "dedup_semantic_ivf (cell-bounded semantic dedup), and "
+                    "stream_shard_delivery (per-batch manifest-merging "
+                    "streamed delivery) — r19 totals are NOT comparable to "
+                    "r18; compare per-query, on the 56-query common set, or "
+                    "via the interleaved same-host A/B (benchlogs/"
+                    "bench_d6_r19_samehost.json). "
                     "Full payload (all raw runs) is "
                     "also written to BENCH_LOCAL_r{N}.json in the repo root "
                     "— the driver's BENCH_r{N}.json keeps only a truncated "

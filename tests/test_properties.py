@@ -903,3 +903,63 @@ def test_resume_read_is_full_read_suffix(
     want = [t for t in full if t[0] > s0 or (t[0] == s0 and t[1] >= p0)]
     assert got == want
     shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.integers(min_value=20, max_value=300),
+    st.integers(min_value=2, max_value=8),
+    st.lists(
+        st.floats(min_value=0.01, max_value=0.99),
+        min_size=0,
+        max_size=4,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_append_shards_manifest_is_batching_invariant(
+    spark, tmp_path_factory, n_rows, num_shards, cut_fracs
+):
+    """PROPERTY (r19 streaming delivery contract): for ANY row set and
+    ANY partition of it into ordered batches (including the empty
+    batch at the ends), the final `append_training_shards` manifest is
+    byte-identical to the one-shot append's, and the verified read
+    recovers the batch writer's exact (shard, pos) placement. This is
+    the claim that lets a foreachBatch stream deliver the same export
+    a batch job would have."""
+    import shutil
+
+    from mriya_spark import sinks
+
+    cuts = sorted({int(f * n_rows) for f in cut_fracs} | {0, n_rows})
+    base = str(tmp_path_factory.mktemp("append_prop"))
+    df = spark.range(0, n_rows).selectExpr("id AS doc_id", "id * 3 AS v")
+
+    one = base + "/oneshot"
+    m_one = sinks.append_training_shards(
+        df, one, num_shards=num_shards, seed=9
+    )
+    batched = base + "/batched"
+    m_b = None
+    for lo, hi in zip(cuts, cuts[1:]):
+        m_b = sinks.append_training_shards(
+            df.filter(f"doc_id >= {lo} AND doc_id < {hi}"),
+            batched,
+            num_shards=num_shards,
+            seed=9,
+        )
+    assert m_b == m_one
+
+    ref = base + "/ref"
+    sinks.write_training_shards(df, ref, num_shards=num_shards, seed=9)
+    want = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in spark.read.parquet(ref).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in sinks.read_training_shards(
+            spark, batched, start=(0, 0)
+        ).collect()
+    )
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
