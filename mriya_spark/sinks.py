@@ -345,6 +345,7 @@ def append_training_shards(
     num_shards: int = 16,
     seed: int = 42,
     epoch: int | None = None,
+    bloom_bits: int | None = None,
 ) -> dict:
     """Append ONE micro-batch to a manifest'd shard export — the
     streaming half of ``write_training_shards`` (r18 judge directive
@@ -355,6 +356,22 @@ def append_training_shards(
     the batch writer, zero exchanges, no cross-batch state), appends
     the rows under their ``shard=`` directories, and merges the
     batch's per-shard (rows, xor, sum) into the existing manifest.
+
+    ``bloom_bits`` (optional) additionally maintains a Bloom filter of
+    DELIVERED KEYS in the manifest (``key_bloom_words`` — the
+    ``ops.relational`` 63-bit-word md5 family): per batch one bounded
+    word aggregate over the batch's keys, merged into the manifest by
+    word-wise OR — ``bit_or`` is a commutative monoid like the
+    checksums, so the final filter is batching-invariant too. A
+    delivery caller (``streaming.stream_shard_delivery``) screens new
+    arrivals against it scan-locally: bloom-NEGATIVE keys are
+    DEFINITELY new (no false negatives) and skip the exact
+    already-delivered anti-join entirely; only the ~FP-rate positives
+    pay it. Size from the EXPECTED corpus via
+    ``ops.relational.bloom_size_bits`` — a saturated filter degrades
+    pruning (positives approach 100%), never correctness. The setting
+    is pinned in the manifest like every placement parameter:
+    appending with a different ``bloom_bits`` is refused.
     Because every aggregate is order/batching-insensitive and the
     (shard, ord) placement is a pure per-row function of (seed,
     epoch, key), the FINAL manifest after any batching of the same
@@ -393,6 +410,7 @@ def append_training_shards(
         "epoch": epoch,
         "key_col": key_col,
         "columns": cols,
+        "bloom_bits": bloom_bits,
     }
     mp = path.rstrip("/") + "/_manifest.json"
     if fs_exists(spark, mp):
@@ -432,6 +450,16 @@ def append_training_shards(
     manifest["total_rows"] = sum(
         int(v) for v in manifest["shard_rows"].values()
     )
+    if bloom_bits:
+        from mriya_spark.ops.relational import bloom_build
+
+        words = bloom_build(
+            assigned.select(key_col), key_col, n_bits=bloom_bits
+        )
+        old = manifest.get("key_bloom_words") or [0] * len(words)
+        manifest["key_bloom_words"] = [
+            int(a) | int(b) for a, b in zip(old, words)
+        ]
     fs_write_text(spark, mp, json.dumps(manifest))
     return manifest
 
@@ -460,6 +488,14 @@ def rebuild_training_manifest(spark: SparkSession, path: str) -> dict:
     manifest["shard_row_xor"] = {str(s): v[1] for s, v in stats.items()}
     manifest["shard_row_sum"] = {str(s): str(v[2]) for s, v in stats.items()}
     manifest["total_rows"] = sum(v[0] for v in stats.values())
+    if manifest.get("bloom_bits"):
+        from mriya_spark.ops.relational import bloom_build
+
+        manifest["key_bloom_words"] = bloom_build(
+            df.select(manifest["key_col"]),
+            manifest["key_col"],
+            n_bits=int(manifest["bloom_bits"]),
+        )
     fs_write_text(spark, mp, json.dumps(manifest))
     return manifest
 

@@ -725,6 +725,7 @@ def stream_shard_delivery(
     num_shards: int = 8,
     seed: int = 42,
     epoch: int | None = None,
+    bloom_bits: int | None = None,
 ) -> str:
     """STREAMING training-shard delivery (r18 judge directive 4): the
     batch sink (``sinks.write_training_shards``) required the whole
@@ -743,8 +744,18 @@ def stream_shard_delivery(
     resume contract included (``pos`` materializes at read time from
     the stored order key).
 
-    Per-batch IO: the keys-already-delivered read prunes to
-    ``key_col`` + the manifest-existence probe; the write is
+    Per-batch IO: the keys-already-delivered read prunes THREE ways —
+    to ``key_col`` (column pruning), to the batch's [min, max] key
+    range (for an EQUALITY anti-join only keys present in the batch
+    can ever match, so restricting the export scan to the batch's key
+    range is semantically free and lets parquet row-group stats skip
+    the rest — for an arrival stream whose keys trend upward this
+    turns the per-batch scan from O(delivered) into O(overlap)), and
+    optionally by the manifest's delivered-keys Bloom filter
+    (``bloom_bits``; see ``append_training_shards``): bloom-NEGATIVE
+    rows are definitely new (no false negatives) and bypass the exact
+    anti-join; only the ~FP-rate positives pay it — a batch with zero
+    positives skips the export scan entirely. The write is
     append-only (one file per touched shard per batch — compaction is
     the standing ``compact_parquet`` path). A crash between a batch's
     data append and its manifest merge surfaces at read time as a
@@ -763,14 +774,44 @@ def stream_shard_delivery(
         # guard on DELIVERED ROWS, not manifest existence: an empty
         # first batch writes a zero-row manifest, and read.parquet on
         # a data-less export would fail schema inference
-        if fs_exists(spark, mp) and int(
-            _json.loads(fs_read_text(spark, mp)).get("total_rows", 0)
-        ) > 0:
-            seen = spark.read.parquet(target_path).select(F.col(key_col))
-            batch = batch.join(seen, on=key_col, how="left_anti")
+        manifest = (
+            _json.loads(fs_read_text(spark, mp))
+            if fs_exists(spark, mp)
+            else {}
+        )
+        if int(manifest.get("total_rows", 0)) > 0:
+            bounds = batch.agg(
+                F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                probe = batch
+                words = manifest.get("key_bloom_words")
+                if bloom_bits and words:
+                    from mriya_spark.ops.relational import bloom_screen
+
+                    screened = bloom_screen(
+                        batch, key_col, [int(w) for w in words],
+                        n_bits=bloom_bits,
+                    )
+                    fresh = screened.filter(~F.col("bloom_pass")).drop(
+                        "bloom_pass"
+                    )
+                    probe = screened.filter(F.col("bloom_pass")).drop(
+                        "bloom_pass"
+                    )
+                else:
+                    fresh = None
+                seen = (
+                    spark.read.parquet(target_path)
+                    .select(F.col(key_col))
+                    .filter(F.col(key_col).between(bounds["lo"], bounds["hi"]))
+                )
+                batch = probe.join(seen, on=key_col, how="left_anti")
+                if fresh is not None:
+                    batch = fresh.unionByName(batch)
         sinks.append_training_shards(
             batch, target_path, key_col=key_col, num_shards=num_shards,
-            seed=seed, epoch=epoch,
+            seed=seed, epoch=epoch, bloom_bits=bloom_bits,
         )
 
     run_foreach_batch(docs, deliver_batch, ckpt_prefix="ckpt_sharddel_")

@@ -979,3 +979,82 @@ def test_stream_shard_delivery_matches_batch_and_replays_idempotent(
         m_replay = json.load(fh)
     assert m_replay == m_ref
     assert sinks.read_training_shards(spark, target, start=(0, 0)).count() == 150
+
+
+def test_stream_shard_delivery_bloom_screen_same_result(spark, tmp_path):
+    """With the delivered-keys Bloom filter enabled, the streamed
+    export's DATA and manifest checksums are identical to a one-shot
+    append with the same setting (the bloom words are a word-wise-OR
+    monoid, so the final filter is batching-invariant like the
+    checksums), overlap between batches still dedups (positives go
+    through the exact anti-join — no false negatives means no new key
+    is ever wrongly dropped), and a full replay appends nothing."""
+    import json
+
+    from mriya_spark import sinks
+
+    docs = spark.range(0, 120).selectExpr(
+        "id AS doc_id", "concat('d', id) AS body"
+    )
+    src = str(tmp_path / "src")
+    # stage WITH OVERLAP: two halves sharing 20 keys — the second
+    # half's duplicates must be dropped by the screened anti-join
+    first = docs.filter("doc_id < 70")
+    second = docs.filter("doc_id >= 50")
+    import os
+    import time
+
+    os.makedirs(src)
+    now = time.time()
+    for i, part in enumerate((first, second)):
+        d = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(d)
+        f = next(x for x in os.listdir(d) if x.startswith("part-"))
+        p = src + f"/b{i}.parquet"
+        os.rename(d + "/" + f, p)
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, body string")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+
+    target = str(tmp_path / "delivered")
+    S.stream_shard_delivery(
+        stream(), target, num_shards=4, seed=5, bloom_bits=4096
+    )
+
+    ref = str(tmp_path / "oneshot")
+    m_ref = sinks.append_training_shards(
+        docs, ref, num_shards=4, seed=5, bloom_bits=4096
+    )
+    with open(target + "/_manifest.json") as fh:
+        m_got = json.load(fh)
+    assert m_got == m_ref
+    assert len(m_got["key_bloom_words"]) > 0
+
+    back = sinks.read_training_shards(spark, target, start=(0, 0))
+    assert back.count() == 120
+    assert back.select("doc_id").distinct().count() == 120
+
+    # replay: every key is delivered, so every row is bloom-positive
+    # and the exact anti-join drops all of them
+    S.stream_shard_delivery(
+        stream(), target, num_shards=4, seed=5, bloom_bits=4096
+    )
+    with open(target + "/_manifest.json") as fh:
+        assert json.load(fh) == m_ref
+
+    # enabling bloom on an existing non-bloom export is refused (the
+    # setting is a pinned manifest parameter)
+    import pytest
+
+    plain = str(tmp_path / "plain")
+    sinks.append_training_shards(docs, plain, num_shards=4, seed=5)
+    with pytest.raises(ValueError, match="disagree with"):
+        sinks.append_training_shards(
+            docs, plain, num_shards=4, seed=5, bloom_bits=4096
+        )
