@@ -407,13 +407,27 @@ def _centroid_udf(centroids: list[list[float]], *, nprobe: int):
 
     @pandas_udf(schema)
     def nearest(vecs: pd.Series) -> pd.DataFrame:
-        m = np.stack(vecs.to_numpy())  # batch x dim
-        scores = m.astype(np.float64) @ bmat.value  # batch x k
-        # stable argsort on (-score, cid): smallest cid wins ties
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-        return pd.DataFrame(
-            {f"c{i}": order[:, i].astype(np.int32) for i in range(nprobe)}
-        )
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # batch x dim
+        n, k = m.shape[0], bmat.value.shape[1]
+        # chunk the matmul so the scores buffer stays ~32 MB however
+        # large the quantizer: a corpus-scaled k (SemDeDup: thousands
+        # of cells) times the 10k-row Arrow batch is a multi-100-MB
+        # allocation PER TASK otherwise — measured 3x wall inflation
+        # from allocation/GC churn at k=4000 before this (r19 probe)
+        chunk = max(1, 4_000_000 // max(k, 1))
+        outs = [np.empty(n, dtype=np.int32) for _ in range(nprobe)]
+        for lo in range(0, n, chunk):
+            scores = m[lo : lo + chunk] @ bmat.value  # chunk x k
+            if nprobe == 1:
+                # first-wins argmax == the stable argsort's column 0,
+                # O(k) instead of O(k log k) per row
+                outs[0][lo : lo + chunk] = scores.argmax(axis=1)
+            else:
+                # stable argsort on (-score, cid): smallest cid wins
+                order = np.argsort(-scores, axis=1, kind="stable")
+                for i in range(nprobe):
+                    outs[i][lo : lo + chunk] = order[:, i]
+        return pd.DataFrame({f"c{i}": outs[i] for i in range(nprobe)})
 
     return nearest
 
@@ -757,6 +771,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_pairs: bool = False,
+    arrow_assign: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by embedding geometry, then
@@ -772,9 +787,23 @@ def semantic_dedup(
     matrix (the engine-portable form: with literals inlined, cell
     assignment -> within-cell pairs -> drop rule is exact SQL,
     hash-checkable cross-engine like ``ivf_portable_topk``). Cell
-    assignment is the portable first-index-argmax over sequential-fold
-    dot products (scan-local, zero exchanges; unit centroids make
-    argmax dot == argmax cosine with no normalizing divide).
+    assignment has TWO strategies, both scan-local (zero exchanges;
+    argmax dot is scale-invariant, and unit centroids make it argmax
+    cosine with no normalizing divide):
+
+    - portable (default for small quantizers): first-index-argmax over
+      sequential-fold dot products — a k x dim literal expression
+      tree, exactly replayable in SQL (the hash gates pin this path);
+    - ``arrow_assign`` (default once ``k * dim >= 4096``): ONE numpy
+      matmul per Arrow batch against the content-cached broadcast
+      centroid matrix (``_centroid_udf``) — the production path for a
+      corpus-scaled quantizer, where the literal tree would bloat
+      codegen k*dim-fold and evaluate interpretively. Same first-wins
+      tie-break and the SAME 1-based cell numbering; the two paths can
+      differ only where two dots tie within float-summation-order
+      error (test-asserted equal on tie-free corpora), which moves a
+      doc between candidate pools but never invents a false pair —
+      the cosine predicate is exact either way.
 
     Drop rule, stated precisely: a document is DROPPED iff some
     SMALLER-id document in the SAME cell has rounded cosine >=
@@ -794,13 +823,22 @@ def semantic_dedup(
     Returns kept documents ``(id, cell)`` — or, with
     ``keep_pairs=True``, the dropped-against-kept evidence pairs
     ``(id_kept, id_dropped, cell, cosine_sim)`` for audit."""
-    dots = F.array(
-        *[_dot(F.col(vec_col), _array_lit(c)) for c in centroids]
-    )
+    if arrow_assign is None:
+        arrow_assign = len(centroids) * len(centroids[0]) >= 4096
+    if arrow_assign:
+        # +1 matches the portable path's 1-based array_position labels
+        cell = (
+            _nearest_centroid(F.col(vec_col), centroids).cast("long") + 1
+        )
+    else:
+        dots = F.array(
+            *[_dot(F.col(vec_col), _array_lit(c)) for c in centroids]
+        )
+        cell = F.array_position(dots, F.array_max(dots)).cast("long")
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.array_position(dots, F.array_max(dots)).cast("long").alias("cell"),
+        cell.alias("cell"),
     )
     a = assigned.select(
         F.col("cell").alias("cell_a"),

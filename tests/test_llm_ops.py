@@ -3958,3 +3958,42 @@ def test_semantic_dedup_matches_brute_force_within_cells(spark):
     assert got == want
     # the planted duplicates actually exercised the rule
     assert len(want) < len(rows)
+
+
+def test_semantic_dedup_arrow_assign_matches_portable(spark):
+    """The Arrow matmul assignment (production path for corpus-scaled
+    quantizers) and the portable literal-fold assignment agree exactly
+    on a tie-free corpus — same 1-based cell labels, same kept set,
+    same evidence pairs."""
+    import random
+
+    from mriya_spark.ops.vector import _unit_py, hyperplanes, semantic_dedup
+
+    rng = random.Random(3)
+    cents = [_unit_py(p) for p in hyperplanes(8, 6, 11)]
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+        if i % 4 == 0:
+            rows.append((100 + i, [x * 1.0005 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    portable = semantic_dedup(
+        df, cents, threshold=0.995, arrow_assign=False
+    ).collect()
+    arrow = semantic_dedup(
+        df, cents, threshold=0.995, arrow_assign=True
+    ).collect()
+    assert sorted((r["vec_id"], r["cell"]) for r in portable) == sorted(
+        (r["vec_id"], r["cell"]) for r in arrow
+    )
+    p_pairs = semantic_dedup(
+        df, cents, threshold=0.995, keep_pairs=True, arrow_assign=False
+    ).collect()
+    a_pairs = semantic_dedup(
+        df, cents, threshold=0.995, keep_pairs=True, arrow_assign=True
+    ).collect()
+    key = lambda r: (r["id_kept"], r["id_dropped"], r["cell"])
+    assert sorted(map(key, p_pairs)) == sorted(map(key, a_pairs))
+    assert len(p_pairs) > 0

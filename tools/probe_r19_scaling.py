@@ -14,8 +14,12 @@ Claims under test (SCALE.md r19 rows):
    n_centroids scaled so E[cell size] stays constant (the SemDeDup
    deployment rule: clusters scale with the corpus), total cost scales
    ~linearly in rows, NOT quadratically — the within-cell pair scan
-   per cell is constant work. Probe: synthetic unit-ish vectors at
-   three volumes with k = n / 3125; report wall time per volume.
+   per cell is constant work, and the Arrow matmul assignment keeps
+   the n x k dot products vectorized (the literal-fold portable path
+   is for hash gates, not corpus-scaled quantizers). Probe: synthetic
+   vectors at three volumes with k = n / 200 (E[cell] ~ 200, the
+   worst case where NO pair qualifies so every row scans its whole
+   cell); report wall time per volume.
 
 Usage: python tools/probe_r19_scaling.py [out_json]
 """
@@ -94,7 +98,7 @@ def probe_semantic_dedup(spark, results: dict) -> None:
 
     dim = 16
     for n_rows in (50_000, 200_000, 800_000):
-        k = max(4, n_rows // 3125)  # E[cell size] ~ 3125, constant
+        k = max(4, n_rows // 200)  # E[cell size] ~ 200, constant
         rng = random.Random(7)
         cents = []
         for _ in range(k):
@@ -112,7 +116,9 @@ def probe_semantic_dedup(spark, results: dict) -> None:
         )
         df.count()
         t0 = time.time()
-        kept = semantic_dedup(df, cents, threshold=0.999).count()
+        kept = semantic_dedup(
+            df, cents, threshold=0.999, arrow_assign=True
+        ).count()
         t = time.time() - t0
         results[f"semantic_dedup_rows_{n_rows}"] = {
             "n_centroids": k,
