@@ -79,6 +79,7 @@ def shard_shuffle(
     num_shards: int = 8,
     seed: int = 42,
     epoch: int | None = None,
+    salt_chars: int = 0,
 ) -> DataFrame:
     """Deterministic corpus reshard + intra-shard shuffle — the layout
     step between packing (``queries.pack_sequences``) and training:
@@ -107,6 +108,26 @@ def shard_shuffle(
     ``epoch=None`` (default) the draw is exactly the historical
     (seed, key) form — existing shard assignments are unchanged.
 
+    ``salt_chars`` (opt-in) replaces the monolithic per-shard window
+    with SALTED TWO-PHASE dense numbering for shards too big to sort
+    in one task: the default window clusters a WHOLE shard into one
+    partition, so once a shard's rows outgrow a task's execution
+    memory the sort spills — measured as a cliff on the delivery
+    probe (16 shards of 96 B rows: 12.8 M total rows write in ~28 s,
+    25.6 M in ~380 s; `benchlogs/scaling_r18_delivery_rerun_r19.json`).
+    The salt is the FIRST ``salt_chars`` hex chars of the order key
+    itself — range-aligned by construction (every row in bucket
+    ``0x0a`` sorts before every row in ``0x0b``), so dense positions
+    decompose exactly: pos = (exclusive prefix sum of earlier
+    buckets' counts within the shard) + (row_number within the
+    bucket). The plan becomes one hash exchange on (shard, salt)
+    with per-BUCKET sorts (rows/(num_shards·16^salt_chars) each — no
+    spill at any corpus size with enough salt chars), plus a bounded
+    offsets aggregate (num_shards·16^salt_chars rows) broadcast back.
+    Same ``pos`` bit-for-bit (property-tested); the default stays 0
+    because at gate scale one exchange beats three and the plan pins
+    record that shape.
+
     Appends ``shard`` (long) and ``pos`` (long, 0-based dense within
     shard) to the input columns.
     """
@@ -116,10 +137,41 @@ def shard_shuffle(
         df, key_col=key_col, num_shards=num_shards, seed=seed, epoch=epoch,
         ord_col="__ord",
     )
-    w = Window.partitionBy("shard").orderBy("__ord", key_col)
+    if not salt_chars:
+        w = Window.partitionBy("shard").orderBy("__ord", key_col)
+        return (
+            out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("__ord")
+        )
+    if not 1 <= int(salt_chars) <= 8:
+        raise ValueError(
+            f"salt_chars must be in 1..8 (16^salt_chars buckets per "
+            f"shard); got {salt_chars!r}"
+        )
+    out = out.withColumn("__salt", F.substring("__ord", 1, int(salt_chars)))
+    # explicit wide repartition on the window's clustering keys: the
+    # window reuses this exchange (same hashpartitioning), and the
+    # explicit count overrides spark.sql.shuffle.partitions — at the
+    # default 32 each task would hold total_rows/32 however many
+    # buckets exist, reintroducing exactly the large-sort memory
+    # pressure the salt exists to remove. User-specified repartition
+    # counts are exempt from AQE coalescing, so the small buckets
+    # stay small.
+    n_parts = min(num_shards * 16 ** int(salt_chars), 2048)
+    out = out.repartition(n_parts, "shard", "__salt")
+    w_local = Window.partitionBy("shard", "__salt").orderBy("__ord", key_col)
+    local = out.withColumn("__li", F.row_number().over(w_local) - 1)
+    counts = local.groupBy("shard", "__salt").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = Window.partitionBy("shard").orderBy("__salt")
+    offsets = counts.withColumn(
+        "__off", (F.sum("__n").over(w_off) - F.col("__n")).cast("long")
+    ).select("shard", "__salt", "__off")
     return (
-        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .drop("__ord")
+        local.join(F.broadcast(offsets), ["shard", "__salt"])
+        .withColumn("pos", (F.col("__off") + F.col("__li")).cast("long"))
+        .drop("__ord", "__salt", "__li", "__off")
     )
 
 

@@ -252,6 +252,7 @@ def write_training_shards(
     num_shards: int = 16,
     seed: int = 42,
     epoch: int | None = None,
+    salt_chars: int = 0,
 ) -> dict:
     """Deliver a curated corpus as a sharded training export:
     deterministic reshard + intra-shard shuffle (``ops.layout.
@@ -297,13 +298,19 @@ def write_training_shards(
     from mriya_spark.ops.layout import shard_shuffle
 
     sharded = shard_shuffle(
-        df, key_col=key_col, num_shards=num_shards, seed=seed, epoch=epoch
+        df, key_col=key_col, num_shards=num_shards, seed=seed, epoch=epoch,
+        salt_chars=salt_chars,
     )
     # no .repartition("shard") here: shard_shuffle's row_number window
     # already hash-partitioned the data on shard, so each shard sits
     # wholly inside one task and the partitionBy write emits one file
     # per shard directory as-is — a second exchange on the same key
-    # would double the sink's dominant cost (r8 review finding)
+    # would double the sink's dominant cost (r8 review finding).
+    # With salt_chars > 0 the partitioning is (shard, salt) instead:
+    # each task writes ONE bucket file into its shard dir — the form
+    # for shards too big to sort (or to want) as one file; positions
+    # are identical either way, and the verifying reader never cares
+    # about file count.
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)

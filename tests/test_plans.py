@@ -1081,3 +1081,23 @@ def test_r18_queries_shuffle_ceilings(spark, queries):
         df.collect()  # finalize AQE
         got = n_shuffles(executed_plan(df))
         assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"
+
+
+def test_salted_shard_shuffle_no_whole_shard_sort(spark):
+    """The salted path must never cluster a whole shard into one
+    partition: the data-path exchange hashes on (shard, salt) — small
+    per-bucket sorts instead of the spill-prone per-shard sort — the
+    offsets side is a bounded aggregate joined back as a BROADCAST,
+    and no range exchange (global sort) appears anywhere."""
+    from mriya_spark.ops.layout import shard_shuffle
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(
+        df, key_col="doc_id", num_shards=4, seed=3, salt_chars=2
+    )
+    out.collect()
+    plan = executed_plan(out)
+    assert "Exchange hashpartitioning(shard" in plan, plan
+    assert "__salt" in plan.split("Exchange hashpartitioning(shard", 1)[1][:80], plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan

@@ -963,3 +963,41 @@ def test_append_shards_manifest_is_batching_invariant(
     )
     assert got == want
     shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.integers(min_value=50, max_value=500),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from([None, 0, 2]),
+)
+@_SETTINGS
+def test_salted_shard_shuffle_equals_windowed(
+    spark, n_rows, num_shards, salt_chars, epoch
+):
+    """PROPERTY (r19 spill fix): salted two-phase dense numbering
+    returns bit-for-bit the same (shard, pos) as the monolithic
+    per-shard window, for any shard count, salt width, and epoch —
+    the salt is a leading substring of the order key, so bucket
+    order composes exactly with within-bucket row_number."""
+    from mriya_spark.ops.layout import shard_shuffle
+
+    df = spark.range(0, n_rows).selectExpr("id AS doc_id", "id % 5 AS g")
+    base = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_shuffle(
+            df, key_col="doc_id", num_shards=num_shards, seed=3, epoch=epoch
+        ).collect()
+    )
+    salted = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_shuffle(
+            df,
+            key_col="doc_id",
+            num_shards=num_shards,
+            seed=3,
+            epoch=epoch,
+            salt_chars=salt_chars,
+        ).collect()
+    )
+    assert salted == base
