@@ -1594,7 +1594,10 @@ def bpe_train(
     distinct-pair groupBy), the winning row(s) collected (count DESC,
     pair ASC tie-break — a bounded driver scalar), then a SCAN-LOCAL
     ``replace`` rewrites the vocabulary; the rewritten vocab is
-    eagerly checkpointed so lineage stays flat across rounds. The
+    LAZILY local-checkpointed, so the next round's single collect
+    action materializes it and lineage stays flat across rounds
+    without a separate per-round checkpoint job (one driver action
+    per round total — r19). The
     corpus itself is read exactly once (``bpe_word_freq``). Stops
     early if every word is a single symbol — identical to running the
     remaining no-op rounds, so a fixed-round SQL replay matches.
@@ -1642,30 +1645,44 @@ def bpe_train(
     while len(merges) < n_merges:
         pairs = _bpe_pair_counts(vocab)
         m = min(max_batch, n_merges - len(merges))
-        top = (
+        # ONE driver action per round (r19 optimization, guide §1.2:
+        # the loop is driver-latency-bound at gate scale — 3 actions/
+        # round was the measured cost, not the aggregates themselves):
+        # the top-(m+1) rows and, for m > 1, the adjacent-symbol set
+        # for the concat-collision cut ride one union over the
+        # persisted pairs frame (both branches vocab-shaped). Branch
+        # rows are tagged; the top rows' (count DESC, pair ASC) rank
+        # is re-derived driver-side with the same tie-break, so the
+        # accepted list is unchanged row-for-row.
+        top_df = (
             pairs.orderBy(F.col("c").desc(), F.col("pair").asc())
             .limit(m + 1)
-            .collect()
+            .withColumn("k", F.lit(0))
         )
+        if m > 1:
+            sym_df = (
+                pairs.select(
+                    F.explode(F.split("pair", " ", 2)).alias("pair")
+                )
+                .distinct()
+                .select("pair", F.lit(None).cast("long").alias("c"),
+                        F.lit(1).alias("k"))
+            )
+            pairs = pairs.persist()
+            collected = top_df.unionByName(sym_df).collect()
+            pairs.unpersist()
+        else:
+            collected = top_df.collect()
+        top = sorted(
+            (r for r in collected if r["k"] == 0),
+            key=lambda r: (-r["c"], r["pair"]),
+        )
+        sym_set = {r["pair"] for r in collected if r["k"] == 1}
         if not top:
             break  # all words fully merged: remaining rounds are no-ops
         rows = [
             (*r["pair"].split(" ", 1), int(r["c"])) for r in top
         ]
-        if m > 1:
-            # adjacent-symbol set for the concat-collision cut — the
-            # pairs table is vocab-shaped, so this is a tiny second
-            # aggregate, not a corpus scan
-            sym_set = {
-                r["s"]
-                for r in pairs.select(
-                    F.explode(F.split("pair", " ", 2)).alias("s")
-                )
-                .distinct()
-                .collect()
-            }
-        else:
-            sym_set = set()
         accepted = [rows[0]]
         used = {rows[0][0], rows[0][1]}
         cut_count: int | None = None
@@ -1690,15 +1707,24 @@ def bpe_train(
             a for a in accepted[1:] if a[2] > cut_count
         ]
         merges.extend(accepted)
+        if len(merges) >= n_merges:
+            # the returned value is the merge list alone — the final
+            # round's vocabulary rewrite (and its checkpoint job) would
+            # be computed and thrown away (r19 optimization)
+            break
         seq_expr = "seq"
         for left, right, _c in accepted:
             seq_expr = (
                 f"replace({seq_expr}, '<{left}><{right}>', "
                 f"'<{left}{right}>')"
             )
+        # lazy checkpoint: the NEXT round's (single) collect action
+        # materializes the rewritten vocab and truncates lineage in
+        # the same job — the per-round eager-checkpoint job was pure
+        # driver-latency overhead (r19 optimization, guide §1.2)
         vocab = vocab.withColumn(
             "seq", F.expr(seq_expr)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -1772,6 +1798,11 @@ def bpe_train_approx(
         merges.extend(accepted)
         if _probe is not None:
             _probe.append(len(accepted))
+        if len(merges) >= n_merges:
+            # the final round's rewrite (and its checkpoint job) would
+            # be thrown away — the return value is the merge list
+            # alone (r19 optimization, as in ``bpe_train``)
+            break
         # large batches chunk the replace chain like bpe_segment_vocab
         # (a >=~1000-deep nest overflows Catalyst codegen's recursion;
         # batch=512 is within one order of magnitude of the cliff)
@@ -1785,7 +1816,9 @@ def bpe_train_approx(
                     f"'<{left}{right}>')"
                 )
             vocab = vocab.withColumn("seq", F.expr(seq_expr))
-        vocab = vocab.localCheckpoint(eager=True)
+        # lazy: the next round's collect materializes it (r19 — the
+        # per-round eager checkpoint job was driver-latency overhead)
+        vocab = vocab.localCheckpoint(eager=False)
     return merges
 
 
