@@ -1576,6 +1576,29 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _aqe_off(spark):
+    """Disable adaptive query execution for the trainer's per-round
+    driver actions (restored after). The per-round frames are
+    vocab-sized BY CONSTRUCTION at any corpus scale (distinct words,
+    then distinct pairs), so AQE's runtime re-planning buys nothing —
+    but it splits every round's single collect into ~3 jobs (one per
+    materialized query stage), and at gate scale the loop is
+    driver-latency-bound: the extra job launches + plan passes are
+    pure overhead (measured r19: 35 collect jobs for a 12-merge
+    train; 12 without AQE). Results are AQE-invariant, and the
+    corpus-sized ``bpe_word_freq`` pass runs OUTSIDE this scope."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
 def bpe_train(
     df: DataFrame,
     *,
@@ -1669,10 +1692,12 @@ def bpe_train(
                         F.lit(1).alias("k"))
             )
             pairs = pairs.persist()
-            collected = top_df.unionByName(sym_df).collect()
+            with _aqe_off(df.sparkSession):
+                collected = top_df.unionByName(sym_df).collect()
             pairs.unpersist()
         else:
-            collected = top_df.collect()
+            with _aqe_off(df.sparkSession):
+                collected = top_df.collect()
         top = sorted(
             (r for r in collected if r["k"] == 0),
             key=lambda r: (-r["c"], r["pair"]),
@@ -1784,12 +1809,13 @@ def bpe_train_approx(
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         m = min(batch, n_merges - len(merges))
-        top = (
-            _bpe_pair_counts(vocab)
-            .orderBy(F.col("c").desc(), F.col("pair").asc())
-            .limit(m)
-            .collect()
-        )
+        with _aqe_off(df.sparkSession):
+            top = (
+                _bpe_pair_counts(vocab)
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(m)
+                .collect()
+            )
         if not top:
             break  # every word is one symbol: remaining rounds no-op
         accepted = [

@@ -442,9 +442,21 @@ def append_training_shards(
             shard_row_sum={},
             total_rows=0,
         )
-    stats = _shard_row_stats(assigned, cols)
-    if stats:
-        assigned.write.mode("append").partitionBy("shard").parquet(path)
+    # ONE upstream execution per batch (r19, guide §5): the stats
+    # aggregate, the data append, and the bloom update below all
+    # consume `assigned` — and through it the CALLER's whole batch
+    # DAG (stream_shard_delivery's already-delivered anti-join reads
+    # the export per execution). Without the persist that upstream ran
+    # 3x per micro-batch; with it the first action materializes the
+    # batch (micro-batch-sized, bounded) and the rest read the cache.
+    assigned = assigned.persist()
+    try:
+        stats = _shard_row_stats(assigned, cols)
+        if stats:
+            assigned.write.mode("append").partitionBy("shard").parquet(path)
+    except Exception:
+        assigned.unpersist()
+        raise
     for s, (n, x, sm) in stats.items():
         k = str(s)
         manifest["shard_rows"][k] = int(manifest["shard_rows"].get(k, 0)) + n
@@ -457,16 +469,19 @@ def append_training_shards(
     manifest["total_rows"] = sum(
         int(v) for v in manifest["shard_rows"].values()
     )
-    if bloom_bits:
-        from mriya_spark.ops.relational import bloom_build
+    try:
+        if bloom_bits:
+            from mriya_spark.ops.relational import bloom_build
 
-        words = bloom_build(
-            assigned.select(key_col), key_col, n_bits=bloom_bits
-        )
-        old = manifest.get("key_bloom_words") or [0] * len(words)
-        manifest["key_bloom_words"] = [
-            int(a) | int(b) for a, b in zip(old, words)
-        ]
+            words = bloom_build(
+                assigned.select(key_col), key_col, n_bits=bloom_bits
+            )
+            old = manifest.get("key_bloom_words") or [0] * len(words)
+            manifest["key_bloom_words"] = [
+                int(a) | int(b) for a, b in zip(old, words)
+            ]
+    finally:
+        assigned.unpersist()
     fs_write_text(spark, mp, json.dumps(manifest))
     return manifest
 

@@ -42,6 +42,7 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
         },
     )
     import __spark_entry__ as entry_mod
@@ -73,16 +74,39 @@ def main() -> int:
     # flush the event log
     appid = sc.applicationId
     spark.stop()
-    evfile = os.path.join(evdir, appid)
-    if not os.path.exists(evfile):
-        cands = [p for p in os.listdir(evdir) if p.startswith(appid)]
-        if cands:
-            evfile = os.path.join(evdir, cands[0])
+
+    def _ev_lines():
+        # Spark 4 rolling layout: eventlog_v2_<appid>/events_N_<appid>[.codec]
+        rolldir = os.path.join(evdir, f"eventlog_v2_{appid}")
+        if os.path.isdir(rolldir):
+            parts = sorted(
+                p for p in os.listdir(rolldir) if p.startswith("events_")
+            )
+            for p in parts:
+                path = os.path.join(rolldir, p)
+                if p.endswith(".zstd"):
+                    import subprocess
+
+                    out = subprocess.run(
+                        ["zstdcat", path], capture_output=True, text=True
+                    )
+                    yield from out.stdout.splitlines()
+                else:
+                    with open(path) as fh:
+                        yield from fh
+            return
+        evfile = os.path.join(evdir, appid)
+        if not os.path.exists(evfile):
+            cands = [p for p in os.listdir(evdir) if p.startswith(appid)]
+            if cands:
+                evfile = os.path.join(evdir, cands[0])
+        with open(evfile) as fh:
+            yield from fh
 
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(evfile) as fh:
-        for line in fh:
+    if True:
+        for line in _ev_lines():
             try:
                 ev = json.loads(line)
             except ValueError:
