@@ -1580,23 +1580,32 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _aqe_off(spark):
-    """Disable adaptive query execution for the trainer's per-round
-    driver actions (restored after). The per-round frames are
-    vocab-sized BY CONSTRUCTION at any corpus scale (distinct words,
-    then distinct pairs), so AQE's runtime re-planning buys nothing —
-    but it splits every round's single collect into ~3 jobs (one per
-    materialized query stage), and at gate scale the loop is
-    driver-latency-bound: the extra job launches + plan passes are
-    pure overhead (measured r19: 35 collect jobs for a 12-merge
-    train; 12 without AQE). Results are AQE-invariant, and the
-    corpus-sized ``bpe_word_freq`` pass runs OUTSIDE this scope."""
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
+def _aqe_off(spark, shuffle_partitions: int = 8):
+    """Tune the session for the trainer's per-round driver actions
+    (restored after). The per-round frames are vocab-sized BY
+    CONSTRUCTION at any corpus scale (distinct words, then distinct
+    pairs — a few MB however big the corpus), so (a) AQE's runtime
+    re-planning buys nothing, but it splits every round's single
+    collect into ~3 jobs (one per materialized query stage) — 35
+    collect jobs for a 12-merge train, 13 without (measured r19);
+    and (b) the session's scale-sized shuffle-partition count fans
+    each round's two tiny exchanges into 32-task waves of ~2 ms tasks
+    where task-launch overhead dominates — the same fixed-overhead
+    argument as ``streaming._bounded_state_partitions``, and the same
+    bounded clamp (8) is right at ANY corpus size because the frames
+    do not scale with the corpus. At gate scale the loop is
+    driver-latency-bound, so both are pure wall-clock. Results are
+    partition- and AQE-invariant; the corpus-sized ``bpe_word_freq``
+    pass runs OUTSIDE this scope."""
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
 def bpe_train(
@@ -1912,12 +1921,13 @@ def bpe_symbols(
             token_re=token_re,
         )
     syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
-    return sorted(
-        r["sym"]
-        for r in vseg.select(F.explode(syms).alias("sym"))
-        .distinct()
-        .collect()
-    )
+    with _aqe_off(df.sparkSession):  # vocab-sized collect (see there)
+        return sorted(
+            r["sym"]
+            for r in vseg.select(F.explode(syms).alias("sym"))
+            .distinct()
+            .collect()
+        )
 
 
 def bpe_symbols_topk(
@@ -1955,7 +1965,8 @@ def bpe_symbols_topk(
         .orderBy(F.col("freq").desc(), F.col("sym").asc())
         .limit(keep)
     )
-    return sorted(r["sym"] for r in freq.collect())
+    with _aqe_off(df.sparkSession):  # vocab-sized collect (see there)
+        return sorted(r["sym"] for r in freq.collect())
 
 
 def bpe_save_vocab(spark, symbols: list[str], path: str) -> None:
