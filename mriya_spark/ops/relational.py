@@ -403,7 +403,14 @@ def fuzzy_join_multiblock(
     ka = keyed(a, "id_a", "__va", "__la")
     kb = keyed(b, "id_b", "__vb", "__lb")
     if max_block is not None:
-        hot = (
+        from mriya_spark.caching import scoped_persist
+
+        # persisted (r19): the hot list is broadcast into BOTH sides'
+        # anti-joins, and without the persist each broadcast build
+        # re-ran both corpus-sized count aggregates — 4 pruned scans
+        # per call instead of 2. The list itself is tiny by
+        # construction (keys with > max_block members).
+        hot = scoped_persist(
             ka.groupBy("__pass", "__blk")
             .count()
             .filter(F.col("count") > max_block)
@@ -455,7 +462,11 @@ def _fuzzy_pass_on_key(
         F.length(F.col(col)).alias("__lb"),
     )
     if max_block is not None:
-        hot = (
+        from mriya_spark.caching import scoped_persist
+
+        # persisted (r19): broadcast into both anti-joins — see
+        # fuzzy_join_multiblock's hot-list persist
+        hot = scoped_persist(
             ka.groupBy("__blk")
             .count()
             .filter(F.col("count") > max_block)

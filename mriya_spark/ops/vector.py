@@ -835,10 +835,21 @@ def semantic_dedup(
             *[_dot(F.col(vec_col), _array_lit(c)) for c in centroids]
         )
         cell = F.array_position(dots, F.array_max(dots)).cast("long")
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        cell.alias("cell"),
+    from mriya_spark.caching import scoped_persist
+
+    # persisted (r19, guide §5): the assignment is consumed three
+    # times (the a-side projection, the b-side of the cell-keyed
+    # semi-join, and the final keep anti-join), and each evaluation
+    # replays the k x dim argmax expression tree (or the Arrow
+    # matmul) over the whole corpus — measured as the dominant
+    # serial cost of the gate. Released by the next scoped build /
+    # release_caches.
+    assigned = scoped_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cell.alias("cell"),
+        )
     )
     a = assigned.select(
         F.col("cell").alias("cell_a"),

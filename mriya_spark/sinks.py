@@ -570,19 +570,27 @@ def _shard_row_stats(
         rh = F.xxhash64(*parts)
     else:
         rh = F.xxhash64(*[F.col(c) for c in cols])
-    rows = (
-        df.withColumn("__rh", rh)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(__rh)").alias("x"),
-            # decimal(28,0) operand -> Spark sums in decimal(38,0):
-            # headroom for ~1e18 same-sign 64-bit hashes per shard
-            # (decimal(20,0) would cap at ~1e11 adversarial rows)
-            F.sum(F.col("__rh").cast("decimal(28,0)")).alias("s"),
+    from mriya_spark.ops.text import _aqe_off
+
+    # the reduce side is num_shards rows however big the export (the
+    # aggregates partial-combine map-side), so the trainer-loop clamp
+    # applies: AQE's per-query-stage job splits and the scale-sized
+    # reduce partition count are pure launch overhead here (r19); the
+    # map side's partitioning comes from the input scan either way
+    with _aqe_off(df.sparkSession):
+        rows = (
+            df.withColumn("__rh", rh)
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(__rh)").alias("x"),
+                # decimal(28,0) operand -> Spark sums in decimal(38,0):
+                # headroom for ~1e18 same-sign 64-bit hashes per shard
+                # (decimal(20,0) would cap at ~1e11 adversarial rows)
+                F.sum(F.col("__rh").cast("decimal(28,0)")).alias("s"),
+            )
+            .collect()
         )
-        .collect()
-    )
     return {
         int(r["shard"]): (int(r["n"]), int(r["x"]), int(r["s"]))
         for r in rows

@@ -1446,9 +1446,12 @@ def stream_encode_fixed_vocab(
             # live on any Hadoop filesystem (hdfs://, s3a://, ...),
             # where a driver-local stat is always False and the
             # replay guard would silently disarm (r16 self-review,
-            # second pass)
-            seen = batch.sparkSession.read.parquet(target_path).select(
-                "doc_id"
+            # second pass). Explicit schema (r19): the guard needs
+            # doc_id alone and the target's schema is this writer's
+            # own — inferring it re-read parquet footers as one extra
+            # job per micro-batch.
+            seen = batch.sparkSession.read.schema("doc_id long").parquet(
+                target_path
             )
         except AnalysisException as exc:
             # ONLY path-not-found means "first batch, target not yet
@@ -1552,8 +1555,9 @@ def stream_decode_fixed_vocab(
     def decode_batch(batch: DataFrame, epoch_id: int) -> None:
         out = bpe_decode(batch, vocab, max_inline_syms=max_inline_syms)
         try:
-            seen = batch.sparkSession.read.parquet(target_path).select(
-                "doc_id"
+            # explicit schema: see stream_encode_fixed_vocab's guard
+            seen = batch.sparkSession.read.schema("doc_id long").parquet(
+                target_path
             )
         except AnalysisException as exc:
             cond = (

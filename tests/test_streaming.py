@@ -746,11 +746,17 @@ def test_stream_encode_fixed_vocab_replay_idempotent(spark, tmp_path):
 
 
 def test_stream_encode_fixed_vocab_nonpath_error_fails_loud(spark, tmp_path):
-    """The replay guard's except clause is narrowed to PATH_NOT_FOUND
-    (r16 ADVICE): an AnalysisException on an EXISTING target — here an
-    empty directory, which raises UNABLE_TO_INFER_SCHEMA — must
-    propagate and kill the stream, NOT silently disarm the anti-join
-    dedup and append duplicates over a target it couldn't inspect."""
+    """The replay guard reads the target with the writer's own explicit
+    schema (r19: skips a footer-inference job per micro-batch), which
+    narrows the r16 fail-loud contract to the cases that still matter:
+
+    - an EXISTING but EMPTY target dir is now a well-defined empty read
+      (zero rows seen -> nothing to dedup against), not the
+      UNABLE_TO_INFER_SCHEMA abort it was under inference — the append
+      must proceed and produce each row exactly once;
+    - an existing target whose part files are UNREADABLE must still
+      propagate and kill the stream, NOT silently disarm the anti-join
+      dedup over a target it couldn't inspect."""
     import os
 
     import pytest
@@ -774,18 +780,38 @@ def test_stream_encode_fixed_vocab_nonpath_error_fails_loud(spark, tmp_path):
         if f.startswith("part-"):
             os.rename(str(tmp_path / "src") + "/" + f, flat + "/b0.parquet")
 
+    # 1) empty existing target: guard sees zero rows, append proceeds
     target = str(tmp_path / "target")
-    os.makedirs(target)  # exists but is not readable parquet
+    os.makedirs(target)
     stream = (
         spark.readStream.schema(S.DOCS_SCHEMA)
         .format("parquet")
         .load(flat)
         .select("doc_id", "text")
     )
-    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
-        S.stream_encode_fixed_vocab(stream, target, merges, vocab, oov_id=0)
-    # and nothing was appended behind the failure
-    assert not [f for f in os.listdir(target) if f.startswith("part-")]
+    S.stream_encode_fixed_vocab(stream, target, merges, vocab, oov_id=0)
+    assert [
+        r.doc_id for r in spark.read.parquet(target).collect()
+    ] == [0]
+
+    # 2) unreadable part file in the target: the guard's execution-time
+    # read fails and the stream dies instead of appending duplicates
+    bad = str(tmp_path / "target_bad")
+    os.makedirs(bad)
+    with open(bad + "/part-00000-garbage.parquet", "wb") as fh:
+        fh.write(b"not a parquet file")
+    stream2 = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .load(flat)
+        .select("doc_id", "text")
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        S.stream_encode_fixed_vocab(stream2, bad, merges, vocab, oov_id=0)
+    # and nothing was appended behind the failure (only the planted file)
+    assert [f for f in os.listdir(bad) if f.startswith("part-")] == [
+        "part-00000-garbage.parquet"
+    ]
 
 
 def _tiny_trained_artifact(spark):
