@@ -9,12 +9,19 @@ idle host; per query take the min of each tree's two legs and report
 cur/tip ratios. The r19-only queries ride in the cur sessions for
 timing but get no ratio (no tip counterpart).
 
-COMMON covers every headline row whose code was touched this round:
-the delivery sinks (format-4 checksums changed `_shard_row_stats` for
-all writes/verifies), the `shard_shuffle` -> `shard_assign` + window
-refactor (sample_epoch_plan, shard_shuffle), and the IVF broadcast
-cache (similarity_ann_ivf); agg_groupby + tokenizer_pack_bestfit are
-the code-untouched in-session controls.
+COMMON samples every code-touched headline family of the round: the
+BPE trainer cadence + job-storm + fixture-persist work (changes 4-6:
+tokenizer_vocab_topk, tokenizer_pack_masked, tokenizer_pack_chat,
+stream_encode_fixed_vocab), the delivery sinks (format-4 checksums,
+stats-agg clamp, append-recompute fix: sink_packed_shards,
+sink_packed_shards_attention, sink_shards_resume, shard_shuffle,
+sample_epoch_plan), the fuzzy-join hot-list persist
+(join_fuzzy_multiblock), and the IVF broadcast cache
+(similarity_ann_ivf). agg_groupby and pipeline_corpus_curation_lsh
+are the code-untouched in-session controls (the tokenizer family
+cannot control — the trainer commits touch all of it). Warm runs per
+leg are clamped to 3 via SPARK_GRAFT_BENCH_WARM_RUNS to keep the
+4-leg protocol affordable; min-of-legs is the statistic either way.
 
 Usage: python tools/ab_bench_r19.py <tip_worktree> <out_json>
 """
@@ -27,12 +34,21 @@ import subprocess
 import sys
 
 COMMON = [
-    "agg_groupby",            # control (untouched)
-    "tokenizer_pack_bestfit",  # control (untouched)
+    "agg_groupby",                    # control (untouched)
+    "pipeline_corpus_curation_lsh",   # control (examined, untouched)
+    "dedup_substring",                # control (untouched; flagged 3.3x
+                                      # in the drifted closing session)
+    "tokenizer_dpo_pairs",            # fixture persists (6)
+    "tokenizer_chunk_masked",         # cadence + masks fixtures (4-6)
+    "tokenizer_vocab_topk",           # trainer cadence (change 4)
+    "tokenizer_pack_masked",          # cadence + fixture persists (4-6)
+    "tokenizer_pack_chat",            # fixture persists (6)
+    "stream_encode_fixed_vocab",      # cadence + schema guard (5, 7)
+    "join_fuzzy_multiblock",          # hot-list persist (7)
     "shard_shuffle",
     "sample_epoch_plan",
-    "similarity_ann_ivf",
-    "sink_packed_shards",
+    "similarity_ann_ivf",             # centroid broadcast cache (2)
+    "sink_packed_shards",             # append recompute + stats clamp (5, 7)
     "sink_packed_shards_attention",
     "sink_shards_resume",
 ]
@@ -46,6 +62,7 @@ R19_ONLY = [
 def run_leg(tree: str, names: list[str]) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(names)
+    env.setdefault("SPARK_GRAFT_BENCH_WARM_RUNS", "3")
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=tree,
@@ -97,9 +114,9 @@ def main() -> None:
         }
     payload = {
         "what": (
-            "r19 directive-6 same-host A/B: 6 code-touched headline "
-            "rows + 2 untouched controls, r18 tip vs r19 tip "
-            "interleaved (order tip,cur,cur,tip; 1 cold + warm runs "
+            "r19 directive-6 same-host A/B: 13 code-touched headline "
+            "rows + 3 untouched controls, r18 tip vs r19 tip "
+            "interleaved (order tip,cur,cur,tip; 1 cold + 3 warm runs "
             "per leg via bench.py, min of two legs per tree); 3 "
             "r19-only rows timed in the cur legs"
         ),
