@@ -1556,7 +1556,9 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     explode each word's symbol bigrams (zip_with over the shifted
     symbol array, scan-local), weight by word count, map-side combine
     into the distinct-pair groupBy (vocab-shaped, never corpus-shaped
-    after round 0)."""
+    after round 0). Must stay expression-equivalent to
+    ``_BPE_PAIR_COUNTS_SQL`` (the trainers' low-latency SQL form of
+    the same aggregate — parity is property-tested via the trainers)."""
     syms = F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)")
     return (
         vocab.withColumn("__s", syms)
@@ -1574,6 +1576,26 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("cnt").alias("c"))
     )
+
+
+# SQL-string twin of _bpe_pair_counts, parameterised on the vocab temp
+# view. The trainer loops are driver-latency-bound at any corpus scale
+# (the per-round frames are vocab-sized by construction), and building
+# the round's plan through the DataFrame API costs ~15 py4j round
+# trips per round; one spark.sql() call over a temp view builds the
+# identical plan in 2 (measured 3-4x cheaper per round, r20). The
+# expression text matches _bpe_pair_counts node for node so the two
+# forms plan identically.
+_BPE_PAIR_COUNTS_SQL = """
+SELECT pair, SUM(cnt) AS c FROM (
+  SELECT cnt, explode(zip_with(
+      slice(__s, 1, greatest(size(__s) - 1, 0)),
+      slice(__s, 2, greatest(size(__s) - 1, 0)),
+      (a, b) -> concat(a, ' ', b))) AS pair
+  FROM (SELECT cnt, regexp_extract_all(seq, '<([^>]*)>', 1) AS __s
+        FROM {vocab_view})
+) GROUP BY pair
+"""
 
 
 from contextlib import contextmanager
@@ -1673,9 +1695,38 @@ def bpe_train(
             df, text_col=text_col, token_re=token_re
         ).localCheckpoint(eager=True)
     )
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    # Per-call uuid'd temp-view names: the SQL-string round (see
+    # _BPE_PAIR_COUNTS_SQL) needs a view, and unique names keep two
+    # concurrent trainers on one session from clobbering each other.
+    _tag = _uuid.uuid4().hex[:8]
+    vview, pview = f"__bpe_vocab_{_tag}", f"__bpe_pairs_{_tag}"
+    merges: list[tuple[str, str, int]] = []
+    try:
+        merges = _bpe_train_loop(
+            spark, vocab, n_merges, max_batch, vview, pview
+        )
+    finally:
+        for _v in (vview, pview):
+            try:
+                spark.catalog.dropTempView(_v)
+            except Exception:
+                pass
+    return merges
+
+
+def _bpe_train_loop(
+    spark, vocab, n_merges: int, max_batch: int, vview: str, pview: str
+) -> list[tuple[str, str, int]]:
+    """The exact trainer's round loop (see ``bpe_train`` for the
+    algorithm contract). Split out so the temp views are dropped on
+    any exit path."""
+    pairs_sql = _BPE_PAIR_COUNTS_SQL.format(vocab_view=vview)
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
-        pairs = _bpe_pair_counts(vocab)
+        vocab.createOrReplaceTempView(vview)
         m = min(max_batch, n_merges - len(merges))
         # ONE driver action per round (r19 optimization, guide §1.2:
         # the loop is driver-latency-bound at gate scale — 3 actions/
@@ -1685,28 +1736,34 @@ def bpe_train(
         # persisted pairs frame (both branches vocab-shaped). Branch
         # rows are tagged; the top rows' (count DESC, pair ASC) rank
         # is re-derived driver-side with the same tie-break, so the
-        # accepted list is unchanged row-for-row.
-        top_df = (
-            pairs.orderBy(F.col("c").desc(), F.col("pair").asc())
-            .limit(m + 1)
-            .withColumn("k", F.lit(0))
-        )
+        # accepted list is unchanged row-for-row. The round's plan is
+        # built as ONE spark.sql() over temp views instead of a
+        # DataFrame chain — identical plan, ~15 py4j round trips fewer
+        # per round (r20; the loop is driver-latency-bound).
         if m > 1:
-            sym_df = (
-                pairs.select(
-                    F.explode(F.split("pair", " ", 2)).alias("pair")
-                )
-                .distinct()
-                .select("pair", F.lit(None).cast("long").alias("c"),
-                        F.lit(1).alias("k"))
-            )
-            pairs = pairs.persist()
-            with _aqe_off(df.sparkSession):
-                collected = top_df.unionByName(sym_df).collect()
-            pairs.unpersist()
+            pairs = spark.sql(pairs_sql).persist()
+            pairs.createOrReplaceTempView(pview)
+            union_sql = f"""
+                SELECT * FROM (SELECT pair, c, 0 AS k FROM {pview}
+                               ORDER BY c DESC, pair ASC LIMIT {m + 1})
+                UNION ALL
+                SELECT DISTINCT pair, CAST(NULL AS BIGINT) AS c, 1 AS k
+                FROM (SELECT explode(split(pair, ' ', 2)) AS pair
+                      FROM {pview})
+            """
+            try:
+                with _aqe_off(spark):
+                    collected = spark.sql(union_sql).collect()
+            finally:
+                # exception-safe: a failed collect must not leak the
+                # per-round cache for the session (r19 ADVICE)
+                pairs.unpersist()
         else:
-            with _aqe_off(df.sparkSession):
-                collected = top_df.collect()
+            with _aqe_off(spark):
+                collected = spark.sql(
+                    f"SELECT pair, c, 0 AS k FROM ({pairs_sql}) "
+                    f"ORDER BY c DESC, pair ASC LIMIT {m + 1}"
+                ).collect()
         top = sorted(
             (r for r in collected if r["k"] == 0),
             key=lambda r: (-r["c"], r["pair"]),
@@ -1815,45 +1872,62 @@ def bpe_train_approx(
             df, text_col=text_col, token_re=token_re
         ).localCheckpoint(eager=True)
     )
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    vview = f"__bpe_vocab_{_uuid.uuid4().hex[:8]}"
+    pairs_sql = _BPE_PAIR_COUNTS_SQL.format(vocab_view=vview)
     merges: list[tuple[str, str, int]] = []
-    while len(merges) < n_merges:
-        m = min(batch, n_merges - len(merges))
-        with _aqe_off(df.sparkSession):
-            top = (
-                _bpe_pair_counts(vocab)
-                .orderBy(F.col("c").desc(), F.col("pair").asc())
-                .limit(m)
-                .collect()
-            )
-        if not top:
-            break  # every word is one symbol: remaining rounds no-op
-        accepted = [
-            (*r["pair"].split(" ", 1), int(r["c"])) for r in top
-        ]
-        merges.extend(accepted)
-        if _probe is not None:
-            _probe.append(len(accepted))
-        if len(merges) >= n_merges:
-            # the final round's rewrite (and its checkpoint job) would
-            # be thrown away — the return value is the merge list
-            # alone (r19 optimization, as in ``bpe_train``)
-            break
-        # large batches chunk the replace chain like bpe_segment_vocab
-        # (a >=~1000-deep nest overflows Catalyst codegen's recursion;
-        # batch=512 is within one order of magnitude of the cliff)
-        for i in range(0, len(accepted), _BPE_REPLACE_CHUNK):
-            if i:
-                vocab = vocab.localCheckpoint(eager=False)
-            seq_expr = "seq"
-            for left, right, _c in accepted[i : i + _BPE_REPLACE_CHUNK]:
-                seq_expr = (
-                    f"replace({seq_expr}, '<{left}><{right}>', "
-                    f"'<{left}{right}>')"
-                )
-            vocab = vocab.withColumn("seq", F.expr(seq_expr))
-        # lazy: the next round's collect materializes it (r19 — the
-        # per-round eager checkpoint job was driver-latency overhead)
-        vocab = vocab.localCheckpoint(eager=False)
+    try:
+        while len(merges) < n_merges:
+            m = min(batch, n_merges - len(merges))
+            vocab.createOrReplaceTempView(vview)
+            # one spark.sql() instead of a DataFrame chain — identical
+            # plan, fewer py4j round trips per driver-latency-bound
+            # round (r20, as in bpe_train)
+            with _aqe_off(spark):
+                top = spark.sql(
+                    f"SELECT pair, c FROM ({pairs_sql}) "
+                    f"ORDER BY c DESC, pair ASC LIMIT {m}"
+                ).collect()
+            if not top:
+                break  # every word is one symbol: remaining rounds no-op
+            accepted = [
+                (*r["pair"].split(" ", 1), int(r["c"])) for r in top
+            ]
+            merges.extend(accepted)
+            if _probe is not None:
+                _probe.append(len(accepted))
+            if len(merges) >= n_merges:
+                # the final round's rewrite (and its checkpoint job)
+                # would be thrown away — the return value is the merge
+                # list alone (r19 optimization, as in ``bpe_train``)
+                break
+            # large batches chunk the replace chain like
+            # bpe_segment_vocab (a >=~1000-deep nest overflows Catalyst
+            # codegen's recursion; batch=512 is within one order of
+            # magnitude of the cliff)
+            for i in range(0, len(accepted), _BPE_REPLACE_CHUNK):
+                if i:
+                    vocab = vocab.localCheckpoint(eager=False)
+                seq_expr = "seq"
+                for left, right, _c in accepted[
+                    i : i + _BPE_REPLACE_CHUNK
+                ]:
+                    seq_expr = (
+                        f"replace({seq_expr}, '<{left}><{right}>', "
+                        f"'<{left}{right}>')"
+                    )
+                vocab = vocab.withColumn("seq", F.expr(seq_expr))
+            # lazy: the next round's collect materializes it (r19 — the
+            # per-round eager checkpoint job was driver-latency
+            # overhead)
+            vocab = vocab.localCheckpoint(eager=False)
+    finally:
+        try:
+            spark.catalog.dropTempView(vview)
+        except Exception:
+            pass
     return merges
 
 
