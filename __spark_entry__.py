@@ -152,10 +152,19 @@ def _query_digest(fn: Callable, oracle: str | None) -> str:
     plain lists/tuples/dicts/scalars by convention for exactly this
     reason. A Python-version bump changes co_code wholesale; the
     registry would then re-record over following rounds and
-    self-heal."""
+    self-heal.
+
+    Decorated queries (``caching.scoped_build`` wraps a build in a
+    ``cache_scope``) digest their UNWRAPPED function (r20): the
+    wrapper's co_code is one shared shim, so digesting it would (a)
+    blind the sidecar to Spark-side edits of the real body and (b)
+    spuriously re-record every gate the day the decorator lands.
+    ``inspect.unwrap`` follows the ``functools.wraps`` chain."""
     import hashlib
+    import inspect
     import types
 
+    fn = inspect.unwrap(fn)
     h = hashlib.md5()
     if oracle is not None:
         h.update(oracle.encode("utf-8"))

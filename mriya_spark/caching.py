@@ -122,6 +122,26 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def scoped_build(fn):
+    """Decorator form of ``cache_scope()`` for query builders whose
+    helpers call ``scoped_persist`` (r19 ADVICE): a depth-0
+    ``scoped_persist`` registers straight onto the LIVE set, so any
+    scoped operator built later in the same query (dedup/graph/quality
+    ops open an outermost ``cache_scope`` of their own) would evict
+    the fixture persists before the returned lazy plan ever executes —
+    correctness unaffected, but the multi-consumer recompute saving
+    silently vanishes. Wrapping the whole build makes the persists
+    NEST with any scoped operator it composes with."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with cache_scope():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def _drain(live: list[DataFrame]) -> None:
     for df in live:
         try:

@@ -1600,6 +1600,21 @@ SELECT pair, SUM(cnt) AS c FROM (
 
 from contextlib import contextmanager
 
+import threading as _threading
+
+#: _aqe_off mutates SESSION-GLOBAL conf (save/restore). The reentrant
+#: lock serializes overlapping scopes from concurrent driver threads
+#: so a nested/overlapping pair cannot restore the wrong saved value.
+#: NOTE the remaining documented constraint (r19 ADVICE): an UNRELATED
+#: query planned on the same session while a scope is open still sees
+#: AQE off + the clamped partition count — results are invariant, but
+#: a corpus-scale concurrent query can regress. Callers that submit
+#: queries from a thread pool must either route trainer loops through
+#: their own session (``spark.newSession()`` shares the cluster but
+#: not the SQL conf) or accept the window. Bench and foreachBatch are
+#: single-threaded, so nothing in the gate surface hits this.
+_AQE_OFF_LOCK = _threading.RLock()
+
 
 @contextmanager
 def _aqe_off(spark, shuffle_partitions: int = 8):
@@ -1619,15 +1634,18 @@ def _aqe_off(spark, shuffle_partitions: int = 8):
     driver-latency-bound, so both are pure wall-clock. Results are
     partition- and AQE-invariant; the corpus-sized ``bpe_word_freq``
     pass runs OUTSIDE this scope."""
-    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    with _AQE_OFF_LOCK:
+        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
 def bpe_train(

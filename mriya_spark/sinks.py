@@ -443,39 +443,48 @@ def append_training_shards(
             total_rows=0,
         )
     # ONE upstream execution per batch (r19, guide §5): the stats
-    # aggregate, the data append, and the bloom update below all
-    # consume `assigned` — and through it the CALLER's whole batch
-    # DAG (stream_shard_delivery's already-delivered anti-join reads
-    # the export per execution). Without the persist that upstream ran
+    # aggregate, the bloom aggregate, and the data append all consume
+    # `assigned` — and through it the CALLER's whole batch DAG
+    # (stream_shard_delivery's already-delivered anti-join reads the
+    # export per execution). Without the persist that upstream ran
     # 3x per micro-batch; with it the first action materializes the
     # batch (micro-batch-sized, bounded) and the rest read the cache.
+    # Ordering is a CORRECTNESS constraint, not a perf choice (r19
+    # ADVICE): the bloom must be built BEFORE the data append — the
+    # persist is a hint, and if cached partitions were lost after the
+    # append a recompute would re-run the caller's anti-join against
+    # the POST-append target, drop the batch's own rows, and the
+    # bloom would miss their keys (false negatives -> replay
+    # duplicates). Built pre-append, any recompute sees the pre-append
+    # target and the words are exact. One try/finally covers the
+    # whole post-persist body so no exit path leaks the cache.
     assigned = assigned.persist()
     try:
         stats = _shard_row_stats(assigned, cols)
-        if stats:
-            assigned.write.mode("append").partitionBy("shard").parquet(path)
-    except Exception:
-        assigned.unpersist()
-        raise
-    for s, (n, x, sm) in stats.items():
-        k = str(s)
-        manifest["shard_rows"][k] = int(manifest["shard_rows"].get(k, 0)) + n
-        manifest["shard_row_xor"][k] = (
-            int(manifest["shard_row_xor"].get(k, 0)) ^ x
-        )
-        manifest["shard_row_sum"][k] = str(
-            int(manifest["shard_row_sum"].get(k, "0")) + sm
-        )
-    manifest["total_rows"] = sum(
-        int(v) for v in manifest["shard_rows"].values()
-    )
-    try:
+        words = None
         if bloom_bits:
             from mriya_spark.ops.relational import bloom_build
 
             words = bloom_build(
                 assigned.select(key_col), key_col, n_bits=bloom_bits
             )
+        if stats:
+            assigned.write.mode("append").partitionBy("shard").parquet(path)
+        for s, (n, x, sm) in stats.items():
+            k = str(s)
+            manifest["shard_rows"][k] = (
+                int(manifest["shard_rows"].get(k, 0)) + n
+            )
+            manifest["shard_row_xor"][k] = (
+                int(manifest["shard_row_xor"].get(k, 0)) ^ x
+            )
+            manifest["shard_row_sum"][k] = str(
+                int(manifest["shard_row_sum"].get(k, "0")) + sm
+            )
+        manifest["total_rows"] = sum(
+            int(v) for v in manifest["shard_rows"].values()
+        )
+        if words is not None:
             old = manifest.get("key_bloom_words") or [0] * len(words)
             manifest["key_bloom_words"] = [
                 int(a) | int(b) for a, b in zip(old, words)

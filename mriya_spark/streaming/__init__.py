@@ -1398,6 +1398,72 @@ def quantile_ingest_batch(
         fs_delete(spark, tmp)
 
 
+def _read_seen_doc_ids(
+    batch: DataFrame, target_path: str, validated: list
+) -> DataFrame | None:
+    """The fixed-vocab streams' shared replay guard: the target's
+    already-written ``doc_id`` column, or ``None`` when the target
+    does not exist yet (first batch).
+
+    try/except rather than os.path.exists: the target can live on any
+    Hadoop filesystem (hdfs://, s3a://, ...), where a driver-local
+    stat is always False and the replay guard would silently disarm
+    (r16 self-review, second pass). Explicit schema (r19): the guard
+    needs doc_id alone and the target's schema is this writer's own —
+    inferring it re-read parquet footers as one extra job per
+    micro-batch. ONE-TIME schema validation (r19 ADVICE, r20): an
+    explicit-schema read of an existing target that LACKS doc_id
+    (wrong path / foreign parquet) returns NULLs instead of the old
+    UNRESOLVED_COLUMN failure, the anti-join matches nothing, and
+    replays silently append duplicates — so the FIRST batch that sees
+    an existing target pays one footer-inference read and asserts the
+    column is really there (``validated`` is the per-stream once
+    flag, amortizing the check across the run)."""
+    try:
+        seen = batch.sparkSession.read.schema("doc_id long").parquet(
+            target_path
+        )
+    except AnalysisException as exc:
+        # ONLY path-not-found means "first batch, target not yet
+        # created". Any other analysis error on an EXISTING target
+        # (corrupt footer, schema mismatch) must fail loud — a
+        # blanket except would silently disarm the anti-join dedup
+        # and a replayed epoch would append duplicates (r16 ADVICE)
+        cond = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else exc.getErrorClass()
+        )
+        if cond != "PATH_NOT_FOUND":
+            raise
+        return None
+    if not validated[0]:
+        try:
+            actual = batch.sparkSession.read.parquet(target_path).schema
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond != "UNABLE_TO_INFER_SCHEMA":
+                raise
+            # existing but EMPTY target dir: no footers to validate —
+            # the explicit-schema read sees zero rows, so there is
+            # nothing the NULL-column failure mode could disarm; the
+            # first batch that sees real files validates instead
+            return seen
+        if "doc_id" not in actual.fieldNames():
+            raise ValueError(
+                f"replay-guard target {target_path!r} exists but has no "
+                f"doc_id column (schema: {actual.simpleString()}) — "
+                "refusing to disarm the anti-join dedup against foreign "
+                "data (r19 ADVICE)"
+            )
+        validated[0] = True
+    return seen
+
+
 def stream_encode_fixed_vocab(
     docs: DataFrame,
     target_path: str,
@@ -1430,6 +1496,7 @@ def stream_encode_fixed_vocab(
 
     spark = docs.sparkSession
     ckpt = f"{_STAGE_ROOT}/ckpt_fixedenc_{uuid.uuid4().hex[:12]}"
+    validated = [False]
 
     def encode_batch(batch: DataFrame, epoch_id: int) -> None:
         # foreachBatch is at-least-once: a crash between the parquet
@@ -1441,32 +1508,7 @@ def stream_encode_fixed_vocab(
         # same O(target keys) class stream_corpus_ingest documents.
         ids = bpe_token_ids(batch, merges, symbols=vocab, oov_id=oov_id)
         out = ids.select("doc_id", "n_bpe_tokens", "token_ids")
-        try:
-            # try/except rather than os.path.exists: the target can
-            # live on any Hadoop filesystem (hdfs://, s3a://, ...),
-            # where a driver-local stat is always False and the
-            # replay guard would silently disarm (r16 self-review,
-            # second pass). Explicit schema (r19): the guard needs
-            # doc_id alone and the target's schema is this writer's
-            # own — inferring it re-read parquet footers as one extra
-            # job per micro-batch.
-            seen = batch.sparkSession.read.schema("doc_id long").parquet(
-                target_path
-            )
-        except AnalysisException as exc:
-            # ONLY path-not-found means "first batch, target not yet
-            # created". Any other analysis error on an EXISTING target
-            # (corrupt footer, schema mismatch) must fail loud — a
-            # blanket except would silently disarm the anti-join dedup
-            # and a replayed epoch would append duplicates (r16 ADVICE)
-            cond = (
-                exc.getCondition()
-                if hasattr(exc, "getCondition")
-                else exc.getErrorClass()
-            )
-            if cond != "PATH_NOT_FOUND":
-                raise
-            seen = None
+        seen = _read_seen_doc_ids(batch, target_path, validated)
         if seen is not None:
             out = out.join(seen, on="doc_id", how="left_anti")
         out.write.mode("append").parquet(target_path)
@@ -1552,22 +1594,13 @@ def stream_decode_fixed_vocab(
     spark = ids_stream.sparkSession
     ckpt = f"{_STAGE_ROOT}/ckpt_fixeddec_{uuid.uuid4().hex[:12]}"
 
+    validated = [False]
+
     def decode_batch(batch: DataFrame, epoch_id: int) -> None:
         out = bpe_decode(batch, vocab, max_inline_syms=max_inline_syms)
-        try:
-            # explicit schema: see stream_encode_fixed_vocab's guard
-            seen = batch.sparkSession.read.schema("doc_id long").parquet(
-                target_path
-            )
-        except AnalysisException as exc:
-            cond = (
-                exc.getCondition()
-                if hasattr(exc, "getCondition")
-                else exc.getErrorClass()
-            )
-            if cond != "PATH_NOT_FOUND":
-                raise
-            seen = None
+        # shared guard: explicit-schema read + one-time target schema
+        # validation (see _read_seen_doc_ids)
+        seen = _read_seen_doc_ids(batch, target_path, validated)
         if seen is not None:
             out = out.join(seen, on="doc_id", how="left_anti")
         out.write.mode("append").parquet(target_path)

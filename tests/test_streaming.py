@@ -814,6 +814,61 @@ def test_stream_encode_fixed_vocab_nonpath_error_fails_loud(spark, tmp_path):
     ]
 
 
+def test_stream_encode_fixed_vocab_foreign_target_fails_loud(
+    spark, tmp_path
+):
+    """r19 ADVICE (medium): the explicit-schema replay guard reads
+    ``doc_id long`` from the target; on a target that holds READABLE
+    parquet WITHOUT a doc_id column (wrong path / foreign data) Spark
+    returns NULLs instead of the old UNRESOLVED_COLUMN failure, the
+    anti-join matches nothing, and a replay would silently append
+    duplicates. The guard now validates the target's real schema once
+    per stream (first batch that sees an existing target) and refuses
+    foreign data loudly."""
+    import os
+
+    import pytest
+
+    from mriya_spark.ops.text import bpe_symbols, bpe_train, bpe_word_freq
+
+    rows = [(0, "low lower", "en", "w", 9)]
+    full = spark.createDataFrame(rows, S.DOCS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    wf = bpe_word_freq(full).localCheckpoint(eager=True)
+    merges = bpe_train(full, n_merges=2, word_freq=wf)
+    vocab = bpe_symbols(full, merges, word_freq=wf)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, S.DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    # a target holding foreign parquet: readable, but no doc_id column
+    foreign = str(tmp_path / "foreign_target")
+    spark.createDataFrame(
+        [("x", 1)], "other_key string, v int"
+    ).write.mode("overwrite").parquet(foreign)
+
+    before = sorted(
+        f for f in os.listdir(foreign) if f.startswith("part-")
+    )
+
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .format("parquet")
+        .load(src)
+        .select("doc_id", "text")
+    )
+    with pytest.raises(Exception, match="no\\s+doc_id column"):
+        S.stream_encode_fixed_vocab(stream, foreign, merges, vocab, oov_id=0)
+    # nothing was appended behind the refusal
+    after = sorted(
+        f for f in os.listdir(foreign) if f.startswith("part-")
+    )
+    assert after == before, (before, after)
+
+
 def _tiny_trained_artifact(spark):
     from mriya_spark.ops.text import (
         bpe_symbols,
