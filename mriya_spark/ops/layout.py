@@ -72,6 +72,70 @@ def write_zordered(
     )
 
 
+#: per-shard row count past which the salted two-phase numbering
+#: beats the monolithic per-shard window sort. The measured cliff
+#: (16 shards of 96 B rows): 12.8 M rows total (0.8 M/shard) writes in
+#: ~28 s, 25.6 M (1.6 M/shard) in ~380 s — the whole-shard sort spills
+#: past task memory (`benchlogs/scaling_r18_delivery_rerun_r19.json`).
+#: 1 M/shard sits under the cliff with margin at 96 B rows; wider rows
+#: cliff EARLIER, which the estimate's byte basis tracks.
+SALT_AUTO_ROWS_PER_SHARD = 1_000_000
+
+#: optimized-plan node names whose presence makes Catalyst's
+#: non-CBO sizeInBytes estimate meaningless (join estimates multiply,
+#: grouped-map/UDF output defaults to huge) — measured r20: the
+#: pack-bestfit capstone frame (369 actual rows at sf0.1) estimates
+#: 629,578,171 rows through its join+grouped-map DAG, a 1.7e6x
+#: overestimate. Scan-shaped plans estimate within ~2x (documents
+#: scan: 9,100 est vs 5,000 actual). See
+#: `benchlogs/probe_r20_salt_estimates.json`.
+_EST_UNRELIABLE_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "FlatMap", "MapIn",
+    "EvalPython", "Union", "Expand", "GlobalLimit", "Deduplicate",
+    "CoGroup", "Intersect", "Except",
+)
+
+
+def resolve_auto_salt_chars(df: DataFrame, num_shards: int) -> int:
+    """Pick ``salt_chars`` for ``shard_shuffle`` from the input's
+    Catalyst row estimate (r19 verdict item 6: a 100 TB export must
+    not depend on the caller remembering the knob).
+
+    Trusts the estimate ONLY for scan-shaped plans (scan / project /
+    filter / range — the common production shape: exporting a
+    MATERIALIZED curated corpus), where rows ~= sizeInBytes /
+    schema.defaultSize() lands within ~2x of truth. Any node from
+    ``_EST_UNRELIABLE_NODES`` in the optimized plan returns 0 — the
+    estimate there is off by ORDERS of magnitude (measured above), and
+    a false-positive salt would cost two extra exchanges on every
+    gate-scale write. Overestimates on trusted shapes only engage the
+    salt early: positions are bit-identical either way
+    (`test_salted_shard_shuffle_equals_windowed`), so the failure mode
+    is plan shape, never results. Returns the smallest ``k`` with
+    est_rows / (num_shards * 16**k) <= SALT_AUTO_ROWS_PER_SHARD,
+    clamped to 8 (16^8 buckets is past any real need)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        tree = plan.toString()
+        if any(n in tree for n in _EST_UNRELIABLE_NODES):
+            return 0
+        stats = plan.stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            est_rows = int(str(rc.get()))
+        else:
+            width = max(int(plan.schema().defaultSize()), 1)
+            est_rows = int(str(stats.sizeInBytes())) // width
+    except Exception:
+        return 0  # estimate unavailable: keep the pinned default
+    per_shard = est_rows / max(int(num_shards), 1)
+    k = 0
+    while per_shard > SALT_AUTO_ROWS_PER_SHARD and k < 8:
+        k += 1
+        per_shard /= 16
+    return k
+
+
 def shard_shuffle(
     df: DataFrame,
     *,

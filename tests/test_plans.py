@@ -1083,6 +1083,54 @@ def test_r18_queries_shuffle_ceilings(spark, queries):
         assert got <= cap, f"{name}: {got} shuffles > ceiling {cap}"
 
 
+def test_auto_salt_switches_at_both_regimes(spark):
+    """r19 verdict item 6: ``write_training_shards`` defaults
+    ``salt_chars="auto"`` so 100 TB exports don't depend on the caller
+    remembering the knob. The resolver must (a) return 0 at gate scale
+    (pinned single-exchange write plans), (b) engage for a scan-shaped
+    input whose estimate exceeds ~1 M rows/shard, and (c) refuse to
+    trust estimates through join/grouped-map DAGs, where Catalyst's
+    non-CBO sizeInBytes is off by orders of magnitude (measured
+    1.7e6x on the pack capstone —
+    benchlogs/probe_r20_salt_estimates.json)."""
+    from pyspark.sql import functions as F
+
+    from mriya_spark.ops.layout import resolve_auto_salt_chars
+
+    # (a) gate scale: a small parquet scan stays unsalted
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    assert resolve_auto_salt_chars(docs, 16) == 0
+
+    # (b) big regime, scan-shaped: spark.range is a leaf whose byte
+    # estimate is proportional to rows (no files written — the
+    # resolver reads plan stats only)
+    big = spark.range(200_000_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("lang")
+    )
+    k = resolve_auto_salt_chars(big, 16)
+    assert k >= 1, k
+
+    # (c) the same scale behind a join: estimate untrusted -> 0
+    joined = big.join(
+        big.select(F.col("doc_id"), F.lit(1).alias("w")), "doc_id"
+    )
+    assert resolve_auto_salt_chars(joined, 16) == 0
+
+    # and the public write path resolves "auto" to the unsalted plan
+    # at gate scale: same single hash exchange + window as salt_chars=0
+    from mriya_spark.ops.layout import shard_shuffle
+
+    auto_like = shard_shuffle(
+        docs, key_col="doc_id", num_shards=4, seed=3,
+        salt_chars=resolve_auto_salt_chars(docs, 4),
+    )
+    auto_like.collect()
+    plan = executed_plan(auto_like)
+    assert "__salt" not in plan, plan
+
+
 def test_salted_shard_shuffle_no_whole_shard_sort(spark):
     """The salted path must never cluster a whole shard into one
     partition: the data-path exchange hashes on (shard, salt) — small
