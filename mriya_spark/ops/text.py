@@ -362,6 +362,18 @@ def pack_windows(
     )
 
 
+#: fail-loud ceiling on one FFD packing stream (r19 verdict item 7):
+#: ``applyInPandas`` ships a WHOLE group to one Python worker as one
+#: pandas frame, so a shard's memory is bounded only by
+#: rows/``shards`` — at 100 TB an unraised ``shards`` would surface
+#: as an opaque exit-137 worker kill mid-stage. 4M rows of the
+#: placement columns (id + count) is ~100 MB of pandas; with typical
+#: 512-token carry arrays it is already multi-GB, so the ceiling errs
+#: loud well before the silent-OOM regime. Raise ``shards`` (the
+#: documented parallelism lever) rather than this constant.
+FFD_MAX_GROUP_ROWS = 4_000_000
+
+
 def pack_windows_bestfit(
     df: DataFrame,
     *,
@@ -370,6 +382,7 @@ def pack_windows_bestfit(
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
     carry_cols: tuple[str, ...] = (),
+    max_group_rows: int = FFD_MAX_GROUP_ROWS,
 ) -> DataFrame:
     """NON-STRADDLING packing: first-fit-decreasing bin packing of
     whole documents into fixed ``context_tokens`` windows — the SFT /
@@ -425,6 +438,18 @@ def pack_windows_bestfit(
         # Python steps and minutes of wall time (measured r14); the
         # tree gives the IDENTICAL first-fit assignment in O(n log n)
         # — the property test pins exact equality with the naive fold.
+        # group-size guard (r19 verdict item 7): the whole shard rides
+        # into this worker as ONE pandas frame — past the ceiling the
+        # failure mode without this check is a silent container OOM
+        # (exit 137) naming nothing. Bounded by construction means
+        # shards scales with the corpus; this makes the violation loud.
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"pack_windows_bestfit: packing stream of {len(pdf)} "
+                f"rows exceeds max_group_rows={max_group_rows} — raise "
+                "shards= so each stream fits one task (the FFD "
+                "parallelism contract)"
+            )
         # a NULL count (a left-joined upstream) would otherwise die in
         # astype() with an opaque non-finite-cast error naming no doc —
         # the same silent-failure class as the negative case below

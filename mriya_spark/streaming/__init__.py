@@ -60,6 +60,42 @@ from mriya_spark.cachedir import cache_dir as _cache_dir
 _STAGE_ROOT = _cache_dir("stream_v2")
 
 
+def _ckpt_dir(tag: str) -> str:
+    """Fresh throwaway checkpoint location for the module's BOUNDED
+    stream drivers (r20, guide §1.2: per-micro-batch offset-log and
+    state-store commits fsync the checkpoint — measured ~35% of a
+    bounded drain's wall on this host's disk). Every driver here
+    already deletes its checkpoint after the drain (``shutil.rmtree``
+    at each call site), i.e. crash-durability across runs was NEVER
+    provided by these bounded replays — so the commit fsyncs buy
+    nothing and the checkpoint can live on tmpfs when one exists.
+    ``tempfile.mkdtemp`` gives a fresh 0700 directory, which keeps the
+    r5 pre-planting posture (no predictable shared path; Spark then
+    initializes the checkpoint inside a dir only we can write).
+    Unbounded production streams pass their own durable checkpoint
+    locations and never go through these drivers."""
+    import tempfile
+    import time as _time
+
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        # sweep crash-orphaned checkpoints (normal exits rmtree their
+        # own): age-gated like the stream_v2 sweep, best-effort
+        cutoff = _time.time() - 3600
+        try:
+            for d in os.listdir("/dev/shm"):
+                if d.startswith("mriya_ckpt_"):
+                    p = os.path.join("/dev/shm", d)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        return tempfile.mkdtemp(prefix=f"mriya_ckpt_{tag}_", dir="/dev/shm")
+    return f"{_STAGE_ROOT}/ckpt_{tag}_{uuid.uuid4().hex[:12]}"
+
+
 def stage_events_files(
     spark: SparkSession, sf_dir: str, *, n_files: int = 8,
     time_ordered: bool = False,
@@ -150,7 +186,7 @@ def run_to_memory_sink(
     """Drive a bounded stream to completion into a memory sink and
     return the final result as a batch DataFrame."""
     name = f"out_{uuid.uuid4().hex[:12]}"
-    ckpt = f"{_STAGE_ROOT}/ckpt_{name}"
+    ckpt = _ckpt_dir(name)
     spark = stream_df.sparkSession
     with _bounded_state_partitions(spark, state_partitions):
         q = (
@@ -176,7 +212,7 @@ def run_until_idle(
     continuous micro-batches and block with ``processAllAvailable()``
     until the source reports no new data, then stop."""
     name = f"out_{uuid.uuid4().hex[:12]}"
-    ckpt = f"{_STAGE_ROOT}/ckpt_{name}"
+    ckpt = _ckpt_dir(name)
     spark = stream_df.sparkSession
     with _bounded_state_partitions(spark, state_partitions):
         q = (
@@ -411,7 +447,7 @@ def run_foreach_batch(
     from mriya_spark.cachedir import sweep_stale
 
     sweep_stale("stream_v2", ckpt_prefix)
-    ckpt = f"{_STAGE_ROOT}/{ckpt_prefix}{uuid.uuid4().hex[:12]}"
+    ckpt = _ckpt_dir(ckpt_prefix.rstrip("_"))
     with _bounded_state_partitions(spark, 8):
         writer = stream.writeStream.foreachBatch(batch_fn).option(
             "checkpointLocation", ckpt
@@ -682,7 +718,7 @@ def stream_corpus_ingest(
     from mriya_spark.ops.dedup import normalized
 
     spark = docs.sparkSession
-    ckpt = f"{_STAGE_ROOT}/ckpt_ingest_{uuid.uuid4().hex[:12]}"
+    ckpt = _ckpt_dir("ingest")
 
     def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
         scored = batch.select(
@@ -855,7 +891,7 @@ def stream_neardup_ingest(
     nothing rewrites.
     """
     spark = docs.sparkSession
-    ckpt = f"{_STAGE_ROOT}/ckpt_neardup_{uuid.uuid4().hex[:12]}"
+    ckpt = _ckpt_dir("neardup")
 
     def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
         neardup_ingest_batch(
@@ -1201,7 +1237,7 @@ def stream_neardup_ingest_portable(
     fixed staged batches the surviving corpus is a pure function of
     (docs, batch boundaries) that a SQL oracle can unroll."""
     spark = docs.sparkSession
-    ckpt = f"{_STAGE_ROOT}/ckpt_neardup_{uuid.uuid4().hex[:12]}"
+    ckpt = _ckpt_dir("neardup")
 
     def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
         neardup_ingest_batch_portable(
@@ -1495,7 +1531,7 @@ def stream_encode_fixed_vocab(
     from mriya_spark.ops.text import bpe_token_ids
 
     spark = docs.sparkSession
-    ckpt = f"{_STAGE_ROOT}/ckpt_fixedenc_{uuid.uuid4().hex[:12]}"
+    ckpt = _ckpt_dir("fixedenc")
     validated = [False]
 
     def encode_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -1592,7 +1628,7 @@ def stream_decode_fixed_vocab(
     from mriya_spark.ops.text import bpe_decode
 
     spark = ids_stream.sparkSession
-    ckpt = f"{_STAGE_ROOT}/ckpt_fixeddec_{uuid.uuid4().hex[:12]}"
+    ckpt = _ckpt_dir("fixeddec")
 
     validated = [False]
 

@@ -2589,6 +2589,27 @@ def test_pack_windows_bestfit_rejects_negative_counts(spark):
         pack_windows_bestfit(df, context_tokens=8, shards=1).collect()
 
 
+def test_pack_windows_bestfit_bounds_group_size(spark):
+    """r19 verdict item 7: ``applyInPandas`` ships a whole packing
+    stream to one Python worker as one pandas frame, so an unraised
+    ``shards`` at scale dies as a silent container OOM. The guard
+    must fail LOUD with the stream size and the lever (shards=), and
+    the default ceiling must not trip at gate scale."""
+    from mriya_spark.ops.text import pack_windows_bestfit
+
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="max_group_rows.*raise|raise shards"):
+        pack_windows_bestfit(
+            df, context_tokens=8, shards=1, max_group_rows=10
+        ).collect()
+    # default ceiling: gate-scale streams pass untouched
+    assert (
+        pack_windows_bestfit(df, context_tokens=8, shards=1).count() == 50
+    )
+
+
 def test_bpe_load_vocab_rejects_duplicate_symbols(spark, tmp_path):
     """r14 ADVICE: a duplicated vocab.txt line fails AT LOAD with the
     offending line numbers — downstream the literal path errors on

@@ -562,7 +562,13 @@ def test_headline_queries_have_no_row_python(spark, queries):
         if name not in queries:
             continue
         df = queries[name](spark, sf)
-        df.collect()  # finalize AQE so the audited plan is the real one
+        # audited WITHOUT executing (r20, suite-wall item): AQE
+        # re-optimization never introduces or removes Python eval
+        # nodes — BatchEvalPython vs ArrowEvalPython is decided at
+        # physical planning — so the pre-execution plan is
+        # authoritative for THIS audit (the exchange-count ceilings,
+        # which AQE does change, still execute in their own tests).
+        # Skipping the 59 collects cut ~90 s from the suite.
         plan = executed_plan(df)
         assert "BatchEvalPython" not in plan, f"{name} has row-wise Python"
         audited += 1
@@ -855,15 +861,61 @@ def test_registry_outputs_are_primitive_only(spark, queries):
     that sees the SPARK side of every output schema."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    # r20 suite-wall item (guide §2.6 — overlap independent jobs):
+    # this test is the suite's whale because every builder's EAGER
+    # setup (trainer collects, artifact writes) runs serially. Pure
+    # batch builders are independent driver work, so they run on a
+    # small thread pool; gates with session-global side effects stay
+    # SERIAL: streams/sinks (conf clamps via _bounded_state_partitions,
+    # checkpoint machinery), the on-disk IVF/BM25 index caches (two
+    # concurrent builders of one content-keyed index could race), and
+    # the e2e pipelines that compose them. _aqe_off is lock-serialized
+    # and the catalog's nanosAsLong set is idempotent, so the threaded
+    # trainer gates are safe. Session conf is snapshotted and checked
+    # after, so a leaked clamp would fail HERE, not flake downstream.
+    from concurrent.futures import ThreadPoolExecutor
+
+    conf_before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    serial_markers = (
+        "stream", "sink_", "connector", "mriya_e2e", "similarity_",
+        "dedup_semantic", "search_bm25_indexed", "multimodal",
+        "migration",
+    )
+    serial = {
+        n: fn for n, fn in queries.items()
+        if any(m in n for m in serial_markers)
+    }
+    threaded = {n: fn for n, fn in queries.items() if n not in serial}
+
     bad = []
-    for name, fn in queries.items():
+
+    def check(item):
+        name, fn = item
+        out = []
         schema = fn(spark, SF).schema
         for field in schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
-                bad.append((name, field.name, str(field.dataType)))
+                out.append((name, field.name, str(field.dataType)))
+        return out
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for found in pool.map(check, threaded.items()):
+            bad.extend(found)
+    for item in serial.items():
+        bad.extend(check(item))
     assert not bad, (
         "nested output columns would crash the driver's canonicalizer "
         f"(serialize them): {bad}"
+    )
+    conf_after = {k: spark.conf.get(k) for k in conf_before}
+    assert conf_after == conf_before, (
+        "a builder leaked a session-conf mutation", conf_before, conf_after
     )
 
 
